@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One declared operator: a Spark query plus (usually) a DuckDB oracle.
+  *
+  * `fn(spark, sfDir)` must return a DataFrame whose row order and values are
+  * deterministic and exactly reproducible by `oracle` running in DuckDB on
+  * the same parquet tables (driver contract, SURVEY §5.1).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String]) {
+  def aliased(alias: String): Q = copy(name = alias)
+}
+
+object Q {
+  def apply(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(oracle))
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None)
+}
+
+/** Oracle-parity helpers (SURVEY §5.4).
+  *
+  * Hash-compare against DuckDB demands bit-identical values. Double
+  * summation is order-dependent, so any `SUM(double)` differs across
+  * engines in the last bits. Convention used by every declared query:
+  *
+  *  - Sums of doubles go through `DECIMAL(18,4)` per row — decimal
+  *    accumulation is exact and order-independent, and both engines cast
+  *    the identical input doubles to the identical decimals — then back to
+  *    double for a stable simple schema. Mirror in SQL:
+  *    `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`.
+  *  - Averages are rounded to 4 decimals (`round(avg(x),4)`): the residual
+  *    cross-engine error (~1e-9 relative) is far inside the rounding
+  *    granularity, and round-to-nearest of the same decimal yields the same
+  *    double in both engines.
+  *  - Date-valued timestamps are compared as DATE on both sides.
+  *  - Every query ends in an ORDER BY over a unique key set.
+  *
+  * At 100 TB these conventions cost nothing: decimal partial aggregation is
+  * still a two-phase hash aggregate with map-side combine.
+  */
+object Parity {
+  /** Exact, order-independent sum of a double column, as double. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+  /** Cast a cent-valued double factor to exact decimal. Products of
+    * computed doubles must NOT be cast after multiplying (the double
+    * product's shortest-repr rounding differs between engines at .xxxx5
+    * boundaries); cast each on-grid factor first, then multiply in exact
+    * decimal arithmetic. */
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** SQL twin of [[dec2]]. */
+  def sqlDec2(expr: String): String = s"CAST($expr AS DECIMAL(12,2))"
+  /** Deterministic-to-4-decimals average of a double column. */
+  def ravg(c: Column): Column = round(avg(c), 4)
+  /** SQL twin of [[dsum]]. */
+  def sqlDsum(expr: String): String = s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"
+  /** SQL twin of [[ravg]]. */
+  def sqlRavg(expr: String): String = s"ROUND(AVG($expr), 4)"
+}
