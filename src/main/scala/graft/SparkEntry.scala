@@ -3,8 +3,27 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+  /** BASELINE.md bench-suite aliases: the measured-baseline query keys that
+    * name a SURVEY §2 operator differently. Both names are declared (the
+    * driver's correctness gate sees all; Bench runs the 20 headline keys). */
+  private def aliases: Seq[Q] = Seq(
+    Joins.joinSemi.aliased("semi_join_exists"),
+    Joins.joinAnti.aliased("anti_join"),
+    Joins.joinAsof.aliased("asof_enrich"),
+    Windows.rankTopN.aliased("window_rank_topn"),
+    Windows.runningSum.aliased("window_running_sum"),
+    Aggs.aggRollup.aliased("rollup_agg"),
+    Aggs.aggCountDistinct.aliased("distinct_agg"),
+    Aggs.aggApproxDistinct.aliased("approx_distinct"),
+    Projections.intersectQ.aliased("set_ops"),
+    Funcs.fnString.aliased("string_funcs"),
+    Funcs.fnDate.aliased("date_funcs"),
+    Funcs.fnJson.aliased("json_extract"))
+
   /** Every declared operator, in SURVEY §2 order. */
-  def allQs: Seq[Q] = Relational.all
+  def allQs: Seq[Q] =
+    Scans.all ++ Projections.all ++ Joins.all ++ Aggs.all ++ Windows.all ++
+      Funcs.all ++ Relational.all ++ aliases
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -67,6 +67,17 @@ object Tables {
     StructField("l_linestatus", StringType, nullable = false),
     StructField("l_shipdate", TimestampType, nullable = false)))
 
+  /** Physical schema of events.parquet: `ts` is INT64 timestamp[ns], which
+    * Spark's parquet reader does not map to TimestampType — it is read as
+    * Long and converted (floor ns→µs) in [[load]]. */
+  private val eventsRaw: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("props", StringType, nullable = false)))
+
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType, nullable = false),
     StructField("ts", TimestampType, nullable = false),
@@ -95,5 +106,14 @@ object Tables {
 
   /** Load one table with its explicit schema from `dir/<name>.parquet`. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      // ns → µs floor division matches DuckDB's ns-parquet truncation, so
+      // raw ts values hash-compare equal across engines.
+      spark.read.schema(eventsRaw).parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    } else {
+      spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+    }
 }

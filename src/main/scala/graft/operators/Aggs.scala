@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.{Parity, Q, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import Parity._
+
+/** SURVEY §2-D: aggregation family.
+  *
+  * All of these plan as two-phase HashAggregate (partial map-side combine +
+  * final after one shuffle on the grouping keys) — the optimal distributed
+  * shape. rollup/cube expand via `Expand` before the same two-phase agg.
+  */
+object Aggs {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** D1 — multi-aggregate hash aggregation (beyond q1's shape). */
+  val aggHashMulti = Q(
+    "agg_hash_multi",
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       |  ${sqlDsum("o_totalprice")} AS sum_price,
+       |  ${sqlRavg("o_totalprice")} AS avg_price,
+       |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+       |  MIN(CAST(o_orderdate AS DATE)) AS first_date,
+       |  MAX(CAST(o_orderdate AS DATE)) AS last_date
+       |FROM orders GROUP BY o_orderstatus, o_orderpriority
+       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        ravg(col("o_totalprice")).as("avg_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(to_date(col("o_orderdate"))).as("first_date"),
+        max(to_date(col("o_orderdate"))).as("last_date"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  /** D2 — keyless global aggregate. */
+  val aggGlobal = Q(
+    "agg_global",
+    s"""SELECT COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS total,
+       |  ${sqlRavg("o_totalprice")} AS avg_price,
+       |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+       |FROM orders""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders").agg(
+      count(lit(1)).as("n_orders"),
+      dsum(col("o_totalprice")).as("total"),
+      ravg(col("o_totalprice")).as("avg_price"),
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"))
+  }
+
+  /** D3 — exact count distinct per group (expand + two-phase agg). */
+  val aggCountDistinct = Q(
+    "agg_count_distinct",
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+  }
+
+  /** D4 — HLL++ approximate distinct. No SQL oracle (engine-specific HLL
+    * internals, SURVEY §5.4); AggSpec asserts tolerance vs the exact twin. */
+  val aggApproxDistinct = Q.noOracle("agg_approx_distinct") { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** D5 — rollup subtotal hierarchy. */
+  val aggRollup = Q(
+    "agg_rollup",
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       |  ${sqlDsum("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** D6 — cube: all grouping combinations. */
+  val aggCube = Q(
+    "agg_cube",
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       |  ${sqlDsum("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** D7 — explicit grouping sets + grouping() disambiguation (SQL path). */
+  val aggGroupingSets = Q(
+    "agg_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
+    (s, dir) =>
+      val view = s"orders_gs_${math.abs(dir.hashCode)}"
+      t(s, dir, "orders").createOrReplaceTempView(view)
+      s.sql(
+        s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+           |FROM $view
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  /** D8 — per-group collected list/set (Solr multivalued-field shape).
+    * `array_sort` makes the collected order deterministic. */
+  val aggCollect = Q(
+    "agg_collect",
+    """SELECT s_nationkey, list_sort(list(s_name)) AS supplier_names,
+      |  list_sort(list(DISTINCT s_name)) AS distinct_names
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+          array_sort(collect_list(col("s_name"))).as("supplier_names"),
+          array_sort(collect_set(col("s_name"))).as("distinct_names"))
+        .orderBy("s_nationkey")
+  }
+
+  /** D9 — argmin/argmax: first/latest event per user. */
+  val aggMinMaxBy = Q(
+    "agg_minmax_by",
+    """SELECT user_id, arg_max(event_id, ts) AS last_event,
+      |  arg_min(event_id, ts) AS first_event, MAX(value) AS max_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        max_by(col("event_id"), col("ts")).as("last_event"),
+        min_by(col("event_id"), col("ts")).as("first_event"),
+        max(col("value")).as("max_value"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(aggHashMulti, aggGlobal, aggCountDistinct,
+    aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggCollect,
+    aggMinMaxBy)
+}

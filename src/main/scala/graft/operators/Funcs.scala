@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2-H: scalar function surface (string/date/math/array/map/json).
+  * All built-in `org.apache.spark.sql.functions` — fully codegen'd, no UDFs
+  * in these paths. */
+object Funcs {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** H1 — string toolkit (the Cassandra-column → Solr-field cleanup set). */
+  val fnString = Q(
+    "fn_string",
+    """SELECT c_custkey,
+      |  UPPER(c_name) AS up, LOWER(c_mktsegment) AS lo,
+      |  LENGTH(c_name) AS len, SUBSTR(c_name, 1, 8) AS pre,
+      |  c_mktsegment || ':' || c_name AS joined,
+      |  string_split(c_name, '#')[2] AS cust_num,
+      |  regexp_extract(c_name, '([0-9]+)', 1) AS num_str,
+      |  regexp_replace(c_name, '[0-9]', 'X', 'g') AS masked,
+      |  TRIM('  pad  ') AS trimmed
+      |FROM customer ORDER BY c_custkey LIMIT 1000""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"), lower(col("c_mktsegment")).as("lo"),
+        length(col("c_name")).as("len"), substring(col("c_name"), 1, 8).as("pre"),
+        concat(col("c_mktsegment"), lit(":"), col("c_name")).as("joined"),
+        element_at(split(col("c_name"), "#"), 2).as("cust_num"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("num_str"),
+        regexp_replace(col("c_name"), "[0-9]", "X").as("masked"),
+        trim(lit("  pad  ")).as("trimmed"))
+      .orderBy("c_custkey").limit(1000)
+  }
+
+  /** H2 — date/time toolkit. */
+  val fnDate = Q(
+    "fn_date",
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS d,
+      |  YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+      |  DAY(o_orderdate) AS dom, QUARTER(o_orderdate) AS qtr,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  datediff('day', DATE '2000-01-01', CAST(o_orderdate AS DATE)) AS days_since_y2k,
+      |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"),
+        year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        datediff(to_date(col("o_orderdate")), lit("2000-01-01")).as("days_since_y2k"),
+        add_months(to_date(col("o_orderdate")), 3).as("plus3m"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy("o_orderkey").limit(2000)
+  }
+
+  /** H3 — math toolkit. Transcendentals rounded to 6 decimals (libm last-bit
+    * differences between JVM and C are far inside that). */
+  val fnMath = Q(
+    "fn_math",
+    """SELECT l_orderkey, l_linenumber,
+      |  ROUND(l_extendedprice, 1) AS r1,
+      |  ABS(l_discount - 0.05) AS dev,
+      |  POWER(l_quantity, 2) AS qty_sq,
+      |  ROUND(SQRT(l_extendedprice), 6) AS sq,
+      |  ROUND(LN(l_extendedprice), 6) AS logn,
+      |  ROUND(LOG(l_extendedprice), 6) AS log_10,
+      |  CEIL(l_discount * 10) AS ce, FLOOR(l_tax * 10) AS fl
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, r1, dev, qty_sq, ce, fl
+      |LIMIT 2000""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 1).as("r1"),
+          abs(col("l_discount") - 0.05).as("dev"),
+          pow(col("l_quantity"), 2).as("qty_sq"),
+          round(sqrt(col("l_extendedprice")), 6).as("sq"),
+          round(log(col("l_extendedprice")), 6).as("logn"),
+          round(log10(col("l_extendedprice")), 6).as("log_10"),
+          ceil(col("l_discount") * 10).as("ce"),
+          floor(col("l_tax") * 10).as("fl"))
+        .orderBy("l_orderkey", "l_linenumber", "r1", "dev", "qty_sq", "ce", "fl")
+        .limit(2000)
+  }
+
+  /** H4 — array functions incl. higher-order (transform/filter) over
+    * tokenized text. */
+  val fnArray = Q(
+    "fn_array",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  string_split(text, ' ')[1] AS first_tok,
+      |  array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS first3,
+      |  list_contains(string_split(text, ' '), 'data') AS has_data,
+      |  len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS n_long,
+      |  len(list_distinct(string_split(text, ' '))) AS n_uniq,
+      |  array_to_string(list_transform(list_sort(list_distinct(string_split(text, ' '))), x -> upper(x)), ',') AS uniq_upper
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = split(col("text"), " ")
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        element_at(toks, 1).as("first_tok"),
+        array_join(slice(toks, 1, 3), " ").as("first3"),
+        array_contains(toks, "data").as("has_data"),
+        size(filter(toks, x => length(x) > 4)).as("n_long"),
+        size(array_distinct(toks)).as("n_uniq"),
+        array_join(transform(array_sort(array_distinct(toks)), x => upper(x)), ",")
+          .as("uniq_upper"))
+      .orderBy("doc_id")
+  }
+
+  /** H5 — map functions (Solr dynamic-field shape). The oracle states the
+    * expected output values directly — the Spark side routes them through
+    * map_from_entries / element_at / map_keys / size. */
+  val fnMap = Q(
+    "fn_map",
+    """SELECT p_partkey, p_brand AS brand_field, 3 AS n_fields,
+      |  'brand,size,type' AS key_list,
+      |  CAST(p_size AS VARCHAR) AS size_field
+      |FROM part ORDER BY p_partkey LIMIT 2000""".stripMargin) { (s, dir) =>
+    val m = map_from_entries(array(
+      struct(lit("brand").as("key"), col("p_brand").as("value")),
+      struct(lit("type").as("key"), col("p_type").as("value")),
+      struct(lit("size").as("key"), col("p_size").cast("string").as("value"))))
+    t(s, dir, "part")
+      .withColumn("doc", m)
+      .select(
+        col("p_partkey"),
+        element_at(col("doc"), "brand").as("brand_field"),
+        size(col("doc")).as("n_fields"),
+        array_join(array_sort(map_keys(col("doc"))), ",").as("key_list"),
+        element_at(col("doc"), "size").as("size_field"))
+      .orderBy("p_partkey").limit(2000)
+  }
+
+  /** H6 — JSON extraction from the events.props payload. */
+  val fnJson = Q(
+    "fn_json",
+    """SELECT event_type,
+      |  COUNT(*) AS n,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("bigint")
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(k).as("sum_k"), min(k).as("min_k"), max(k).as("max_k"))
+        .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(fnString, fnDate, fnMath, fnArray, fnMap, fnJson)
+}

@@ -1,0 +1,268 @@
+package graft.operators
+
+import graft.{Parity, Q, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Parity._
+
+/** SURVEY §2-C: the join family.
+  *
+  * Scale strategy: dimension tables (region/nation/customer/supplier/part)
+  * are explicitly `broadcast()` — at 100 TB the fact tables shuffle ONCE on
+  * their join key at most, and dim joins are map-side. The as-of join is a
+  * single-shuffle window rewrite, not a range-join explosion.
+  */
+object Joins {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** C1 — small-dim equi join; broadcast hash join, no fact shuffle. */
+  val joinBroadcast = Q(
+    "join_broadcast",
+    """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey LIMIT 1000""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+      .orderBy("o_orderkey").limit(1000)
+  }
+
+  /** C2 — large⋈large equi join; `hint("merge")` pins sort-merge (the
+    * 100 TB shape: both sides shuffle-partitioned on the key, no broadcast). */
+  val joinSortMerge = Q(
+    "join_sortmerge",
+    s"""SELECT o_orderstatus, COUNT(*) AS n_lines,
+       |  ${sqlDsum("l_extendedprice")} AS sum_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** C3 — left outer: per customer, count of very large orders (0 for
+    * customers with none — exercises the null-generating side). */
+  val joinOuter = Q(
+    "join_outer",
+    """SELECT c_custkey, COUNT(o_orderkey) AS big_orders
+      |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+      |ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+    t(s, dir, "customer")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("big_orders"))
+      .orderBy("c_custkey")
+  }
+
+  /** C3 — full outer of two per-nation aggregates. */
+  val joinFull = Q(
+    "join_outer_full",
+    """SELECT COALESCE(c.k, s.k) AS nationkey,
+      |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN
+      |     (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+      |ON c.k = s.k ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = t(s, dir, "supplier").groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(su, col("ck") === col("sk"), "full_outer")
+      .select(
+        coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** C4 — left semi (EXISTS): customers having at least one huge order. */
+  val joinSemi = Q(
+    "join_semi",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** C5 — left anti (NOT EXISTS): customers with no URGENT order. */
+  val joinAnti = Q(
+    "join_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** C6 — range/theta join against a tiny broadcast band table
+    * (BroadcastNestedLoopJoin — the only sane physical plan for band
+    * lookup; the band side is always small, so no scale concern). */
+  val joinRangeTheta = Q(
+    "join_range_theta",
+    s"""SELECT band, COUNT(*) AS n, ${sqlDsum("l_extendedprice")} AS sum_price
+       |FROM lineitem JOIN (VALUES ('low', 0, 10), ('mid', 10, 25), ('high', 25, 51))
+       |  b(band, lo, hi) ON l_quantity >= lo AND l_quantity < hi
+       |GROUP BY band ORDER BY band""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val bands = Seq(("low", 0, 10), ("mid", 10, 25), ("high", 25, 51))
+      .toDF("band", "lo", "hi")
+    t(s, dir, "lineitem")
+      .join(broadcast(bands), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("band")
+  }
+
+  /** C7 — as-of join: each purchase matched to the same user's latest click
+    * at/before its timestamp.
+    *
+    * Spark has no native as-of join; the classic scalable rewrite is
+    * union-tag + `last(_, ignoreNulls)` over a per-user time-ordered window:
+    * ONE shuffle on user_id, sequential scan per partition — no range-join
+    * blowup, works at any scale where a single user's history fits a
+    * partition. Oracle: DuckDB native ASOF LEFT JOIN.
+    */
+  val joinAsof = Q(
+    "join_asof",
+    """SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+        lit(null).cast("long").as("p_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("click_id"),
+        col("event_id").as("p_id"))
+    // Same-ts tie: the click sorts first (click_id non-null < null ordering
+    // handled by secondary key) so "at or before" includes equal timestamps.
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("click_id").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("p_id").isNotNull)
+      .select(col("p_id").as("event_id"), col("user_id"), col("ts"),
+        col("last_click").as("click_id"))
+      .orderBy("event_id")
+  }
+
+  /** C8 — multiway star join: revenue by part brand × supplier nation.
+    * All three dims broadcast; the fact table never shuffles pre-agg. */
+  val joinStar = Q(
+    "join_star_multiway",
+    s"""SELECT p_brand, n_name, COUNT(*) AS n,
+       |  CAST(SUM(${sqlDec2("l_extendedprice")} * ${sqlDec2("1 - l_discount")}) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |GROUP BY p_brand, n_name ORDER BY p_brand, n_name""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("p_brand", "n_name")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy("p_brand", "n_name")
+  }
+
+  /** C9 — cartesian product (guarded: 5×25 rows). */
+  val joinCross = Q(
+    "join_cross",
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+    t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+  }
+
+  /** C1/C8/F3 — TPC-H q3 shipping priority (adapted columns/dates). */
+  val q3 = Q(
+    "q3_shipping_priority",
+    s"""SELECT l_orderkey,
+       |  CAST(SUM(${sqlDec2("l_extendedprice")} * ${sqlDec2("1 - l_discount")}) AS DOUBLE) AS revenue,
+       |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+       |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+       |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) > lit("1998-06-01"))
+      .join(
+        t(s, dir, "orders").filter(to_date(col("o_orderdate")) < lit("1998-06-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(
+        broadcast(t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+        .cast("double").as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+  }
+
+  /** C8 — TPC-H q5: revenue by nation for ASIA, one year. */
+  val q5 = Q(
+    "q5_local_supplier",
+    s"""SELECT n_name,
+       |  CAST(SUM(${sqlDec2("l_extendedprice")} * ${sqlDec2("1 - l_discount")}) AS DOUBLE) AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+       |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    val orders = t(s, dir, "orders")
+      .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+        to_date(col("o_orderdate")) < lit("1997-01-01"))
+    t(s, dir, "lineitem")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val all: Seq[Q] = Seq(joinBroadcast, joinSortMerge, joinOuter, joinFull,
+    joinSemi, joinAnti, joinRangeTheta, joinAsof, joinStar, joinCross, q3, q5)
+}
