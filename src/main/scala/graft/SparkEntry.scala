@@ -18,12 +18,16 @@ object SparkEntry {
     Projections.intersectQ.aliased("set_ops"),
     Funcs.fnString.aliased("string_funcs"),
     Funcs.fnDate.aliased("date_funcs"),
-    Funcs.fnJson.aliased("json_extract"))
+    Funcs.fnJson.aliased("json_extract"),
+    StreamingBatch.tumbling.aliased("events_sessionize_tumbling"),
+    TextOps.tokenizeTfidf.aliased("text_tokenize_tf"),
+    TextOps.dedupExact.aliased("exact_dedup"))
 
   /** Every declared operator, in SURVEY §2 order. */
   def allQs: Seq[Q] =
     Scans.all ++ Projections.all ++ Joins.all ++ Aggs.all ++ Windows.all ++
-      Funcs.all ++ Relational.all ++ aliases
+      Funcs.all ++ Relational.all ++ TextOps.all ++ VectorOps.all ++
+      Udx.all ++ DocAssembly.all ++ StreamingBatch.all ++ aliases
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2-K7 (multimodal columns) + §2-K8 (search-document assembly —
+  * the trireme Cassandra-row → Solr-document transform stage). */
+object DocAssembly {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** K7 — heterogeneous payloads (text + vector + metadata struct) packed
+    * into one nested column, transformed while packed, then unpacked.
+    * Proves nested-type plumbing survives transforms losslessly. */
+  val multimodalCols = Q(
+    "multimodal_cols",
+    """SELECT d.doc_id, upper(d.source) AS source_up, length(d.text) AS text_len,
+      |  len(e.embedding) AS vec_dim, e.label, d.lang
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val packed = t(s, dir, "documents")
+      .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), struct(
+        col("text"),
+        struct(col("lang"), col("source")).as("meta"),
+        col("embedding"), col("label")).as("payload"))
+    // Transform while packed (withField rewrites inside the struct), then
+    // unpack — the round-trip the K7 contract demands.
+    packed
+      .withColumn("payload",
+        col("payload").withField("meta.source", upper(col("payload.meta.source"))))
+      .select(
+        col("doc_id"),
+        col("payload.meta.source").as("source_up"),
+        length(col("payload.text")).as("text_len"),
+        size(col("payload.embedding")).as("vec_dim"),
+        col("payload.label").as("label"),
+        col("payload.meta.lang").as("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** K7 — opaque binary payload carriage: text encoded to a binary column
+    * with typed metadata, shipped through a transform, length+base64
+    * verified. The decode stage for real image/audio bytes is
+    * [[multimodalDecode]]. */
+  val multimodalBinary = Q(
+    "multimodal_binary",
+    """SELECT doc_id, n_chars AS payload_bytes,
+      |  base64(CAST(substr(text, 1, 16) AS BLOB)) AS head_b64, source
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("source"), col("n_chars"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("payload_bytes"),
+        base64(substring(col("payload"), 1, 16)).as("head_b64"),
+        col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** Decoded-media record produced by the (stubbed) decoder. */
+  final case class DecodedMedia(doc_id: Long, n_bytes: Long, width: Int,
+      height: Int, checksum: Long)
+
+  /** K7 — the media-decode seam: binary payload → per-partition batch
+    * "decode" via mapPartitions with a typed Encoder (the Scala analogue of
+    * mapInPandas batching).
+    *
+    * STUB: no image/audio codecs ship in this container, so `fakeDecode`
+    * derives deterministic pseudo-metadata from the bytes. In production
+    * this function body is replaced by the real codec call (e.g. TwelveMonkeys
+    * ImageIO / javacv) — the Spark-side plumbing (schema, partitioning,
+    * batch shape, encoder) is exactly what ships. No SQL oracle: covered by
+    * MultimodalSpec. */
+  val multimodalDecode = Q.noOracle("multimodal_decode") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    implicit val enc = Encoders.product[DecodedMedia]
+    docs.mapPartitions { rows =>
+      // One codec context per partition (the expensive init happens once
+      // per task, amortized over the batch — the mapInPandas shape).
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        fakeDecode(id, bytes)
+      }
+    }(enc).orderBy("doc_id").toDF()
+  }
+
+  /** Deterministic stand-in for a real media decoder (see above). */
+  def fakeDecode(id: Long, bytes: Array[Byte]): DecodedMedia = {
+    var checksum = 0L
+    var i = 0
+    while (i < bytes.length) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
+    DecodedMedia(id, bytes.length.toLong,
+      width = 16 + (math.abs(checksum) % 64).toInt,
+      height = 16 + (math.abs(checksum / 64) % 64).toInt,
+      checksum = checksum)
+  }
+
+  /** K8 — search-document assembly: relational row → flat document with
+    * dynamic-suffix fields (`*_s` string, `*_d` double, `*_ss` multivalued)
+    * — the trireme transform stage. Field map is emitted as sorted `k=v`
+    * entries (deterministic; Solr field order is irrelevant). Multivalued
+    * fields come from a collect_list aggregation over the child table. */
+  val solrDocAssembly = Q(
+    "solr_doc_assembly",
+    """SELECT c_custkey AS id,
+      |  list_sort([
+      |    'name_s=' || c_name,
+      |    'segment_s=' || c_mktsegment,
+      |    'acctbal_d=' || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR),
+      |    'nation_i=' || CAST(c_nationkey AS VARCHAR)]) AS fields,
+      |  COALESCE(p.prios, []) AS priorities_ss,
+      |  COALESCE(p.n_orders, 0) AS n_orders_i
+      |FROM customer LEFT JOIN (
+      |  SELECT o_custkey, list_sort(list(DISTINCT o_orderpriority)) AS prios,
+      |         COUNT(*) AS n_orders
+      |  FROM orders GROUP BY o_custkey) p ON c_custkey = o_custkey
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val doc = map_from_entries(array(
+      struct(lit("name_s").as("key"), col("c_name").as("value")),
+      struct(lit("segment_s").as("key"), col("c_mktsegment").as("value")),
+      struct(lit("acctbal_d").as("key"),
+        col("c_acctbal").cast("decimal(12,2)").cast("string").as("value")),
+      struct(lit("nation_i").as("key"),
+        col("c_nationkey").cast("string").as("value"))))
+    val multivalued = t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        array_sort(collect_set(col("o_orderpriority"))).as("prios"),
+        count(lit(1)).as("n_orders"))
+    t(s, dir, "customer")
+      .join(multivalued, col("c_custkey") === col("o_custkey"), "left_outer")
+      .withColumn("doc", doc)
+      .select(
+        col("c_custkey").as("id"),
+        array_sort(transform(map_entries(col("doc")),
+          e => concat(e.getField("key"), lit("="), e.getField("value"))))
+          .as("fields"),
+        coalesce(col("prios"), array().cast("array<string>")).as("priorities_ss"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders_i"))
+      .orderBy("id")
+  }
+
+  val all: Seq[Q] = Seq(multimodalCols, multimodalBinary, multimodalDecode,
+    solrDocAssembly)
+}

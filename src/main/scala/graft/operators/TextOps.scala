@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2-K text pipeline: dedup, tokenize/TF-IDF, stats, quality,
+  * language ID, fingerprinting (the LLM-training-data operators).
+  *
+  * Scale notes: every operator here is a scan + one or two hash-shuffles on
+  * high-cardinality keys (text hash / token / doc_id) — the canonical
+  * 100 TB shape. Exact dedup groups on a 128-bit text hash rather than the
+  * full text, so the shuffle carries 16-byte keys, not document bodies.
+  * The n-gram Jaccard pair join is quadratic by nature; the scale path is
+  * the MinHash/LSH variant (VectorOps.dedupNearLsh) which buckets first.
+  */
+object TextOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+  private def toks: Column = split(col("text"), " ")
+
+  /** K1 — exact dedup via hash-groupBy: one survivor per distinct text.
+    * `md5` keeps the shuffle key small at 100 TB; survivor = min doc_id. */
+  val dedupExact = Q(
+    "dedup_exact",
+    """SELECT md5(text) AS fp, MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY survivor_id""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+        .orderBy("survivor_id")
+  }
+
+  /** K2-adjacent — n-gram (word-3-gram) Jaccard near-dup pairs, exact
+    * quadratic verify (the LSH candidate generator is the scale path). */
+  val dedupNgramJaccard = Q(
+    "dedup_ngram_jaccard",
+    """WITH s AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |         || ' ' || string_split(text,' ')[i+2])) AS sh
+      |  FROM documents)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4
+      |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    val sh = array_distinct(expr(
+      """transform(sequence(1, size(split(text, ' ')) - 2),
+        |  i -> concat(element_at(split(text, ' '), i), ' ',
+        |              element_at(split(text, ' '), i + 1), ' ',
+        |              element_at(split(text, ' '), i + 2)))""".stripMargin))
+    val docs = t(s, dir, "documents").select(col("doc_id"), sh.as("sh"))
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sha"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("shb"))
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+    val jac = inter / (size(col("sha")) + size(col("shb")) - inter)
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** K5/J3 — tokenize → TF → TF-IDF, fully SQL-native (window-free: tf via
+    * (doc, token) groupBy; df via token groupBy; N broadcast-joined). */
+  val tokenizeTfidf = Q(
+    "text_tokenize_tfidf",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+      |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, token, tf, df,
+      |  ROUND(tf * (LN((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+      |FROM tf JOIN df USING (token) CROSS JOIN n
+      |ORDER BY doc_id, token""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(toks).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6)
+          .as("tfidf"))
+      .orderBy("doc_id", "token")
+  }
+
+  /** K6 — corpus statistics per source. */
+  val textStats = Q(
+    "text_stats",
+    """SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      |  ROUND(AVG(n_chars), 4) AS avg_chars,
+      |  SUM(len(string_split(text, ' '))) AS total_tokens,
+      |  COUNT(DISTINCT lang) AS n_langs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        sum(size(toks).cast("long")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("source")
+  }
+
+  /** K6-adjacent — per-document quality scoring (length / uniqueness /
+    * stopword ratios — the pre-training filter shape). */
+  val textQuality = Q(
+    "text_quality",
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_distinct(string_split(text, ' '))) AS n_uniq,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('query', 'data', 'table'))) AS n_stop
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, n_uniq,
+      |  ROUND(n_uniq * 1.0 / n_tokens, 6) AS uniq_ratio,
+      |  ROUND(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
+      |  ROUND(0.5 * (n_uniq * 1.0 / n_tokens)
+      |      + 0.5 * (1.0 - n_stop * 1.0 / n_tokens), 6) AS quality
+      |FROM q ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val stopSet = Seq("query", "data", "table")
+    val nTokens = size(toks)
+    val nUniq = size(array_distinct(toks))
+    val nStop = size(filter(toks, x => x.isInCollection(stopSet)))
+    val uniqRatio = nUniq.cast("double") / nTokens
+    val stopRatio = nStop.cast("double") / nTokens
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        nTokens.as("n_tokens"), nUniq.as("n_uniq"),
+        round(uniqRatio, 6).as("uniq_ratio"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(lit(0.5) * uniqRatio + lit(0.5) * (lit(1.0) - stopRatio), 6)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** K6-adjacent — character-n-gram language heuristic (vowel-density;
+    * a real model would broadcast per-language n-gram profiles — same
+    * plan shape: scan + scalar expressions, no shuffle). */
+  val textLangId = Q(
+    "text_langid",
+    """SELECT doc_id,
+      |  ROUND(length(regexp_replace(text, '[^aeiou]', '', 'g')) * 1.0
+      |    / length(text), 6) AS vowel_ratio,
+      |  CASE WHEN length(regexp_replace(text, '[^aeiou]', '', 'g')) * 1.0
+      |    / length(text) BETWEEN 0.15 AND 0.55 THEN 'en' ELSE 'und' END AS lang_guess
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val vr = length(regexp_replace(col("text"), "[^aeiou]", "")).cast("double") /
+      length(col("text"))
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        round(vr, 6).as("vowel_ratio"),
+        when(vr.between(0.15, 0.55), "en").otherwise("und").as("lang_guess"))
+      .orderBy("doc_id")
+  }
+
+  /** K6-adjacent — document fingerprints: md5 + sha256 content hashes. */
+  val docFingerprint = Q(
+    "doc_fingerprint",
+    """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256,
+      |  substr(md5(text), 1, 8) AS fp_short
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp_md5"),
+        sha2(col("text"), 256).as("fp_sha256"),
+        substring(md5(col("text")), 1, 8).as("fp_short"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, tokenizeTfidf,
+    textStats, textQuality, textLangId, docFingerprint)
+}

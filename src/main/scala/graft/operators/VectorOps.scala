@@ -1,0 +1,197 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2-K vector operators: brute-force cosine top-k / kNN (exact
+  * baseline) and the LSH-bucketed scale paths (MinHash for Jaccard,
+  * random-hyperplane SimHash for cosine).
+  *
+  * Scale strategy: the exact pair join is O(n²) and exists as the verified
+  * baseline; at 100 TB the declared scale paths are (a) MinHashLSH banded
+  * bucket-join for set similarity and (b) SimHash-prefix bucketing for
+  * cosine — both turn the cross join into an equi-join on bucket keys,
+  * which Spark executes as an ordinary shuffled hash join.
+  */
+object VectorOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Cosine similarity between two float-array columns, computed in double
+    * (sequential fold — matches the oracle's per-dimension double sums far
+    * inside the round-6 tolerance). Codegen'd higher-order functions; no
+    * UDF. */
+  private def cosine(a: Column, b: Column): Column = {
+    def dotD(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+  }
+
+  private val pairOracle =
+    """WITH un AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |         unnest(a.embedding) AS xa, unnest(b.embedding) AS xb
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      |sims AS (
+      |  SELECT a_id, b_id,
+      |    SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) AS dot,
+      |    SUM(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE)) AS na,
+      |    SUM(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE)) AS nb
+      |  FROM un GROUP BY a_id, b_id)""".stripMargin
+
+  /** K3 — global top-k most-similar pairs, exact brute force. */
+  val similarityTopK = Q(
+    "similarity_topk",
+    s"""$pairOracle
+       |SELECT a_id, b_id, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS sim
+       |FROM sims ORDER BY sim DESC, a_id, b_id LIMIT 100""".stripMargin) {
+    (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(cosine(col("ea"), col("eb")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+        .limit(100)
+  }
+
+  /** K4 — kNN of one query vector against the corpus: the query row is
+    * broadcast (never collected to the driver), cosine is a map-side
+    * expression, and orderBy+limit plans as TakeOrderedAndProject. */
+  val knnQuery = Q(
+    "knn_query",
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |un AS (
+       |  SELECT e.vec_id, unnest(e.embedding) AS xe, unnest((SELECT qe FROM q)) AS xq
+       |  FROM embeddings e WHERE e.vec_id <> 0),
+       |sims AS (
+       |  SELECT vec_id,
+       |    SUM(CAST(xe AS DOUBLE) * CAST(xq AS DOUBLE)) AS dot,
+       |    SUM(CAST(xe AS DOUBLE) * CAST(xe AS DOUBLE)) AS ne,
+       |    SUM(CAST(xq AS DOUBLE) * CAST(xq AS DOUBLE)) AS nq
+       |  FROM un GROUP BY vec_id)
+       |SELECT vec_id, ROUND(dot / (SQRT(ne) * SQRT(nq)), 6) AS sim
+       |FROM sims ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** K2-adjacent — embedding near-duplicate pairs above a cosine threshold
+    * (exact; the SimHash variant below is the bucketed scale path). */
+  val dedupEmbedding = Q(
+    "dedup_embedding_cosine",
+    s"""$pairOracle
+       |SELECT a_id, b_id, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS sim
+       |FROM sims WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.45
+       |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("sim_raw", cosine(col("ea"), col("eb")))
+      .filter(col("sim_raw") >= 0.45)
+      .select(col("a_id"), col("b_id"), round(col("sim_raw"), 6).as("sim"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** K2 — MinHash + banded LSH near-dup candidates over word-3-gram
+    * shingles, verified with exact Jaccard. Pure DataFrame implementation
+    * (no MLlib dependency in the hot path, deterministic by construction):
+    *
+    *   shingle → 64-bit hash → `numHashes` universal-hash permutations →
+    *   per-doc minhash signature → `bands` band-hash keys → equi-join on
+    *   (band, bandHash) → distinct candidate pairs → exact Jaccard verify.
+    *
+    * At 100 TB this is the dedup workhorse: the only shuffles are the
+    * band-key equi-join (shuffle on 8-byte keys) and the final distinct —
+    * never a cross join. No SQL oracle (hash-permutation internals);
+    * planted-pair determinism is covered by DedupSpec, and every emitted
+    * pair carries its exact Jaccard for external audit. */
+  val dedupNearMinhash = Q.noOracle("dedup_near_minhash") { (s, dir) =>
+    minhashPairs(t(s, dir, "documents"), numHashes = 32, bands = 8,
+      jaccardThreshold = 0.4)
+  }
+
+  /** Shared MinHash-LSH pipeline (also used by DedupSpec). */
+  def minhashPairs(docs: DataFrame, numHashes: Int, bands: Int,
+      jaccardThreshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val shingles = array_distinct(expr(
+      """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+        |  i -> concat(element_at(split(text, ' '), i), ' ',
+        |              coalesce(element_at(split(text, ' '), i + 1), ''), ' ',
+        |              coalesce(element_at(split(text, ' '), i + 2), '')))""".stripMargin))
+    // Deterministic universal hashing: h_i(x) = xxhash64(x, i) — seed column
+    // index stands in for the random permutation family.
+    val sigCols = (0 until numHashes).map { i =>
+      array_min(transform(col("sh"), x => xxhash64(x, lit(i))))
+    }
+    val withSig = docs
+      .select(col("doc_id"), shingles.as("sh"))
+      .withColumn("sig", array(sigCols: _*))
+    val rowsPerBand = numHashes / bands
+    val banded = withSig.select(
+      col("doc_id"), col("sh"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(concat_ws("|",
+          slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand))), bnd))))
+      .select(col("doc_id"), col("sh"), col("pos").as("band"),
+        col("col").as("band_hash"))
+    val a = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("a_id"), col("sh").as("sha"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("b_id"), col("sh").as("shb"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "sha", "shb")
+      .dropDuplicates("a_id", "b_id")
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+    val jac = inter / (size(col("sha")) + size(col("shb")) - inter)
+    candidates
+      .withColumn("jaccard", round(jac, 6))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** K2-adjacent — 64-bit SimHash fingerprint per document (sign-sum of
+    * per-token hash bits). Hamming-close fingerprints ≈ similar token
+    * multisets; bucketing by fingerprint prefix is the cosine-dedup scale
+    * path. No SQL oracle (xxhash64 is Spark-native); DedupSpec covers
+    * identical-doc and planted-near-dup behavior. */
+  val dedupSimhash = Q.noOracle("dedup_simhash") { (s, dir) =>
+    simhash(t(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  /** SimHash pipeline shared with DedupSpec: doc_id, simhash, bucket. */
+  def simhash(docs: DataFrame): DataFrame = {
+    // bitSums[i] = sum over tokens of (bit i of xxhash64(token) ? +1 : -1);
+    // simhash bit i = (bitSums[i] > 0). All codegen'd HOFs, one scan.
+    val bitSums = expr(
+      """transform(sequence(0, 63), i ->
+        |  aggregate(split(text, ' '), 0L,
+        |    (acc, t) -> acc + CASE WHEN ((xxhash64(t) >> i) & 1L) = 1L
+        |                     THEN 1L ELSE -1L END))""".stripMargin)
+    docs
+      .withColumn("bit_sums", bitSums)
+      .withColumn("simhash", expr(
+        """aggregate(transform(sequence(0, 63),
+          |  i -> CASE WHEN element_at(bit_sums, i + 1) > 0L
+          |       THEN shiftleft(1L, i) ELSE 0L END),
+          |0L, (acc, v) -> acc | v)""".stripMargin))
+      .select(col("doc_id"), col("simhash"),
+        // 16-bit prefix bucket: the scale-path join key for near-dup search.
+        expr("shiftrightunsigned(simhash, 48)").as("bucket"))
+  }
+
+  val all: Seq[Q] = Seq(similarityTopK, knnQuery, dedupEmbedding,
+    dedupNearMinhash, dedupSimhash)
+}
