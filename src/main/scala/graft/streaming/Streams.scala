@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** SURVEY §2-I: Structured Streaming runtime for the events schema.
+  *
+  * The declared batch forms (operators.StreamingBatch) and these streaming
+  * plans are the SAME logical plans — `window`/`session_window`/
+  * `dropDuplicates` are incremental-safe, so correctness is proven once by
+  * the DuckDB oracle and re-proven incrementally by StreamingSpec feeding
+  * files one micro-batch at a time.
+  *
+  * Scale: stateful operators keep per-key state in the executor StateStore
+  * (RocksDB-backed on a real cluster) partitioned by the grouping key, and
+  * the watermark bounds state size — the standard 1000-executor deployment
+  * shape. Checkpointing goes to the sink-provided checkpoint dir (HDFS/S3
+  * in production).
+  */
+object Streams {
+
+  /** File-source stream over an events-schema directory (ns-Long ts →
+    * timestamp, same conversion as the batch loader). */
+  def eventsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val raw = StructTypeEvents.raw
+    spark.readStream
+      .schema(raw)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** I1 — tumbling windows, incremental. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** I3 — session windows, incremental (requires watermark in append mode). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  /** I4 — watermarked tumbling aggregation: rows later than `delay` behind
+    * the max event time are dropped and window state is evicted. */
+  def watermarkedCounts(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("n"))
+
+  /** I5 — streaming dedup bounded by watermark. */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Running per-user state maintained by I6. */
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** I6 — custom stateful processing: per-user running totals via
+    * mapGroupsWithState (KeyValueGroupedDataset surface). */
+  def userRunningTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "CAST(value AS DOUBLE) AS value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          rows.foreach { case (_, v) => n += 1; total += v }
+          val next = UserRunning(user, n, total)
+          state.update(next)
+          next
+      }
+      .toDF()
+  }
+
+  /** I7 — micro-batch sink: per-batch bulk write through a DocumentSink
+    * (the Solr-indexing shape: one bulk commit per micro-batch). */
+  def foreachBatchSink(df: DataFrame, checkpointDir: String)(
+      save: (DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) => save(batch, id) }
+      .start()
+}
+
+/** Raw (pre-conversion) events schema shared with the batch loader. */
+private[streaming] object StructTypeEvents {
+  import org.apache.spark.sql.types._
+  val raw: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("props", StringType, nullable = false)))
+}
