@@ -70,7 +70,7 @@ object Tables {
   /** Physical schema of events.parquet: `ts` is INT64 timestamp[ns], which
     * Spark's parquet reader does not map to TimestampType — it is read as
     * Long and converted (floor ns→µs) in [[load]]. */
-  private val eventsRaw: StructType = StructType(Seq(
+  val eventsRaw: StructType = StructType(Seq(
     StructField("event_id", LongType, nullable = false),
     StructField("ts", LongType, nullable = false),
     StructField("user_id", LongType, nullable = false),

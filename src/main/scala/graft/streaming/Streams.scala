@@ -25,7 +25,7 @@ object Streams {
     * timestamp, same conversion as the batch loader). */
   def eventsStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
-    val raw = StructTypeEvents.raw
+    val raw = Tables.eventsRaw
     spark.readStream
       .schema(raw)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -102,16 +102,4 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) => save(batch, id) }
       .start()
-}
-
-/** Raw (pre-conversion) events schema shared with the batch loader. */
-private[streaming] object StructTypeEvents {
-  import org.apache.spark.sql.types._
-  val raw: StructType = StructType(Seq(
-    StructField("event_id", LongType, nullable = false),
-    StructField("ts", LongType, nullable = false),
-    StructField("user_id", LongType, nullable = false),
-    StructField("event_type", StringType, nullable = false),
-    StructField("value", DoubleType, nullable = false),
-    StructField("props", StringType, nullable = false)))
 }

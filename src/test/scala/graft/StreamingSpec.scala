@@ -1,0 +1,190 @@
+package graft
+
+import graft.streaming.Streams
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** SURVEY §5.2 #4: incremental execution converges to the batch answers;
+  * watermark and stateful semantics that only exist in streaming mode. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Split sf0.001 events into n parquet files in a temp dir (micro-batch
+    * feed), preserving the raw Long-nanos ts the file source expects. */
+  private def feedDir(nFiles: Int): String = {
+    val dir = Files.createTempDirectory("graft_stream_feed").toString
+    val raw = spark.read.schema(Tables.eventsRaw).parquet(s"$sfDir/events.parquet")
+    (0 until nFiles).foreach { i =>
+      raw.filter(pmod(col("event_id"), lit(nFiles)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/f$i")
+    }
+    flatten(dir)
+  }
+
+  /** Chronological micro-batch feed: file i holds the i-th time-slice, so
+    * watermarks advance monotonically (required for append-mode tests). */
+  private def feedDirChrono(nFiles: Int): String = {
+    val dir = Files.createTempDirectory("graft_stream_chrono").toString
+    val raw = spark.read.schema(Tables.eventsRaw).parquet(s"$sfDir/events.parquet")
+    val bounds = raw.stat.approxQuantile("ts",
+      (1 until nFiles).map(_.toDouble / nFiles).toArray, 0.0)
+    val edges = Array(Long.MinValue) ++ bounds.map(_.toLong) ++ Array(Long.MaxValue)
+    (0 until nFiles).foreach { i =>
+      raw.filter(col("ts") >= edges(i) && col("ts") < edges(i + 1))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/f$i")
+    }
+    flatten(dir)
+  }
+
+  /** Move part files up so the file source sees n top-level files, with
+    * strictly increasing modification times matching slice order (the file
+    * source processes oldest-modtime first; equal modtimes would make the
+    * order unspecified). */
+  private def flatten(dir: String): String = {
+    val d = new java.io.File(dir)
+    var idx = 0
+    val base = System.currentTimeMillis() - 3600 * 1000L
+    d.listFiles().filter(_.isDirectory).sortBy(_.getName).foreach { sub =>
+      sub.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val dst = new java.io.File(d, f"p$idx%03d.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(base + idx * 10000L)
+        idx += 1
+      }
+      sub.listFiles().foreach(_.delete()); sub.delete()
+    }
+    dir
+  }
+
+  private def runToCompletion(out: DataFrame, mode: OutputMode): Seq[org.apache.spark.sql.Row] = {
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val sink = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = out.writeStream
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink.synchronized { sink ++= batch.collect() }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    sink.toSeq
+  }
+
+  test("incremental tumbling counts converge to the batch answer") {
+    val dir = feedDir(5)
+    val stream = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
+    val rows = runToCompletion(Streams.tumblingCounts(stream), OutputMode.Update())
+    // Update mode re-emits windows; the LAST emission per key is the final
+    // state and must equal the batch aggregate.
+    val finalState = rows.map(r => (r.get(0), r.get(1)) -> (r.getLong(2), r.getDouble(3)))
+      .foldLeft(Map.empty[Any, (Long, Double)]) { case (m, (k, v)) => m + (k -> v) }
+    val batch = Streams.tumblingCounts(
+      Tables.load(spark, dir = sfDir, "events")).collect()
+      .map(r => ((r.get(0), r.get(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(finalState.size == batch.size)
+    batch.foreach { case (k, v) => assert(finalState(k) == v, s"window $k") }
+  }
+
+  test("watermark drops late rows deterministically in append mode") {
+    // Append mode is where the watermark contract is deterministic: a
+    // window emits once when the watermark passes its end, and rows
+    // arriving after that are dropped. (Update mode's late-drop is
+    // documented best-effort — state for an evicted window can be
+    // recreated — so it is not asserted here.)
+    val dir = Files.createTempDirectory("graft_late").toString
+    def mk(ids: Seq[Long], tsBase: Long) =
+      ids.map(i => (i, tsBase + i * 1000000L, i % 3, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val t0 = 1700000000L * 1000000000L // ns epoch, hour H1
+    val hour = 3600L * 1000000000L
+    // Eviction timing: a window's state is evicted at the end of the batch
+    // whose watermark passes its end; only rows arriving AFTER that are
+    // dropped. So the late file must come ≥2 batches after its window's
+    // data: H1 | H3 (passes watermark over H1 -> H1 emits+evicts) | H5 |
+    // late-H1 (dropped).
+    mk(1L to 50L, t0).coalesce(1).write.parquet(s"$dir/a_h1")
+    mk(51L to 80L, t0 + 3 * hour).coalesce(1).write.parquet(s"$dir/b_h3")
+    mk(81L to 85L, t0 + 5 * hour).coalesce(1).write.parquet(s"$dir/c_h5")
+    mk(86L to 95L, t0).coalesce(1).write.parquet(s"$dir/d_late")
+    flatten(dir) // one file per micro-batch, in name order
+    val stream = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
+    val rows = runToCompletion(
+      Streams.watermarkedCounts(stream, "10 minutes"), OutputMode.Append())
+    val h1Start = java.time.Instant.ofEpochSecond(1700000000L)
+      .truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+    val byWindow = rows.groupBy(_.getTimestamp(0).toInstant)
+      .view.mapValues(_.map(_.getLong(1))).toMap
+    // H1 emitted exactly once with only the 50 on-time rows: the 10 late
+    // rows (arriving after H1's eviction) are dropped, never re-emitted.
+    assert(byWindow(h1Start) == Seq(50L),
+      s"H1 must emit once with 50 rows, saw $byWindow")
+    assert(byWindow.removed(h1Start).values.toSeq.flatten.forall(_ == 30L),
+      s"only H3 (30 rows) may also emit, saw $byWindow")
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed event ids") {
+    val dir = Files.createTempDirectory("graft_dup").toString
+    val t0 = 1700000000L * 1000000000L
+    val batch = (1L to 20L) ++ (1L to 20L) // every id twice
+    batch.zipWithIndex.map { case (id, i) =>
+      (id, t0 + i * 1000000000L, id % 5, "view", 0.5, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(dir + "/all")
+    flatten(dir)
+    val stream = Streams.eventsStream(spark, dir)
+    val rows = runToCompletion(
+      Streams.dedupWithinWatermark(stream, "1 hour"), OutputMode.Append())
+    assert(rows.map(_.getLong(0)).distinct.length == 20)
+    assert(rows.length == 20)
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across batches") {
+    val dir = feedDir(3)
+    val stream = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
+    val rows = runToCompletion(
+      Streams.userRunningTotals(spark, stream), OutputMode.Update())
+    // last emission per user equals the batch per-user aggregate
+    val finalState = rows.foldLeft(Map.empty[Long, (Long, Double)]) { (m, r) =>
+      m + (r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+    }
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy("user_id").agg(count(lit(1)), sum("value"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(finalState.keySet == batch.keySet)
+    batch.foreach { case (u, (n, total)) =>
+      val (fn, ft) = finalState(u)
+      assert(fn == n && math.abs(ft - total) < 1e-6, s"user $u")
+    }
+  }
+
+  test("session windows: incremental append equals batch sessionization") {
+    val dir = feedDirChrono(4)
+    // Sessions ending within the gap of the stream's max event time never
+    // close in append mode; a far-future sentinel event flushes them.
+    val sentinelUser = 999999L
+    val maxTs = spark.read.schema(Tables.eventsRaw).parquet(s"$dir")
+      .agg(max("ts")).head.getLong(0)
+    Seq((999999L, maxTs + 86400L * 1000000000L, sentinelUser, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/zz_sentinel")
+    val d = new java.io.File(dir)
+    d.listFiles().filter(_.isDirectory).foreach { sub =>
+      sub.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val dst = new java.io.File(d, "p999.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(System.currentTimeMillis())
+      }
+      sub.listFiles().foreach(_.delete()); sub.delete()
+    }
+    val stream = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
+    val rows = runToCompletion(
+      Streams.sessionCounts(stream, "30 minutes", "0 seconds"), OutputMode.Append())
+    val batch = Streams.sessionCounts(Tables.load(spark, sfDir, "events"))
+      .collect().map(_.toSeq).toSet
+    assert(rows.filter(_.getLong(0) != sentinelUser).map(_.toSeq).toSet == batch)
+  }
+}

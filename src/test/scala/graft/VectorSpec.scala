@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Cosine expression + LSH/SimHash behavior (SURVEY §5.2 #3, K2-K4). */
+class VectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cos(a: Seq[Float], b: Seq[Float]): Double =
+    Seq((a, b)).toDF("a", "b")
+      .select(call_function("cosine_sim", $"a", $"b")).head.getDouble(0)
+
+  test("cosine_sim: identity, orthogonality, antipodality") {
+    val v = Seq(1f, 2f, 3f)
+    assert(math.abs(cos(v, v) - 1.0) < 1e-12)
+    assert(math.abs(cos(Seq(1f, 0f), Seq(0f, 1f))) < 1e-12)
+    assert(math.abs(cos(v, v.map(-_)) + 1.0) < 1e-12)
+  }
+
+  test("cosine_sim equals the interpreted HOF spelling bit-for-bit") {
+    val df = Tables.load(spark, sfDir, "embeddings").limit(50)
+      .select($"vec_id", $"embedding".as("a"))
+    val pairs = df.crossJoin(
+      Tables.load(spark, sfDir, "embeddings").limit(50)
+        .select($"vec_id".as("vid2"), $"embedding".as("b")))
+      .filter($"vec_id" < $"vid2")
+    def dotD(x: String, y: String) =
+      expr(s"aggregate(zip_with($x, $y, (u, v) -> CAST(u AS DOUBLE) * CAST(v AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+    val hof = dotD("a", "b") / (sqrt(dotD("a", "a")) * sqrt(dotD("b", "b")))
+    val mismatches = pairs
+      .select(call_function("cosine_sim", $"a", $"b").as("fast"), hof.as("slow"))
+      .filter($"fast" =!= $"slow").count()
+    assert(mismatches == 0)
+  }
+
+  test("cosine_sim null propagation") {
+    val out = Seq((Some(Seq(1f, 2f)), Option.empty[Seq[Float]]))
+      .toDF("a", "b")
+      .select(call_function("cosine_sim", $"a", $"b")).head
+    assert(out.isNullAt(0))
+  }
+
+  test("minhash LSH finds planted near-duplicates, not unrelated docs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"tok$i").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = VectorOps.minhashPairs(docs, numHashes = 32, bands = 8,
+      jaccardThreshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+    assert(pairs.head.getDouble(2) > 0.8)
+  }
+
+  test("minhash LSH is deterministic across runs") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val run1 = VectorOps.minhashPairs(docs, 32, 8, 0.4).collect().toSeq
+    val run2 = VectorOps.minhashPairs(docs, 32, 8, 0.4).collect().toSeq
+    assert(run1 == run2)
+  }
+
+  test("simhash: identical docs share fingerprints; near-dups are hamming-close") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i % 30 == 0) "swapped" else s"w$i").mkString(" ")
+    val far = (1 to 60).map(i => s"z$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, base), (2L, near), (3L, far))
+      .toDF("doc_id", "text")
+    val fp = VectorOps.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fp(0L) == fp(1L))
+    assert(hamming(fp(0L), fp(2L)) < hamming(fp(0L), fp(3L)))
+    assert(hamming(fp(0L), fp(2L)) <= 12)
+  }
+
+  test("knn top-k agrees with brute-force ranking on small corpus") {
+    val e = Tables.load(spark, sfDir, "embeddings").limit(100)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val sims = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id",
+        call_function("cosine_sim", $"embedding", $"qe").as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val expected = sims.sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+    val topk = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id",
+        call_function("cosine_sim", $"embedding", $"qe").as("sim"))
+      .orderBy($"sim".desc, $"vec_id").limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(topk == expected)
+  }
+
+  test("approx_count_distinct within declared rsd of exact") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val exact = orders.agg(countDistinct($"o_custkey")).head.getLong(0)
+    val approx = orders.agg(approx_count_distinct($"o_custkey", 0.02)).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 3 * 0.02)
+  }
+}
