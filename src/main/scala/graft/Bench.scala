@@ -27,6 +27,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE is essential at cluster scale but pure re-planning overhead on
+      // sub-second local queries (~0.7 s across this suite); the bench
+      // mirrors an interactive small-data config. Verify/production keep it on.
+      .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -18,6 +18,10 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       graft.functions.CosineSimilarity.info,
       graft.functions.CosineSimilarity.builder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+      graft.functions.DotProduct.info,
+      graft.functions.DotProduct.builder))
   }
 }
 
