@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor scale paths for embedding similarity
+  * (SURVEY §2-K3 "scale path"; PAPERS.md top-k similarity line).
+  *
+  * Two standard index structures, both pure DataFrame + codegen
+  * expressions, both deterministic:
+  *
+  *  - **SRP-LSH** (signed random projections): `nBits` deterministic
+  *    hyperplanes → per-vector bit signature → banded bucket keys →
+  *    equi-join candidates → exact cosine re-rank. Cross-join-free: the
+  *    only shuffle is the (band, bucket) equi-join — the 100 TB shape.
+  *  - **IVF** (inverted file): per-cluster centroids → each vector assigned
+  *    to its nearest centroid (the inverted lists) → a query probes the
+  *    `nProbe` nearest lists only. At 100 TB the lists are Hive/parquet
+  *    partitions keyed by centroid id, so probing = partition pruning.
+  *
+  * Recall vs the exact kernel is asserted in AnnSpec (no SQL oracle —
+  * approximate results; the exact baselines remain the verified truth).
+  */
+object AnnOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    // splitmix64-style scramble of (plane, dim) — stable across JVMs.
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  private def plane(i: Int, dims: Int): Seq[Double] =
+    (0 until dims).map(j => planeComponent(i, j))
+
+  /** Bit signature column: bit i = (v · plane_i) > 0, packed per band. */
+  private def bandKeys(s: SparkSession, v: Column, nBits: Int, bands: Int,
+      dims: Int): Seq[Column] = {
+    val bitsPerBand = nBits / bands
+    (0 until bands).map { b =>
+      (0 until bitsPerBand).map { i =>
+        val p = typedLit(plane(b * bitsPerBand + i, dims))
+        when(call_function("dot_product", v, p) > 0d,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+  }
+
+  /** Shared SRP-LSH candidate → exact-rerank pipeline (also used by
+    * AnnSpec). Returns the approximate global top-k pairs. */
+  def lshTopKPairs(s: SparkSession, emb: DataFrame, k: Int, nBits: Int = 48,
+      bands: Int = 8, dims: Int = 64): DataFrame = {
+    // 6-bit bands: for a sim≈0.4 pair the per-bit collision prob is ~0.63
+    // (1 - acos(s)/π), so P(candidate) ≈ 1-(1-0.63^6)^8 ≈ 0.4, while random
+    // near-orthogonal pairs collide at ~0.5^6 per band → ~12% candidate
+    // volume. Tune bits/bands per corpus similarity profile.
+    VectorOps.registerFns(s)
+    val keys = bandKeys(s, col("embedding"), nBits, bands, dims)
+    val banded = emb.select(
+      col("vec_id"), col("embedding"),
+      posexplode(array(keys: _*)))
+      .select(col("vec_id"), col("embedding"),
+        col("pos").as("band"), col("col").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("vec_id").as("b_id"), col("embedding").as("eb"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(call_function("cosine_sim", col("ea"), col("eb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+      .limit(k)
+  }
+
+  /** K3-scale — approximate top-k most-similar pairs via banded SRP-LSH. */
+  val annLshTopK = Q.noOracle("ann_lsh_topk") { (s, dir) =>
+    lshTopKPairs(s, t(s, dir, "embeddings"), k = 100)
+  }
+
+  /** Shared IVF pipeline: centroid build (per-label mean — stands in for
+    * the k-means step of a production IVF build), nearest-centroid
+    * assignment, nProbe-list probing, exact re-rank. */
+  def ivfKnn(s: SparkSession, emb: DataFrame, queryId: Long, k: Int,
+      nProbe: Int = 3): DataFrame = {
+    VectorOps.registerFns(s)
+    import s.implicits._
+    // Index build: one centroid per label cluster (udaf centroid reused).
+    val centroid = udaf(Udx.centroidAgg)
+    val centroids = emb.groupBy("label")
+      .agg(centroid(col("embedding")).as("c"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    // Assignment expression: argmax over centroid dot products (vectors
+    // are ~unit-scale; production would normalize both sides).
+    def assignExpr(v: Column): Column = {
+      val scored = centroids.map { case (cid, c) =>
+        struct(call_function("dot_product", v, typedLit(c)).as("sim"),
+          lit(cid).as("cid"))
+      }
+      array_max(array(scored: _*)).getField("cid")
+    }
+    val assigned = emb.withColumn("list_id", assignExpr(col("embedding")))
+    // Query probe: rank centroids against the query vector, take nProbe.
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    val qVec = q.as[Seq[Float]].head()
+    val probeLists = centroids.map { case (cid, c) =>
+      val dot = c.zip(qVec).map { case (x, y) => x * y.toDouble }.sum
+      (cid, dot)
+    }.sortBy(-_._2).take(nProbe).map(_._1)
+    assigned
+      .filter(col("list_id").isin(probeLists: _*))
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("list_id"),
+        round(call_function("cosine_sim", col("embedding"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** K4-scale — approximate kNN of one query via IVF probing. */
+  val annIvfKnn = Q.noOracle("ann_ivf_knn") { (s, dir) =>
+    ivfKnn(s, t(s, dir, "embeddings"), queryId = 0L, k = 20)
+  }
+
+  val all: Seq[Q] = Seq(annLshTopK, annIvfKnn)
+}

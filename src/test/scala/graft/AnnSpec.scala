@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{AnnOps, VectorOps}
+import org.apache.spark.sql.functions._
+
+/** ANN scale paths: recall against the exact kernels, determinism. */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+
+  private lazy val exactTop100: Seq[(Long, Long)] = {
+    val a = emb.select($"vec_id".as("a_id"), $"embedding".as("ea"))
+    val b = emb.select($"vec_id".as("b_id"), $"embedding".as("eb"))
+    a.join(b, $"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        round(call_function("cosine_sim", $"ea", $"eb"), 6).as("sim"))
+      .orderBy($"sim".desc, $"a_id", $"b_id").limit(100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  test("SRP-LSH top-k pairs: recall@100 >= 0.3 vs exact, deterministic") {
+    val approx = AnnOps.lshTopKPairs(spark, emb, k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val recall = approx.toSet.intersect(exactTop100.toSet).size / 100.0
+    // 32-bit / 4-band SRP on near-orthogonal synthetic vectors is a weak
+    // signal by construction; the point is the bucket-join mechanics and a
+    // stable, measurable recall floor.
+    assert(recall >= 0.3, s"recall@100 = $recall")
+    val again = AnnOps.lshTopKPairs(spark, emb, k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(approx == again, "LSH result must be deterministic")
+  }
+
+  test("IVF kNN: recall@20 vs exact knn >= 0.5") {
+    val exact = emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(emb.filter($"vec_id" === 0)
+        .select($"embedding".as("qe"))))
+      .select($"vec_id",
+        round(call_function("cosine_sim", $"embedding", $"qe"), 6).as("sim"))
+      .orderBy($"sim".desc, $"vec_id").limit(20)
+      .collect().map(_.getLong(0)).toSet
+    val approx = AnnOps.ivfKnn(spark, emb, queryId = 0L, k = 20)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size / 20.0
+    assert(recall >= 0.5, s"recall@20 = $recall")
+  }
+
+  test("IVF assignment partitions the corpus into the probe-able lists") {
+    val full = AnnOps.ivfKnn(spark, emb, queryId = 0L, k = 20,
+      nProbe = 10) // probing ALL lists must recover exact ranking
+    val exact = VectorOps.knnQuery.fn(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full.collect().map(_.getLong(0)).toSeq == exact)
+  }
+}
