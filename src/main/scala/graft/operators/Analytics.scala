@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{Parity, Q, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import Parity._
+
+/** Second-wave analytics surface: pivot, percentiles, conditional
+  * expressions, ordered string aggregation. All plan as ordinary two-phase
+  * aggregations / projections (SCALE.md conventions apply unchanged). */
+object Analytics {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Pivot (long→wide): order counts per priority × status. The Spark side
+    * uses the native `pivot` relational operator with an explicit value
+    * list (deterministic column set); the oracle spells the same result as
+    * portable conditional aggregation. */
+  val aggPivot = Q(
+    "agg_pivot",
+    s"""SELECT o_orderpriority,
+       |  COUNT(*) FILTER (o_orderstatus = 'F') AS F,
+       |  COUNT(*) FILTER (o_orderstatus = 'O') AS O,
+       |  COUNT(*) FILTER (o_orderstatus = 'P') AS P
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")
+  }
+
+  /** Exact percentiles (linear interpolation — same definition as SQL
+    * percentile_cont / DuckDB quantile_cont). Exact median at 100 TB is a
+    * full sort per group; the scale path is approx_percentile (t-digest
+    * partials) declared alongside. */
+  val aggPercentile = Q(
+    "agg_percentile",
+    """SELECT o_orderstatus,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |  ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+        .orderBy("o_orderstatus")
+  }
+
+  /** t-digest/interpolated approximate percentile — constant-size partial
+    * state, the 100 TB path. No SQL oracle (engine-specific sketch);
+    * AnalyticsSpec asserts tolerance vs exact. */
+  val aggApproxPercentile = Q.noOracle("agg_approx_percentile") { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)")
+        .as("approx_p"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Conditional scalar surface: greatest/least/if/nullif/nvl chains. */
+  val fnConditional = Q(
+    "fn_conditional",
+    """SELECT l_orderkey, l_linenumber,
+      |  GREATEST(l_quantity, l_discount * 100, l_tax * 100) AS g,
+      |  LEAST(l_quantity, l_extendedprice / 1000) AS l,
+      |  IF(l_returnflag = 'R', 'ret', 'ok') AS flag,
+      |  IFNULL(NULLIF(l_linestatus, 'O'), 'open') AS status
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, g, l, flag, status LIMIT 2000""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          greatest(col("l_quantity"), col("l_discount") * 100, col("l_tax") * 100).as("g"),
+          least(col("l_quantity"), col("l_extendedprice") / 1000).as("l"),
+          when(col("l_returnflag") === "R", "ret").otherwise("ok").as("flag"),
+          coalesce(nullif(col("l_linestatus"), lit("O")), lit("open")).as("status"))
+        .orderBy("l_orderkey", "l_linenumber", "g", "l", "flag", "status")
+        .limit(2000)
+  }
+
+  /** Ordered string aggregation (listagg shape — Solr multivalued fields
+    * rendered as one delimited field). */
+  val aggStringAgg = Q(
+    "agg_string_agg",
+    """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("names"))
+        .orderBy("s_nationkey")
+  }
+
+  /** Distinct + count-orderable histogram of a derived bucket (width_bucket
+    * shape via explicit arithmetic — portable across both engines). */
+  val aggHistogram = Q(
+    "agg_histogram",
+    """SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / 50000).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  val all: Seq[Q] = Seq(aggPivot, aggPercentile, aggApproxPercentile,
+    fnConditional, aggStringAgg, aggHistogram)
+}

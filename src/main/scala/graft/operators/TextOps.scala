@@ -80,7 +80,9 @@ object TextOps {
     val docs = t(s, dir, "documents")
     val tok = docs.select(col("doc_id"), explode(toks).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    // df derived from tf (its rows are already distinct (doc, token)):
+    // saves a second tokenize+expand pass over the corpus.
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(broadcast(df), "token")
       .crossJoin(broadcast(n))
