@@ -1,0 +1,66 @@
+package graft
+
+/** Physical-plan regression guards: the properties SCALE.md claims must
+  * stay true (pushdown reaches the scan, dims broadcast, top-k never does
+  * a global sort, LSH never degenerates to a cross join). A refactor that
+  * silently loses one of these would still be CORRECT — these tests are
+  * what keeps it FAST at scale. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q6: predicates (incl. date bounds) pushed into the parquet scan") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters: ["), p.take(600))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_quantity,24.0)"), "date/qty bounds must push down")
+  }
+
+  test("q6: column pruning reads 4 of 11 lineitem columns") {
+    val p = plan("q6_forecast_revenue")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(Seq("l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+      .forall(read.contains), read)
+    assert(!read.contains("l_partkey") && !read.contains("l_returnflag"), read)
+  }
+
+  test("topk plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
+  test("q5: star joins are all broadcast, fact side never pre-shuffled") {
+    val p = plan("q5_local_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5, "5 dims -> >=5 BHJ")
+    assert(!p.contains("SortMergeJoin"), "no SMJ in the star join")
+  }
+
+  test("join_sortmerge keeps the large-large join as SMJ") {
+    assert(plan("join_sortmerge").contains("SortMergeJoin"))
+  }
+
+  test("minhash LSH plan contains no cartesian/nested-loop join") {
+    val p = plan("dedup_near_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "LSH candidate generation must be an equi-join")
+  }
+
+  test("ann_lsh plan contains no cartesian/nested-loop join") {
+    val p = plan("ann_lsh_topk")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("cosine_sim participates in whole-stage codegen") {
+    // Simple mode marks whole-stage-codegen operators with "*(n)"; the
+    // expression must appear in a starred Project, not an interpreted one.
+    // (Execute first so AQE finalizes the plan — stars only render then.)
+    val df = SparkEntry.queries("knn_query")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val inCodegen = p.linesIterator
+      .exists(l => l.trim.matches("""[:+\-\s]*\*\(\d+\) Project.*cosine_sim.*"""))
+    assert(inCodegen, "cosine_sim must sit in a codegen'd Project:\n" + p.take(800))
+  }
+}
