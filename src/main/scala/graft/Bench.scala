@@ -31,6 +31,10 @@ object Bench {
       // sub-second local queries (~0.7 s across this suite); the bench
       // mirrors an interactive small-data config. Verify/production keep it on.
       .config("spark.sql.adaptive.enabled", "false")
+      // The sf0.1 tables are single ~2-15 MB files; the 128 MB default
+      // split puts each scan on one core. 2 MB splits restore scan
+      // parallelism (at 100 TB the default is correct — files are big).
+      .config("spark.sql.files.maxPartitionBytes", "2097152")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
