@@ -181,6 +181,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** K6-adjacent — token counting, whitespace vs BPE-ish regex (the
+    * `\w+`-or-single-symbol segmentation LLM tokenizers approximate):
+    * per-doc counts + chars-per-token density. */
+  val tokenCount = Q(
+    "text_token_count",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS re_tokens,
+      |  ROUND(length(text) * 1.0 / len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')), 4)
+      |    AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val reToks = regexp_extract_all(col("text"), lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0))
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).as("ws_tokens"),
+        size(reToks).as("re_tokens"),
+        round(length(col("text")).cast("double") / size(reToks), 4)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** K6-adjacent — polynomial rolling hash over the character stream
+    * (Rabin-Karp shape: h = h*31 + byte mod 2^31-1). No SQL oracle (HOF
+    * fold is engine-specific); TextSpec pins exact values and laws. */
+  val fingerprintRolling = Q.noOracle("text_fingerprint_rolling") { (s, dir) =>
+    rollingHash(t(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  /** Shared with TextSpec: doc_id, rolling 31-bit polynomial hash. */
+  def rollingHash(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), expr(
+      """aggregate(split(text, ''), 0L,
+        |  (h, c) -> pmod(h * 31L + ascii(c), 2147483647L))""".stripMargin)
+      .as("rolling_hash"))
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, tokenizeTfidf,
-    textStats, textQuality, textLangId, docFingerprint)
+    textStats, textQuality, textLangId, docFingerprint, tokenCount,
+    fingerprintRolling)
 }
