@@ -111,6 +111,73 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  /** Statistical aggregates (stddev/variance/correlation/covariance) via
+    * exact decimal moment sums: built-in stddev/corr accumulate doubles in
+    * partition order (non-reproducible last bits across engines), so the
+    * moments Σx, Σy, Σxy, Σx², Σy² are taken in exact decimal and only the
+    * final closed-form arithmetic runs in double — bit-identical on both
+    * engines. Same two-phase aggregate shape, just deterministic. */
+  val aggStats = Q(
+    "agg_stats",
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,4)) * CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,4)) * CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+      |  ROUND((syy - sy * sy / n) / (n - 1), 4) AS var_price,
+      |  ROUND((sxy - sx * sy / n) / (n - 1), 4) AS covar_qp,
+      |  ROUND((sxy - sx * sy / n) /
+      |        (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)), 6) AS corr_qp
+      |FROM m ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val dq = col("l_quantity").cast("decimal(18,4)")
+    val dp = col("l_extendedprice").cast("decimal(18,4)")
+    val dq2 = col("l_quantity").cast("decimal(12,4)")
+    val dp2 = col("l_extendedprice").cast("decimal(12,4)")
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dq).cast("double").as("sx"),
+        sum(dp).cast("double").as("sy"),
+        sum(dq2 * dq2).cast("double").as("sxx"),
+        sum(dp2 * dp2).cast("double").as("syy"),
+        sum(dq2 * dp2).cast("double").as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6)
+          .as("stddev_qty"),
+        round((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1), 4)
+          .as("var_price"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 4)
+          .as("covar_qp"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+           sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 6).as("corr_qp"))
+      .orderBy("l_returnflag")
+  }
+
+  /** explode_outer semantics: rows with an empty generator output survive
+    * with NULL (the LEFT JOIN LATERAL shape). The oracle emulates outer
+    * unnest portably via a CASE to a single-NULL list. */
+  val fnExplodeOuter = Q(
+    "fn_explode_outer",
+    """SELECT doc_id, unnest(CASE WHEN len(long_toks) = 0 THEN [NULL]
+      |                           ELSE long_toks END) AS long_tok
+      |FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+      |             x -> length(x) > 9) AS long_toks FROM documents)
+      |ORDER BY doc_id, long_tok NULLS FIRST""".stripMargin) { (s, dir) =>
+    val longToks = filter(split(col("text"), " "), x => length(x) > 9)
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode_outer(longToks).as("long_tok"))
+      .orderBy(col("doc_id"), col("long_tok").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(aggPivot, aggPercentile, aggApproxPercentile,
-    fnConditional, aggStringAgg, aggHistogram)
+    fnConditional, aggStringAgg, aggHistogram, aggStats, fnExplodeOuter)
 }

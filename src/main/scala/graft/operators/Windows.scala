@@ -119,5 +119,29 @@ object Windows {
       .orderBy("o_orderkey").limit(2000)
   }
 
-  val all: Seq[Q] = Seq(rankTopN, runningSum, lagLead, slidingFrame, ntilePct)
+  /** E4 — value-range frame (RANGE BETWEEN n PRECEDING): all orders within
+    * a price band below the current row, per status. Decimal accumulation
+    * for cross-engine sum parity. */
+  val rangeFrame = Q(
+    "win_range_frame",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  COUNT(*) OVER w AS n_in_band,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS band_sum
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+      |             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey LIMIT 2000""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+      .rangeBetween(-10000, Window.currentRow)
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_in_band"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+          .cast("double").as("band_sum"))
+      .orderBy("o_orderkey").limit(2000)
+  }
+
+  val all: Seq[Q] = Seq(rankTopN, runningSum, lagLead, slidingFrame, ntilePct,
+    rangeFrame)
 }
