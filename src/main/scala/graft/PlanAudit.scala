@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-hygiene sweep over every declared query.
+  *
+  * Notes on what is NOT flagged:
+  *  - the final global sort every query carries is the oracle-determinism
+  *    contract (hash-compare needs a total row order) and is bounded by
+  *    the query's own output size;
+  *  - BroadcastNestedLoopJoin is fine when one side is tiny by
+  *    construction (band tables, single-row count/query-vector
+  *    broadcasts) or the operator is a documented bounded-quadratic exact
+  *    baseline — those appear in `expectedNlj`.
+  * Anything else printed here is a regression to investigate.
+  */
+object PlanAudit {
+  private val expectedNlj = Set(
+    "join_cross",            // cartesian by definition
+    "join_range_theta",      // 3-row band table
+    "knn_query", "ann_ivf_knn", // 1-row query-vector broadcast
+    "text_tokenize_tf", "text_tokenize_tfidf", // 1-row corpus-count broadcast
+    "dedup_embedding_cosine", "dedup_ngram_jaccard") // exact quadratic baselines
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .withExtensions(graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    var flagged = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        val flags = Seq(
+          "CartesianProduct" -> p.contains("CartesianProduct"),
+          "BroadcastNestedLoopJoin" ->
+            (p.contains("BroadcastNestedLoopJoin") && !expectedNlj(name))
+        ).collect { case (f, true) => f }
+        if (flags.nonEmpty) { flagged += 1; println(s"$name: ${flags.mkString(", ")}") }
+      } catch { case e: Throwable =>
+        flagged += 1; println(s"$name: ERROR ${e.getMessage.take(80)}")
+      }
+    }
+    println(s"flagged: $flagged")
+    spark.stop()
+  }
+}
