@@ -178,6 +178,30 @@ object Analytics {
       .orderBy(col("doc_id"), col("long_tok").asc_nulls_first)
   }
 
+  /** ANSI-mode-safe error handling: `try_*` variants return NULL where the
+    * strict form raises (division by zero, bad casts, overflow) — the
+    * dirty-data posture of a 100 TB ingest pipeline. Oracle spells the same
+    * semantics with guards/TRY_CAST. */
+  val fnTry = Q(
+    "fn_try",
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_discount = 0 THEN NULL ELSE l_extendedprice / l_discount END AS safe_div,
+      |  TRY_CAST(l_returnflag AS INTEGER) AS bad_cast,
+      |  TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS good_cast
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, safe_div NULLS FIRST, good_cast
+      |LIMIT 2000""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("try_divide(l_extendedprice, l_discount)").as("safe_div"),
+        expr("try_cast(l_returnflag AS INT)").as("bad_cast"),
+        expr("try_cast(CAST(l_quantity AS STRING) AS DOUBLE)").as("good_cast"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("safe_div").asc_nulls_first, col("good_cast"))
+      .limit(2000)
+  }
+
   val all: Seq[Q] = Seq(aggPivot, aggPercentile, aggApproxPercentile,
-    fnConditional, aggStringAgg, aggHistogram, aggStats, fnExplodeOuter)
+    fnConditional, aggStringAgg, aggHistogram, aggStats, fnExplodeOuter, fnTry)
 }
