@@ -161,6 +161,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sliding windows: incremental update converges to the batch answer") {
+    val dir = feedDirChrono(3)
+    val stream = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
+    val out = stream.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+    val rows = runToCompletion(out, OutputMode.Update())
+    val finalState = rows.foldLeft(Map.empty[Any, Long]) { (m, r) =>
+      m + (r.get(0) -> r.getLong(1))
+    }
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("n"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    assert(finalState == batch)
+  }
+
+  test("streaming parquet file sink: append-mode windows land as files") {
+    val dir = Files.createTempDirectory("graft_fsink_feed").toString
+    def mk(ids: Seq[Long], tsBase: Long) =
+      ids.map(i => (i, tsBase + i * 1000000L, i % 3, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val t0 = 1700000000L * 1000000000L
+    val hour = 3600L * 1000000000L
+    mk(1L to 40L, t0).coalesce(1).write.parquet(s"$dir/a")
+    mk(41L to 50L, t0 + 3 * hour).coalesce(1).write.parquet(s"$dir/b") // closes H1
+    flatten(dir)
+    val sinkDir = Files.createTempDirectory("graft_fsink_out").toString
+    val q = Streams.watermarkedCounts(
+      Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1), "10 minutes")
+      .writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append())
+      .option("path", sinkDir)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_fsink_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val written = spark.read.parquet(sinkDir).collect()
+    assert(written.map(r => r.getLong(1)).toSeq == Seq(40L),
+      s"H1 window (40 rows) must be the one finalized file row: ${written.toSeq}")
+  }
+
   test("session windows: incremental append equals batch sessionization") {
     val dir = feedDirChrono(4)
     // Sessions ending within the gap of the stream's max event time never
