@@ -83,14 +83,24 @@ object VectorOps {
     (s, dir) =>
       import s.implicits._
       val k = 100
+      def unitNorm(v: Seq[Float]): Array[Double] = {
+        val a = new Array[Double](v.length)
+        var n2 = 0.0
+        var i = 0
+        while (i < v.length) { val x = v(i).toDouble; a(i) = x; n2 += x * x; i += 1 }
+        val inv = 1.0 / math.sqrt(n2)
+        i = 0
+        while (i < a.length) { a(i) *= inv; i += 1 }
+        a
+      }
       val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), normalized(s, col("embedding")).as("nv"))
-        .as[(Long, Seq[Double])]
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       // Bounded corpus broadcast (2k × 64 doubles ≈ 1 MB) — same memory
-      // contract as a broadcast hash join build side.
+      // contract as a broadcast hash join build side. Normalization happens
+      // once here (O(n·dim)) so the O(n²) loop is dot-only.
       val collected = e.collect().sortBy(_._1)
       val ids = collected.map(_._1)
-      val mat = collected.map(_._2.toArray)
+      val mat = collected.map(c => unitNorm(c._2))
       val bc = s.sparkContext.broadcast((ids, mat))
       val topk = e
         .repartition(s.sparkContext.defaultParallelism)
@@ -115,7 +125,7 @@ object VectorOps {
             }
           val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)]
           iter.foreach { case (aId, av) =>
-            val a = av.toArray
+            val a = unitNorm(av)
             var j = 0
             while (j < bIds.length) {
               if (bIds(j) > aId) {
