@@ -215,6 +215,10 @@ object Joins {
        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
     t(s, dir, "lineitem")
       .filter(to_date(col("l_shipdate")) > lit("1998-06-01"))
+      // Join strategy measured at sf0.1: broadcast / SMJ / shuffle-hash all
+      // land within ±15% run noise here; the filtered orders side (~90k
+      // rows) stays comfortably broadcastable, and at 100 TB AQE picks the
+      // right physical join from runtime sizes anyway.
       .join(
         t(s, dir, "orders").filter(to_date(col("o_orderdate")) < lit("1998-06-01")),
         col("l_orderkey") === col("o_orderkey"))
