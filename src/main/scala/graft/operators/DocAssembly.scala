@@ -144,6 +144,56 @@ object DocAssembly {
       .orderBy("id")
   }
 
+  /** Resized-media record: payload carried through a binary→binary
+    * transform with typed size metadata. */
+  final case class ResizedMedia(doc_id: Long, orig_bytes: Long,
+      resized_bytes: Long, payload: Array[Byte])
+
+  /** K7 — "resize": binary→binary batch transform with the same
+    * per-partition batching shape as decode. STUB: real codecs would
+    * decode→scale→re-encode; here the deterministic stand-in truncates to
+    * a target byte budget. The plumbing (typed encoder, binary column in
+    * AND out, partition batching) is the real contract. */
+  val multimodalResize = Q.noOracle("multimodal_resize") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    implicit val enc = Encoders.product[ResizedMedia]
+    docs.mapPartitions { rows =>
+      val targetBytes = 64 // per-partition "codec" config, init once
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val resized = java.util.Arrays.copyOf(bytes, math.min(bytes.length, targetBytes))
+        ResizedMedia(id, bytes.length.toLong, resized.length.toLong, resized)
+      }
+    }(enc).orderBy("doc_id").toDF()
+  }
+
+  /** K7 — "frame sampling": one binary payload → many frame rows (the
+    * video shape: every k-th fixed-size block becomes a frame record).
+    * Generator output (one→many) + per-frame checksum, all computed in the
+    * partition batch. */
+  val multimodalFrameSample = Q.noOracle("multimodal_framesample") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    import s.implicits._
+    docs.flatMap { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val frameSize = 16
+      val stride = 4 // sample every 4th frame
+      val nFrames = bytes.length / frameSize
+      (0 until nFrames by stride).map { f =>
+        val frame = java.util.Arrays.copyOfRange(
+          bytes, f * frameSize, (f + 1) * frameSize)
+        var checksum = 0L
+        frame.foreach(b => checksum = checksum * 31 + (b & 0xff))
+        (id, f, checksum)
+      }
+    }.toDF("doc_id", "frame_idx", "frame_checksum")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val all: Seq[Q] = Seq(multimodalCols, multimodalBinary, multimodalDecode,
-    solrDocAssembly)
+    multimodalResize, multimodalFrameSample, solrDocAssembly)
 }

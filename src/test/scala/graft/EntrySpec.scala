@@ -41,6 +41,16 @@ class EntrySpec extends SparkSpec {
     assert(empty.n_bytes == 0)
   }
 
+  test("multimodal resize/frame-sample shapes are deterministic") {
+    val resized = DocAssembly.multimodalResize.fn(spark, sfDir).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(_.getLong(2) <= 64), "resized payload <= 64 bytes")
+    assert(resized.forall(r => r.getLong(2) <= r.getLong(1)))
+    val frames = DocAssembly.multimodalFrameSample.fn(spark, sfDir)
+    val f1 = frames.collect().map(_.toSeq).toSeq
+    assert(f1.nonEmpty && f1 == frames.collect().map(_.toSeq).toSeq)
+  }
+
   test("bench headline keys are all declared") {
     val missing = Bench.headline.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"headline without query: $missing")
