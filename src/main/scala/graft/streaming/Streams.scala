@@ -92,6 +92,39 @@ object Streams {
       .toDF()
   }
 
+  /** I6 (Spark 4 API) — the same per-user running totals on
+    * `transformWithState` (StatefulProcessor + typed ValueState), the
+    * successor to mapGroupsWithState with explicit state handles, TTL, and
+    * timer support. Requires the RocksDB state-store provider (the 100 TB
+    * deployment default anyway). */
+  def userRunningTotalsTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    class RunningTotals extends StatefulProcessor[Long, (Long, Double), UserRunning] {
+      @transient private var state: ValueState[UserRunning] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[UserRunning]("running",
+          Encoders.product[UserRunning], TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+          timerValues: TimerValues): Iterator[UserRunning] = {
+        val prev = Option(state.get()).getOrElse(UserRunning(key, 0L, 0.0))
+        var n = prev.n_events
+        var total = prev.total_value
+        rows.foreach { case (_, v) => n += 1; total += v }
+        val next = UserRunning(key, n, total)
+        state.update(next)
+        Iterator.single(next)
+      }
+    }
+    events
+      .selectExpr("user_id", "CAST(value AS DOUBLE) AS value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotals, TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
   /** I7 — micro-batch sink: per-batch bulk write through a DocumentSink
     * (the Solr-indexing shape: one bulk commit per micro-batch). */
   def foreachBatchSink(df: DataFrame, checkpointDir: String)(

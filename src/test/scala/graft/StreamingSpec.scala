@@ -206,6 +206,35 @@ class StreamingSpec extends SparkSpec {
       s"H1 window (40 rows) must be the one finalized file row: ${written.toSeq}")
   }
 
+  test("transformWithState running totals match mapGroupsWithState (RocksDB store)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = feedDir(3)
+      val rows = runToCompletion(
+        Streams.userRunningTotalsTws(spark,
+          Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)),
+        OutputMode.Update())
+      val finalState = rows.foldLeft(Map.empty[Long, (Long, Double)]) { (m, r) =>
+        m + (r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      }
+      val batch = Tables.load(spark, sfDir, "events")
+        .groupBy("user_id").agg(count(lit(1)), sum("value"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(finalState.keySet == batch.keySet)
+      batch.foreach { case (u, (n, total)) =>
+        val (fn2, ft) = finalState(u)
+        assert(fn2 == n && math.abs(ft - total) < 1e-6, s"user $u")
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session windows: incremental append equals batch sessionization") {
     val dir = feedDirChrono(4)
     // Sessions ending within the gap of the stream's max event time never
