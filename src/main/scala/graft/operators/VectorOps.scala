@@ -97,14 +97,20 @@ object VectorOps {
         .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       // Bounded corpus broadcast (2k × 64 doubles ≈ 1 MB) — same memory
       // contract as a broadcast hash join build side. Normalization happens
-      // once here (O(n·dim)) so the O(n²) loop is dot-only.
+      // once here (O(n·dim)) so the O(n²) loop is dot-only. The pair loop
+      // is driven by spark.range over the sorted matrix (no second scan,
+      // no repartition shuffle; row i only scans j > i).
       val collected = e.collect().sortBy(_._1)
       val ids = collected.map(_._1)
       val mat = collected.map(c => unitNorm(c._2))
       val bc = s.sparkContext.broadcast((ids, mat))
-      val topk = e
-        .repartition(s.sparkContext.defaultParallelism)
-        .mapPartitions { iter =>
+      // Each range index idx handles rows idx AND n-1-idx (mirror pairing):
+      // row i costs n-i inner iterations, so the pair costs ~n — keeping
+      // contiguous range partitions work-balanced despite the triangle.
+      val n = ids.length
+      val topk = s.range(0, ((n + 1) / 2).toLong, 1,
+          s.sparkContext.defaultParallelism)
+        .mapPartitions { idxIter =>
           val (bIds, bMat) = bc.value
           // Min-heap under the FINAL output order (rounded sim desc, ids
           // asc) so per-partition pruning can never disagree with the
@@ -124,22 +130,27 @@ object VectorOps {
               }
             }
           val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)]
-          iter.foreach { case (aId, av) =>
-            val a = unitNorm(av)
-            var j = 0
+          def scanRow(ai: Int): Unit = {
+            val a = bMat(ai)
+            val aId = bIds(ai)
+            var j = ai + 1 // ids sorted ascending: every j > ai has bIds(j) > aId
             while (j < bIds.length) {
-              if (bIds(j) > aId) {
-                val b = bMat(j)
-                var dot = 0.0; var i = 0
-                while (i < a.length) { dot += a(i) * b(i); i += 1 }
-                val sim = BigDecimal.valueOf(dot)
-                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-                val cand = (sim, aId, bIds(j))
-                if (heap.size < k) heap.enqueue(cand)
-                else if (ord.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
-              }
+              val b = bMat(j)
+              var dot = 0.0; var i = 0
+              while (i < a.length) { dot += a(i) * b(i); i += 1 }
+              val sim = BigDecimal.valueOf(dot)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              val cand = (sim, aId, bIds(j))
+              if (heap.size < k) heap.enqueue(cand)
+              else if (ord.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
               j += 1
             }
+          }
+          idxIter.foreach { idx =>
+            val ai = idx.toInt
+            scanRow(ai)
+            val mirror = bIds.length - 1 - ai
+            if (mirror != ai) scanRow(mirror)
           }
           heap.iterator.map { case (sim, a, b) => (a, b, sim) }
         }
