@@ -155,7 +155,31 @@ object Aggs {
       .orderBy("user_id")
   }
 
+  /** Skew-safe two-phase aggregation spelled explicitly: partial aggregate
+    * on (key, salt) fans a hot key over 16 reducers, final aggregate
+    * merges the partials. Result is salt-independent (decimal sums are
+    * associative-exact), so the oracle is the plain GROUP BY. Spark's own
+    * partial/final split does this implicitly for combinable aggregates;
+    * the explicit form is the pattern for non-combinable custom state at
+    * 100 TB (SCALE.md skew section). */
+  val aggSaltedTwoPhase = Q(
+    "agg_salted_twophase",
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, dir) =>
+      val partial = t(s, dir, "events")
+        .groupBy(col("event_type"), pmod(col("event_id"), lit(16L)).as("salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast("decimal(12,2)")).as("psum"))
+      partial
+        .groupBy("event_type")
+        .agg(sum(col("pn")).as("n"),
+          sum(col("psum")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(aggHashMulti, aggGlobal, aggCountDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggCollect,
-    aggMinMaxBy)
+    aggMinMaxBy, aggSaltedTwoPhase)
 }

@@ -120,15 +120,19 @@ object Funcs {
       .orderBy("doc_id")
   }
 
-  /** H5 — map functions (Solr dynamic-field shape). The oracle states the
-    * expected output values directly — the Spark side routes them through
-    * map_from_entries / element_at / map_keys / size. */
+  /** H5 — map functions (Solr dynamic-field shape), oracle on DuckDB's
+    * native MAP type (extraction there returns a single-element list,
+    * hence the `[1]`). */
   val fnMap = Q(
     "fn_map",
-    """SELECT p_partkey, p_brand AS brand_field, 3 AS n_fields,
-      |  'brand,size,type' AS key_list,
-      |  CAST(p_size AS VARCHAR) AS size_field
-      |FROM part ORDER BY p_partkey LIMIT 2000""".stripMargin) { (s, dir) =>
+    """WITH m AS (SELECT p_partkey,
+      |  MAP{'brand': p_brand, 'type': p_type, 'size': CAST(p_size AS VARCHAR)} AS doc
+      |  FROM part)
+      |SELECT p_partkey, doc['brand'][1] AS brand_field,
+      |  CAST(cardinality(doc) AS INT) AS n_fields,
+      |  array_to_string(list_sort(map_keys(doc)), ',') AS key_list,
+      |  doc['size'][1] AS size_field
+      |FROM m ORDER BY p_partkey LIMIT 2000""".stripMargin) { (s, dir) =>
     val m = map_from_entries(array(
       struct(lit("brand").as("key"), col("p_brand").as("value")),
       struct(lit("type").as("key"), col("p_type").as("value")),
