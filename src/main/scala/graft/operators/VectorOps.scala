@@ -41,14 +41,6 @@ object VectorOps {
       graft.functions.DotProduct.builder)
   }
 
-  /** Unit-norm double vector: one O(dim) pass per ROW so the O(n²) pair
-    * stage needs only a dot product (see DotProduct scaladoc). */
-  private def normalized(s: SparkSession, e: Column): Column = {
-    registerFns(s)
-    val nrm = sqrt(call_function("dot_product", e, e))
-    transform(e, x => x.cast("double") / nrm)
-  }
-
   private val pairOracle =
     """WITH un AS (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
