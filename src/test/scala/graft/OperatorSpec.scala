@@ -100,6 +100,42 @@ class OperatorSpec extends SparkSpec {
     assert(out.getSeq[String](1) == Seq("a", "b", "c"))
   }
 
+  test("self-consistency: semi join ≡ inner join + distinct left key") {
+    val customer = Tables.load(spark, SparkTestSession.sfDir, "customer")
+    val orders = Tables.load(spark, SparkTestSession.sfDir, "orders")
+      .filter($"o_totalprice" > 400000)
+    val semi = customer.join(orders, $"c_custkey" === $"o_custkey", "left_semi")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val innerDistinct = customer.join(orders, $"c_custkey" === $"o_custkey")
+      .select("c_custkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(semi == innerDistinct && semi.nonEmpty)
+  }
+
+  test("self-consistency: window top-n ≡ sorted collect_list take n") {
+    val orders = Tables.load(spark, SparkTestSession.sfDir, "orders")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    val viaWindow = orders.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3).select("o_custkey", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaCollect = orders
+      .groupBy("o_custkey")
+      .agg(slice(reverse(array_sort(collect_list(
+        struct($"o_totalprice", ($"o_orderkey" * -1).as("negkey"))))), 1, 3)
+        .as("top3"))
+      .select($"o_custkey", explode($"top3").as("t"))
+      .select($"o_custkey", ($"t.negkey" * -1).as("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaWindow == viaCollect)
+  }
+
+  test("self-consistency: dedup survivor count ≡ countDistinct") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val dedupCount = docs.dropDuplicates("text").count()
+    val distinctCount = docs.agg(countDistinct($"text")).head.getLong(0)
+    assert(dedupCount == distinctCount)
+  }
+
   test("decimal-factor parity convention survives nulls") {
     val df = Seq(Some(10.5), None).toDF("x")
     val s = df.agg(sum(Parity.dec2($"x") * Parity.dec2(lit(1) - lit(0.1)))
