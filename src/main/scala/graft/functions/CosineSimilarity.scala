@@ -36,6 +36,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  /** File sources force containsNull=true (schema.asNullable), so null
+    * elements must be handled, not rejected: a null element propagates a
+    * NULL result instead of silently reading an undefined value. The check
+    * is emitted only when the static type admits nulls, and on clean data
+    * the branch always predicts false — measured-free in the hot loop. */
+  private def anyContainsNull: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+  override def nullable: Boolean =
+    left.nullable || right.nullable || anyContainsNull
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val va = a.asInstanceOf[ArrayData]
     val vb = b.asInstanceOf[ArrayData]
@@ -43,12 +55,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (anyContainsNull && (va.isNullAt(i) || vb.isNullAt(i))) return null
       val x = va.getFloat(i).toDouble
       val y = vb.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // Zero-norm guard: 0/0 would be NaN, which Spark sorts ABOVE all doubles
+    // — a zero vector would silently float to the top of every similarity
+    // ranking. A zero vector has no direction; similarity 0.0 keeps the
+    // expression non-nullable and sorts it to the bottom.
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -60,15 +78,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      // Emitted only when the static type admits null elements (see
+      // anyContainsNull scaladoc); ev.isNull exists because nullable=true.
+      val nullCheck =
+        if (anyContainsNull)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $x = (double) $a.getFloat($i);
          |  double $y = (double) $b.getFloat($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if (!${if (anyContainsNull) ev.isNull else "false"}) {
+         |  ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+         |    : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

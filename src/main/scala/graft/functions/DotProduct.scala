@@ -29,6 +29,17 @@ case class DotProduct(left: Expression, right: Expression)
       s"dot_product expects array<float|double> arguments, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
 
+  /** File sources force containsNull=true (schema.asNullable), so null
+    * elements are handled, not rejected: a null element propagates a NULL
+    * result instead of silently reading an undefined value. The check is
+    * emitted only when the static type admits nulls. */
+  private def anyContainsNull: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+  override def nullable: Boolean =
+    left.nullable || right.nullable || anyContainsNull
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
@@ -45,6 +56,7 @@ case class DotProduct(left: Expression, right: Expression)
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (anyContainsNull && (va.isNullAt(i) || vb.isNullAt(i))) return null
       val x = if (lf) va.getFloat(i).toDouble else va.getDouble(i)
       val y = if (rf) vb.getFloat(i).toDouble else vb.getDouble(i)
       dot += x * y
@@ -60,13 +72,18 @@ case class DotProduct(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      val nullCheck =
+        if (anyContainsNull)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $dot += ($getA) * ($getB);
          |}
-         |${ev.value} = $dot;
+         |if (!${if (anyContainsNull) ev.isNull else "false"}) { ${ev.value} = $dot; }
        """.stripMargin
     })
 

@@ -125,18 +125,22 @@ object Aggs {
   }
 
   /** D8 — per-group collected list/set (Solr multivalued-field shape).
-    * `array_sort` makes the collected order deterministic. */
+    * `array_sort` makes the collected order deterministic; the declared
+    * output renders the arrays as delimited strings (raw array columns are
+    * not hashable by the driver's comparator — same convention as
+    * agg_string_agg). */
   val aggCollect = Q(
     "agg_collect",
-    """SELECT s_nationkey, list_sort(list(s_name)) AS supplier_names,
-      |  list_sort(list(DISTINCT s_name)) AS distinct_names
+    """SELECT s_nationkey,
+      |  array_to_string(list_sort(list(s_name)), ',') AS supplier_names,
+      |  array_to_string(list_sort(list(DISTINCT s_name)), ',') AS distinct_names
       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) {
     (s, dir) =>
       t(s, dir, "supplier")
         .groupBy("s_nationkey")
         .agg(
-          array_sort(collect_list(col("s_name"))).as("supplier_names"),
-          array_sort(collect_set(col("s_name"))).as("distinct_names"))
+          array_join(array_sort(collect_list(col("s_name"))), ",").as("supplier_names"),
+          array_join(array_sort(collect_set(col("s_name"))), ",").as("distinct_names"))
         .orderBy("s_nationkey")
   }
 

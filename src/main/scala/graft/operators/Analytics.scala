@@ -54,12 +54,17 @@ object Analytics {
 
   /** t-digest/interpolated approximate percentile — constant-size partial
     * state, the 100 TB path. No SQL oracle (engine-specific sketch);
-    * AnalyticsSpec asserts tolerance vs exact. */
+    * AnalyticsSpec asserts tolerance vs exact. The declared output renders
+    * the quantile array as a comma-joined decimal string (raw array columns
+    * are not hashable by the driver's comparator). */
   val aggApproxPercentile = Q.noOracle("agg_approx_percentile") { (s, dir) =>
     t(s, dir, "orders")
       .groupBy("o_orderstatus")
       .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)")
-        .as("approx_p"))
+        .as("approx_arr"))
+      .select(col("o_orderstatus"),
+        array_join(transform(col("approx_arr"),
+          x => x.cast("decimal(18,4)").cast("string")), ",").as("approx_p"))
       .orderBy("o_orderstatus")
   }
 

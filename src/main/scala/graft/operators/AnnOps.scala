@@ -55,6 +55,7 @@ object AnnOps {
     * AnnSpec). Returns the approximate global top-k pairs. */
   def lshTopKPairs(s: SparkSession, emb: DataFrame, k: Int, nBits: Int = 48,
       bands: Int = 8, dims: Int = 64): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
     // 6-bit bands: for a sim≈0.4 pair the per-bit collision prob is ~0.63
     // (1 - acos(s)/π), so P(candidate) ≈ 1-(1-0.63^6)^8 ≈ 0.4, while random
     // near-orthogonal pairs collide at ~0.5^6 per band → ~12% candidate

@@ -107,12 +107,12 @@ object DocAssembly {
   val solrDocAssembly = Q(
     "solr_doc_assembly",
     """SELECT c_custkey AS id,
-      |  list_sort([
+      |  array_to_string(list_sort([
       |    'name_s=' || c_name,
       |    'segment_s=' || c_mktsegment,
       |    'acctbal_d=' || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR),
-      |    'nation_i=' || CAST(c_nationkey AS VARCHAR)]) AS fields,
-      |  COALESCE(p.prios, []) AS priorities_ss,
+      |    'nation_i=' || CAST(c_nationkey AS VARCHAR)]), '|') AS fields,
+      |  array_to_string(COALESCE(p.prios, []), ',') AS priorities_ss,
       |  COALESCE(p.n_orders, 0) AS n_orders_i
       |FROM customer LEFT JOIN (
       |  SELECT o_custkey, list_sort(list(DISTINCT o_orderpriority)) AS prios,
@@ -136,10 +136,13 @@ object DocAssembly {
       .withColumn("doc", doc)
       .select(
         col("c_custkey").as("id"),
-        array_sort(transform(map_entries(col("doc")),
-          e => concat(e.getField("key"), lit("="), e.getField("value"))))
+        // Rendered as '|'-joined k=v entries: deterministic AND hashable by
+        // the driver's comparator (raw array columns are not).
+        array_join(array_sort(transform(map_entries(col("doc")),
+          e => concat(e.getField("key"), lit("="), e.getField("value")))), "|")
           .as("fields"),
-        coalesce(col("prios"), array().cast("array<string>")).as("priorities_ss"),
+        array_join(coalesce(col("prios"), array().cast("array<string>")), ",")
+          .as("priorities_ss"),
         coalesce(col("n_orders"), lit(0L)).as("n_orders_i"))
       .orderBy("id")
   }

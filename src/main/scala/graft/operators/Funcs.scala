@@ -72,7 +72,8 @@ object Funcs {
       |  ROUND(SQRT(l_extendedprice), 6) AS sq,
       |  ROUND(LN(l_extendedprice), 6) AS logn,
       |  ROUND(LOG(l_extendedprice), 6) AS log_10,
-      |  CEIL(l_discount * 10) AS ce, FLOOR(l_tax * 10) AS fl
+      |  CAST(CEIL(l_discount * 10) AS BIGINT) AS ce,
+      |  CAST(FLOOR(l_tax * 10) AS BIGINT) AS fl
       |FROM lineitem
       |ORDER BY l_orderkey, l_linenumber, r1, dev, qty_sq, ce, fl
       |LIMIT 2000""".stripMargin) {
@@ -153,7 +154,7 @@ object Funcs {
     "fn_json",
     """SELECT event_type,
       |  COUNT(*) AS n,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {

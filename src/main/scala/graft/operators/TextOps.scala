@@ -32,7 +32,11 @@ object TextOps {
   }
 
   /** K2-adjacent — n-gram (word-3-gram) Jaccard near-dup pairs, exact
-    * quadratic verify (the LSH candidate generator is the scale path). */
+    * quadratic verify (the LSH candidate generator is the scale path).
+    * Documents with fewer than 3 tokens have no 3-gram shingles and are
+    * excluded up front on BOTH sides (Spark's `sequence(1, n)` with n < 1
+    * yields a DESCENDING sequence — unguarded, a short doc would crash the
+    * element_at(…, 0) access at runtime). */
   val dedupNgramJaccard = Q(
     "dedup_ngram_jaccard",
     """WITH s AS (
@@ -40,7 +44,7 @@ object TextOps {
       |    range(1, len(string_split(text,' ')) - 1),
       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
       |         || ' ' || string_split(text,' ')[i+2])) AS sh
-      |  FROM documents)
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       |  ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
@@ -53,7 +57,9 @@ object TextOps {
         |  i -> concat(element_at(split(text, ' '), i), ' ',
         |              element_at(split(text, ' '), i + 1), ' ',
         |              element_at(split(text, ' '), i + 2)))""".stripMargin))
-    val docs = t(s, dir, "documents").select(col("doc_id"), sh.as("sh"))
+    val docs = t(s, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), sh.as("sh"))
     val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sha"))
     val b = docs.select(col("doc_id").as("b_id"), col("sh").as("shb"))
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
@@ -95,9 +101,10 @@ object TextOps {
   /** K6 — corpus statistics per source. */
   val textStats = Q(
     "text_stats",
-    """SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  ROUND(AVG(n_chars), 4) AS avg_chars,
-      |  SUM(len(string_split(text, ' '))) AS total_tokens,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
       |  COUNT(DISTINCT lang) AS n_langs
       |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
     t(s, dir, "documents")
@@ -189,16 +196,20 @@ object TextOps {
     """SELECT doc_id,
       |  len(string_split(text, ' ')) AS ws_tokens,
       |  len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS re_tokens,
-      |  ROUND(length(text) * 1.0 / len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')), 4)
+      |  ROUND(length(text) * 1.0 / NULLIF(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')), 0), 4)
       |    AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val reToks = regexp_extract_all(col("text"), lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0))
+    // NULLIF on both sides: an empty/all-space doc has re_tokens = 0, where
+    // Spark's x/0.0 would float to NaN but DuckDB yields NULL — both engines
+    // agree on NULL for the degenerate case.
     t(s, dir, "documents")
       .select(
         col("doc_id"),
         size(toks).as("ws_tokens"),
         size(reToks).as("re_tokens"),
-        round(length(col("text")).cast("double") / size(reToks), 4)
+        round(length(col("text")).cast("double") /
+          nullif(size(reToks).cast("double"), lit(0.0)), 4)
           .as("chars_per_token"))
       .orderBy("doc_id")
   }

@@ -72,9 +72,15 @@ object Udx {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     }
 
+  /** The declared output renders the centroid vector as a comma-joined
+    * string of DECIMAL(18,6) components (raw array columns are not hashable
+    * by the driver's comparator; decimal→string prints the full scale
+    * identically in both engines). */
   val udafAggregator = Q(
     "udaf_aggregator",
-    """SELECT label, list(r ORDER BY dim) AS centroid FROM (
+    """SELECT label, array_to_string(list_transform(list(r ORDER BY dim),
+      |    x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), ',') AS centroid
+      |FROM (
       |  SELECT label, dim, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS r FROM (
       |    SELECT label, generate_subscripts(embedding, 1) AS dim,
       |           unnest(embedding) AS v
@@ -83,7 +89,10 @@ object Udx {
     val centroid = udaf(centroidAgg)
     t(s, dir, "embeddings")
       .groupBy("label")
-      .agg(centroid(col("embedding")).as("centroid"))
+      .agg(centroid(col("embedding")).as("centroid_arr"))
+      .select(col("label"),
+        array_join(transform(col("centroid_arr"),
+          x => x.cast("decimal(18,6)").cast("string")), ",").as("centroid"))
       .orderBy("label")
   }
 

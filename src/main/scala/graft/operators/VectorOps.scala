@@ -64,29 +64,43 @@ object VectorOps {
     * block-wise exact-similarity shape. Result rows moved: k per
     * partition, then a global TakeOrdered of k.
     *
-    * Scale limits (documented, by design): the broadcast matrix must fit
-    * executor memory, exactly like any broadcast join side. Unbounded
-    * corpora use the LSH/SimHash candidate paths below instead. */
+    * Scale limits: the broadcast matrix has the same executor-memory
+    * contract as a broadcast-join build side, so [[similarityTopKPairs]]
+    * guards the bound and REROUTES to the SRP-LSH candidate path above it
+    * instead of collecting an unbounded corpus to the driver. */
   val similarityTopK = Q(
     "similarity_topk",
     s"""$pairOracle
        |SELECT a_id, b_id, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS sim
        |FROM sims ORDER BY sim DESC, a_id, b_id LIMIT 100""".stripMargin) {
     (s, dir) =>
+      similarityTopKPairs(s, t(s, dir, "embeddings"), k = 100)
+  }
+
+  /** Exact top-k pair kernel with a scale guard: above `maxBroadcastRows`
+    * the operator reroutes to AnnOps.lshTopKPairs (bucketed equi-join,
+    * approximate) rather than broadcast a matrix that cannot fit — the
+    * VectorSpec reroute test pins this behavior. */
+  def similarityTopKPairs(s: SparkSession, emb0: DataFrame, k: Int,
+      maxBroadcastRows: Long = 4000000L): DataFrame = {
+    val emb = emb0.select(col("vec_id"), col("embedding"))
+    val nVecs = emb.count()
+    if (nVecs > maxBroadcastRows) AnnOps.lshTopKPairs(s, emb, k)
+    else {
       import s.implicits._
-      val k = 100
       def unitNorm(v: Seq[Float]): Array[Double] = {
         val a = new Array[Double](v.length)
         var n2 = 0.0
         var i = 0
         while (i < v.length) { val x = v(i).toDouble; a(i) = x; n2 += x * x; i += 1 }
-        val inv = 1.0 / math.sqrt(n2)
+        // Zero-norm guard mirrors CosineSimilarity: a zero vector keeps all
+        // dots at 0.0 instead of propagating NaN into the top-k heap.
+        val inv = if (n2 == 0.0) 0.0 else 1.0 / math.sqrt(n2)
         i = 0
         while (i < a.length) { a(i) *= inv; i += 1 }
         a
       }
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      val e = emb.as[(Long, Seq[Float])]
       // Bounded corpus broadcast (2k × 64 doubles ≈ 1 MB) — same memory
       // contract as a broadcast hash join build side. Normalization happens
       // once here (O(n·dim)) so the O(n²) loop is dot-only. The pair loop
@@ -148,6 +162,7 @@ object VectorOps {
         }
         .toDF("a_id", "b_id", "sim")
       topk.orderBy(col("sim").desc, col("a_id"), col("b_id")).limit(k)
+    }
   }
 
   /** K4 — kNN of one query vector against the corpus: the query row is

@@ -96,23 +96,25 @@ object Windows {
       .orderBy("event_id")
   }
 
-  /** E5 — distribution ranks: ntile / percent_rank / cume_dist. */
+  /** E5 — distribution ranks: ntile / percent_rank / cume_dist, within a
+    * real partition key. A keyless total-order window would serialize the
+    * whole table through ONE task at 100 TB; ranking within o_orderstatus
+    * shuffles on the key and sorts per partition like every other window
+    * here. Tiebreak on o_orderkey makes every rank deterministic. */
   val ntilePct = Q(
     "win_ntile_pct",
-    """SELECT o_orderkey,
+    """SELECT o_orderkey, o_orderstatus,
       |  NTILE(10) OVER w AS decile,
       |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
       |  ROUND(CUME_DIST() OVER w, 6) AS cume
       |FROM orders
-      |WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey LIMIT 2000""".stripMargin) { (s, dir) =>
-    // Keyless total-order window: fine at bench scale, and the 100 TB
-    // equivalent would rank within partitions or pre-aggregate; noted in
-    // SCALE.md. Tiebreak on o_orderkey makes every rank deterministic.
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
     t(s, dir, "orders")
       .select(
-        col("o_orderkey"),
+        col("o_orderkey"), col("o_orderstatus"),
         ntile(10).over(w).as("decile"),
         round(percent_rank().over(w), 6).as("pct_rank"),
         round(cume_dist().over(w), 6).as("cume"))
