@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch decomposition of per-query bench cost (not part of the driver
+  * contract; used to attack the bench gate round by round). */
+object BenchProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "16777216")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.broadcast.compress", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_LOCALDIR", "/tmp"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.schemas.keys.foreach(t => Tables.load(spark, sfDir, t).cache().count())
+
+    def best3(label: String)(f: => Unit): Unit = {
+      f
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+      }
+      println(f"$label%-40s best=${runs.min}%.1f ms runs=${runs.map(r => f"$r%.0f").mkString(",")}")
+    }
+
+    best3("raw job floor: parallelize(8).count") {
+      spark.sparkContext.parallelize(1 to 8, 8).count()
+    }
+    best3("raw job floor: range(600k).count") { spark.range(600000).count() }
+    best3("raw sql floor: range(600k) sum(id)") {
+      spark.range(600000).agg(sum(col("id"))).count()
+    }
+    val li = Tables.load(spark, sfDir, "lineitem")
+    best3("lineitem.count (cached scan)") { li.count() }
+    best3("lineitem parquet count (no cache)") {
+      spark.read.schema(Tables.lineitem).parquet(s"$sfDir/lineitem.parquet").count()
+    }
+    best3("lineitem cached sum(qty)") {
+      li.agg(sum(col("l_quantity"))).count()
+    }
+    println(s"lineitem cached partitions = ${li.rdd.getNumPartitions}")
+    val li32 = li.repartition(32).cache()
+    li32.count()
+    best3("q1 aggs on 32-partition cache") {
+      li32.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("s1"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).as("s2"),
+          avg(col("l_quantity")).as("a1"), count(lit(1)).as("n"))
+        .count()
+    }
+    best3("q1 aggs on 32p cache, double sums") {
+      li32.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("s1"),
+          sum(col("l_extendedprice")).as("s2"),
+          avg(col("l_quantity")).as("a1"), count(lit(1)).as("n"))
+        .count()
+    }
+    best3("lineitem groupBy count only") {
+      li.groupBy("l_returnflag", "l_linestatus").count().count()
+    }
+    best3("q1 aggs, no sort") {
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("s1"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).as("s2"),
+          avg(col("l_quantity")).as("a1"), count(lit(1)).as("n"))
+        .count()
+    }
+    best3("q1 full (declared)") {
+      SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
+    }
+    best3("q1 full collect") {
+      SparkEntry.queries("q1_pricing_summary")(spark, sfDir).collect()
+    }
+    val q1df = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+    best3("q1 prebuilt count") { q1df.count() }
+
+    best3("q3 prebuilt") {
+      val df = SparkEntry.queries("q3_shipping_priority")(spark, sfDir)
+      df.count()
+    }
+    val q3df = SparkEntry.queries("q3_shipping_priority")(spark, sfDir)
+    best3("q3 prebuilt count") { q3df.count() }
+    val tfdf = SparkEntry.queries("text_tokenize_tf")(spark, sfDir)
+    best3("tf prebuilt count") { tfdf.count() }
+    val wrdf = SparkEntry.queries("window_rank_topn")(spark, sfDir)
+    best3("window_rank_topn prebuilt count") { wrdf.count() }
+    val sodf = SparkEntry.queries("set_ops")(spark, sfDir)
+    best3("set_ops prebuilt count") { sodf.count() }
+
+    // One-shot planning: the count aggregate Dataset is built ONCE, so its
+    // lazy QueryExecution plans once and collect() only re-executes.
+    def oncePlanned(name: String): Unit = {
+      val action = SparkEntry.queries(name)(spark, sfDir).groupBy().count()
+      best3(s"$name once-planned collect") { action.collect() }
+      val rdd = SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd
+      best3(s"$name toRdd.count") { rdd.count() }
+    }
+    Seq("q1_pricing_summary", "q3_shipping_priority", "text_tokenize_tf",
+      "window_rank_topn", "set_ops", "string_funcs").foreach(oncePlanned)
+    spark.stop()
+  }
+}

@@ -251,16 +251,22 @@ object Joins {
     val orders = t(s, dir, "orders")
       .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
         to_date(col("o_orderdate")) < lit("1997-01-01"))
+    // supplier⋈nation⋈region(ASIA) pre-joined into ONE broadcast build:
+    // the snowflake arm is dim-only (≤ supplier cardinality), so merging it
+    // saves two broadcast-build jobs per execution without changing the
+    // 100 TB shape — the fact side still joins one broadcast hash table.
+    val asiaSuppliers = t(s, dir, "supplier")
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
     t(s, dir, "lineitem")
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(t(s, dir, "customer")),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, dir, "supplier")),
+      .join(broadcast(asiaSuppliers),
         col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"),
-        col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
         .cast("double").as("revenue"))
