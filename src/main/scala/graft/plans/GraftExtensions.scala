@@ -1,11 +1,16 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.IntegerType
 
-/** SURVEY §4.3: the SparkSessionExtensions seam, wired from day one so a
-  * future rule/strategy/function injection doesn't reshape the engine.
+import graft.functions.CosineSimilarity
+
+/** SURVEY §4.3: the SparkSessionExtensions seam.
   *
   * Usage: `SparkSession.builder().withExtensions(GraftExtensions).…`
   * (Verify/Bench/tests all do). Injection points intentionally live here
@@ -13,7 +18,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectOptimizerRule(_ => SimilarityRewriteSeam)
+    ext.injectOptimizerRule(session => new SimilarityRewrite(session))
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       graft.functions.CosineSimilarity.info,
@@ -25,16 +30,146 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-/** Placeholder optimizer rule marking the planned rewrite seam.
+/** Optimizer rule: brute-force cosine top-k pair join → SRP-LSH candidate
+  * join above a size threshold.
   *
-  * The intended production rule (not needed for correctness, SURVEY §4.3):
-  * recognize `GlobalLimit(k, Sort(sim desc, Join(cond = a.id < b.id)))`
-  * over a cosine-similarity expression and rewrite the O(n²) pair join into
-  * the SimHash/LSH bucketed candidate join (VectorOps.minhashPairs shape),
-  * falling back to brute force below a size threshold. Until that rule
-  * lands, the rewrite is done at the API level by choosing the
-  * `dedup_near_minhash` / `dedup_simhash` operators for large inputs.
+  * Recognizes the O(n²) shape a user writes naively —
+  * {{{
+  *   a.join(b, a("id") < b("id"))                 // all-pairs
+  *    .select(..., cosine_sim(va, vb) as "sim")
+  *    .orderBy($"sim".desc, ...).limit(k)
+  * }}}
+  * i.e. `GlobalLimit(k, LocalLimit(k, Sort(sim DESC, Project(Join(_, _,
+  * Inner, a.id < b.id)))))` with both join inputs projecting the same base
+  * relation — and, when the base relation's estimated size exceeds
+  * `spark.graft.similarity.rewrite.sizeThreshold` (default 8 GiB), replaces
+  * it with the banded SRP-LSH candidate pipeline (AnnOps.lshTopKPairs):
+  * bucketed equi-join + exact cosine re-rank instead of an all-pairs join.
+  *
+  * The rewrite is APPROXIMATE (LSH recall < 1), which is exactly the trade
+  * the threshold encodes: below it the exact plan is cheap and kept
+  * verbatim; above it the all-pairs join is a scale-killer and the
+  * candidate join is the only plan that finishes. Output attribute ids and
+  * names are preserved via a final aliasing Project, so references above
+  * the rewritten subtree stay valid. Disable with
+  * `spark.graft.similarity.rewrite.enabled=false`.
+  *
+  * Idempotent by construction: the LSH pipeline's own top-k sort sits over
+  * an EQUI-join on (band, bucket) (the `a_id < b_id` there is a Filter, not
+  * the join condition), so the rewritten subtree can never re-match.
   */
-object SimilarityRewriteSeam extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan
+class SimilarityRewrite(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    session.conf.get("spark.graft.similarity.rewrite.enabled", "true").toBoolean
+  private def sizeThreshold: BigInt =
+    BigInt(session.conf.get("spark.graft.similarity.rewrite.sizeThreshold",
+      (8L << 30).toString))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformDown {
+      case gl @ GlobalLimit(Literal(k: Int, IntegerType),
+          LocalLimit(_, sort: Sort)) if sort.global =>
+        rewrite(k, sort).getOrElse(gl)
+    }
+
+  /** Strip the expression an attribute stands for through one Project. */
+  private def dealias(e: Expression, projects: Seq[NamedExpression]): Expression =
+    e match {
+      case ar: AttributeReference =>
+        projects.collectFirst {
+          case a: Alias if a.exprId == ar.exprId => a.child
+        }.getOrElse(ar)
+      case other => other
+    }
+
+  /** From one join input, find (base plan, id column name, vector column
+    * name) — tolerating alias-only Projects column pruning inserts. */
+  private def sideInfo(side: LogicalPlan, id: AttributeReference,
+      vec: AttributeReference): Option[(LogicalPlan, String, String)] = {
+    def resolveThrough(p: LogicalPlan, idE: Expression, vecE: Expression)
+        : Option[(LogicalPlan, String, String)] = p match {
+      case Project(list, child) =>
+        val idR = dealias(idE, list)
+        val vecR = dealias(vecE, list)
+        resolveThrough(child, idR, vecR)
+      case base =>
+        (idE, vecE) match {
+          case (i: AttributeReference, v: AttributeReference)
+              if base.outputSet.contains(i) && base.outputSet.contains(v) =>
+            Some((base, i.name, v.name))
+          case _ => None
+        }
+    }
+    resolveThrough(side, id, vec)
+  }
+
+  private def rewrite(k: Int, sort: Sort): Option[LogicalPlan] = {
+    val head = sort.order.head
+    if (head.direction != Descending) return None
+    sort.child match {
+      case proj @ Project(projList,
+          Join(jl, jr, Inner, Some(LessThan(la: AttributeReference,
+            ra: AttributeReference)), _))
+          if jl.outputSet.contains(la) && jr.outputSet.contains(ra) =>
+        // The sort key must be cosine_sim (bare or round(·, 6)) over one
+        // attribute from each join input.
+        val simExpr = dealias(head.child, projList)
+        val cos = simExpr match {
+          case c: CosineSimilarity => Some(c)
+          case Round(c: CosineSimilarity, Literal(6, IntegerType), _) => Some(c)
+          case _ => None
+        }
+        cos match {
+          case Some(CosineSimilarity(ca: AttributeReference,
+              cb: AttributeReference))
+              if jl.outputSet.contains(ca) && jr.outputSet.contains(cb) =>
+            for {
+              (lBase, lId, lVec) <- sideInfo(jl, la, ca)
+              (rBase, rId, rVec) <- sideInfo(jr, ra, cb)
+              if lBase.canonicalized == rBase.canonicalized
+              if lId == rId && lVec == rVec
+              if lBase.stats.sizeInBytes > sizeThreshold
+              roles <- outputRoles(projList, la, ra)
+            } yield {
+              val emb = GraftSqlBridge.ofRows(session, lBase)
+                .select(col(lId).as("vec_id"), col(lVec).as("embedding"))
+              val lsh = graft.operators.AnnOps.lshTopKPairs(session, emb, k)
+              // The spliced subtree re-enters the optimizer HERE because the
+              // outer run has already passed the batches that normalize it
+              // (e.g. Deduplicate → Aggregate, without which physical
+              // planning fails). Re-entrant execute on a fresh tree is safe;
+              // this rule can't re-match the LSH shape (equi-join).
+              val lshPlan = session.sessionState.optimizer
+                .execute(GraftSqlBridge.analyzed(lsh))
+              val byName = lshPlan.output.map(a => a.name -> a).toMap
+              // Preserve the original output attribute names AND exprIds so
+              // any references above the rewritten subtree stay bound.
+              Project(proj.output.zip(roles).map { case (o, role) =>
+                Alias(byName(role), o.name)(exprId = o.exprId)
+              }, lshPlan)
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Map each projected output to its LSH-result column: the left join key
+    * → a_id, right → b_id, anything containing the cosine → sim. Bail on
+    * any other output (the rewrite must reproduce the full schema). */
+  private def outputRoles(projList: Seq[NamedExpression],
+      la: AttributeReference, ra: AttributeReference): Option[Seq[String]] = {
+    val roles = projList.map { ne =>
+      val e = ne match { case a: Alias => a.child; case other => other }
+      e match {
+        case ar: AttributeReference if ar.exprId == la.exprId => Some("a_id")
+        case ar: AttributeReference if ar.exprId == ra.exprId => Some("b_id")
+        case other if other.exists(_.isInstanceOf[CosineSimilarity]) => Some("sim")
+        case _ => None
+      }
+    }
+    if (roles.forall(_.isDefined)) Some(roles.flatten) else None
+  }
 }

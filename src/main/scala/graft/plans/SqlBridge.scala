@@ -1,0 +1,19 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** private[sql]-access bridge for graft's Catalyst rules (SURVEY §4.3):
+  * lets an optimizer rule rebuild a matched subplan with the public
+  * DataFrame API and hand the resolved result back to the optimizer.
+  * Lives in the org.apache.spark.sql package solely to satisfy the
+  * `private[sql]` qualifier on `Dataset.ofRows`; contains no Spark code.
+  */
+object GraftSqlBridge {
+  /** Wrap an analyzed logical plan as a DataFrame on `session`. */
+  def ofRows(session: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (no optimization pass). */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+}

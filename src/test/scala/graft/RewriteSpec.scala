@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.LessThan
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnOps, VectorOps}
+
+/** SimilarityRewrite optimizer rule: the promised Catalyst rewrite of the
+  * naive O(n²) cosine top-k pair join into the SRP-LSH candidate join
+  * (SURVEY §4.3). Above the size threshold the all-pairs theta join must
+  * vanish from the optimized plan and results must equal the direct LSH
+  * pipeline; below it the exact plan must be untouched. */
+class RewriteSpec extends SparkSpec {
+
+  private val thresholdKey = "spark.graft.similarity.rewrite.sizeThreshold"
+
+  /** The naive shape a user writes: all-pairs join + cosine sort + limit.
+    * cosine_sim resolves via GraftExtensions (the shared test session). */
+  private def bruteTopK(k: Int): DataFrame = {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(call_function("cosine_sim", col("ea"), col("eb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+      .limit(k)
+  }
+
+  private def thetaJoins(df: DataFrame) =
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.exists(_.isInstanceOf[LessThan]) => j
+    }
+
+  test("above threshold: all-pairs join is rewritten to the LSH candidate join") {
+    spark.conf.set(thresholdKey, "1")
+    try {
+      val df = bruteTopK(50)
+      assert(thetaJoins(df).isEmpty,
+        "the a_id < b_id theta join must be rewritten away")
+      val direct = AnnOps.lshTopKPairs(spark,
+        Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding")), 50).collect()
+      assert(df.collect().toSeq == direct.toSeq,
+        "rewritten results must equal the direct LSH pipeline")
+    } finally spark.conf.unset(thresholdKey)
+  }
+
+  test("below threshold: the exact plan and results are untouched") {
+    val df = bruteTopK(50)
+    assert(thetaJoins(df).nonEmpty, "exact all-pairs join must be kept")
+    val exact = VectorOps.similarityTopKPairs(spark,
+      Tables.load(spark, sfDir, "embeddings"), 50).collect()
+    assert(df.collect().toSeq == exact.toSeq,
+      "below-threshold results must stay exact (equal the kernel)")
+  }
+
+  test("rewrite disabled by conf leaves the plan alone even above threshold") {
+    spark.conf.set(thresholdKey, "1")
+    spark.conf.set("spark.graft.similarity.rewrite.enabled", "false")
+    try assert(thetaJoins(bruteTopK(50)).nonEmpty)
+    finally {
+      spark.conf.unset(thresholdKey)
+      spark.conf.unset("spark.graft.similarity.rewrite.enabled")
+    }
+  }
+}
