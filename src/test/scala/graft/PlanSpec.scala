@@ -52,6 +52,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("no declared query plans a keyless (single-partition) window") {
+    // A keyless total-order window serializes the whole input through ONE
+    // task at 100 TB. Every declared query's optimized plan must partition
+    // its windows by a real key (VERDICT r1 flagged win_ntile_pct).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val keyless = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+      if (keyless.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"keyless windows in: $offenders")
+  }
+
   test("cosine_sim participates in whole-stage codegen") {
     // Simple mode marks whole-stage-codegen operators with "*(n)"; the
     // expression must appear in a starred Project, not an interpreted one.

@@ -90,6 +90,26 @@ class VectorSpec extends SparkSpec {
     assert(topk == expected)
   }
 
+  test("similarityTopKPairs reroutes to LSH above the broadcast bound") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // Bound below the corpus size → the exact broadcast kernel must NOT
+    // run; the operator reroutes to the SRP-LSH candidate pipeline.
+    val rerouted = VectorOps
+      .similarityTopKPairs(spark, emb, k = 20, maxBroadcastRows = 5)
+    val lshDirect = graft.operators.AnnOps.lshTopKPairs(spark,
+      emb.select($"vec_id", $"embedding"), 20)
+    assert(rerouted.collect().toSeq == lshDirect.collect().toSeq,
+      "above the bound the operator must equal the LSH pipeline")
+    // Within the bound: stays exact (kernel result, which the oracle gates).
+    val exact = VectorOps.similarityTopKPairs(spark, emb, k = 20)
+    assert(exact.collect().length == 20)
+  }
+
+  test("cosine_sim zero-norm input yields 0.0, never NaN") {
+    assert(cos(Seq(0f, 0f, 0f), Seq(1f, 2f, 3f)) == 0.0)
+    assert(cos(Seq(0f, 0f), Seq(0f, 0f)) == 0.0)
+  }
+
   test("approx_count_distinct within declared rsd of exact") {
     val orders = Tables.load(spark, sfDir, "orders")
     val exact = orders.agg(countDistinct($"o_custkey")).head.getLong(0)
