@@ -27,7 +27,8 @@ object SparkEntry {
   def allQs: Seq[Q] =
     Scans.all ++ Projections.all ++ Joins.all ++ Aggs.all ++ Windows.all ++
       Funcs.all ++ Relational.all ++ TextOps.all ++ VectorOps.all ++
-      Udx.all ++ DocAssembly.all ++ StreamingBatch.all ++ AnnOps.all ++ Analytics.all ++ SqlEntry.all ++ aliases
+      Udx.all ++ DocAssembly.all ++ StreamingBatch.all ++ AnnOps.all ++
+      Analytics.all ++ SqlEntry.all ++ TextCluster.all ++ aliases
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-2 additions to the LLM-training-data surface (beyond SURVEY §2):
+  * dedup CLUSTERING (pairs → connected components → survivor election),
+  * PII masking, and deterministic stratified sampling. Each follows the
+  * oracle conventions of Q.scala.
+  */
+object TextCluster {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Dedup cluster assignment: near-dup PAIRS (word-3-gram Jaccard ≥ 0.4,
+    * the oracle-verified exact generator) → connected components →
+    * per-cluster survivor = min doc_id. This is the step an actual corpus
+    * dedup ends with — pairs alone don't say which copy to keep when dups
+    * chain (a~b, b~c ⇒ {a,b,c} is ONE cluster even if a≁c).
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint. Each
+    * iteration is one distributed equi-join + aggregate (never a driver
+    * collect); the driver only checks a scalar convergence count. Rounds
+    * needed = cluster diameter — for near-dup clusters (near-cliques)
+    * 2–3; the fixpoint is unique, so the result is deterministic and
+    * iteration-count-independent. At 100 TB each round is a shuffle on
+    * 8-byte ids, and `localCheckpoint` bounds the growing lineage — the
+    * standard large-graph CC recipe without a graph library.
+    *
+    * Oracle: DuckDB recursive CTE computing min-reachable-id per doc —
+    * the same fixpoint, declaratively. */
+  val dedupCluster = Q(
+    "dedup_cluster",
+    """WITH RECURSIVE s AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |         || ' ' || string_split(text,' ')[i+2])) AS sh
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4),
+      |e AS (SELECT a_id AS x, b_id AS y FROM p
+      |      UNION ALL SELECT b_id, a_id FROM p),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.x, reach.r FROM e JOIN reach ON e.y = reach.id)
+      |SELECT id AS doc_id, MIN(r) AS cluster_id, (id = MIN(r)) AS is_survivor
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = TextOps.ngramJaccardPairs(docs, 0.4)
+    connectedComponents(docs.select(col("doc_id")), pairs)
+      .orderBy("doc_id")
+  }
+
+  /** Min-label-propagation connected components over (a_id, b_id) pairs.
+    * Returns (doc_id, cluster_id, is_survivor); vertices with no edge form
+    * singleton clusters. Shared with TextSpec. */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
+      .union(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
+      .localCheckpoint(true)
+    var labels = vertices.select(col("doc_id").as("id"),
+      col("doc_id").as("label")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val neighborMin = edges
+        .join(labels, col("y") === col("id"))
+        .groupBy(col("x")).agg(min(col("label")).as("nl"))
+      val next = labels
+        .join(neighborMin, col("id") === col("x"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("is_survivor"))
+  }
+
+  /** PII masking: email / phone-shaped spans replaced with typed tokens —
+    * the standard pre-training scrub. Scan + scalar regexes, no shuffle;
+    * patterns restricted to syntax Java regex and RE2 interpret
+    * identically. Reports per-doc mask counts for auditability. */
+  val piiMask = Q(
+    "text_pii_mask",
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(text,
+      |    '[a-zA-Z0-9._-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+', '<EMAIL>', 'g'),
+      |    '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g')
+      |    AS masked,
+      |  len(regexp_extract_all(text,
+      |    '[a-zA-Z0-9._-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+')) AS n_emails,
+      |  len(regexp_extract_all(text,
+      |    '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]')) AS n_phones
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val email = "[a-zA-Z0-9._-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+"
+    val phone = "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+          phone, "<PHONE>").as("masked"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phone), lit(0))).as("n_phones"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sample accounting: an md5-prefix Bernoulli
+    * filter (p = 16/256 per hex-pair ordering) applied per source stratum.
+    * Content-hash gating — not rand() — so the sample is reproducible
+    * across engines, runs, and partitionings; the declared output is the
+    * per-stratum audit (counts + realized rate). At 100 TB the same
+    * predicate IS the sampling filter on the write path. */
+  val sampleStratified = Q(
+    "doc_sample_stratified",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10'
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  ROUND(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10'
+      |       THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS rate
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val inSample = substring(md5(col("doc_id").cast("string")), 1, 2) < "10"
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(inSample, 1L).otherwise(0L)).as("n_sampled"),
+        round(sum(when(inSample, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("rate"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(dedupCluster, piiMask, sampleStratified)
+}

@@ -52,12 +52,19 @@ object TextOps {
       |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4
       |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    ngramJaccardPairs(t(s, dir, "documents"), 0.4).orderBy("a_id", "b_id")
+  }
+
+  /** Shared word-3-gram Jaccard pair pipeline (docs with ≥ 3 tokens only;
+    * shorter docs have no 3-gram shingles). Also feeds dedup_cluster. */
+  def ngramJaccardPairs(documents: org.apache.spark.sql.DataFrame,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
     val sh = array_distinct(expr(
       """transform(sequence(1, size(split(text, ' ')) - 2),
         |  i -> concat(element_at(split(text, ' '), i), ' ',
         |              element_at(split(text, ' '), i + 1), ' ',
         |              element_at(split(text, ' '), i + 2)))""".stripMargin))
-    val docs = t(s, dir, "documents")
+    val docs = documents
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), sh.as("sh"))
     val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sha"))
@@ -66,9 +73,8 @@ object TextOps {
     val jac = inter / (size(col("sha")) + size(col("shb")) - inter)
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("jaccard", jac)
-      .filter(col("jaccard") >= 0.4)
+      .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("a_id", "b_id")
   }
 
   /** K5/J3 — tokenize → TF → TF-IDF, fully SQL-native (window-free: tf via

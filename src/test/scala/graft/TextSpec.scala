@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.TextOps
+import graft.operators.{TextCluster, TextOps}
 
 /** Rolling-hash fingerprint laws (no SQL oracle — TextOps scaladoc). */
 class TextSpec extends SparkSpec {
@@ -23,5 +23,29 @@ class TextSpec extends SparkSpec {
     // 500 distinct texts (verified corpus property) -> 500 distinct hashes
     // with overwhelming probability for a 31-bit hash.
     assert(hashes.distinct.length == hashes.length)
+  }
+
+  test("connected components: chained dup pairs collapse to one cluster") {
+    import spark.implicits._
+    // Chain 1~2, 2~3 (1 and 3 NOT directly paired) + isolated 4, 5: a
+    // pairwise dedup keeps 3 of {1,2,3}; clustering must keep exactly one.
+    val verts = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val cc = TextCluster.connectedComponents(verts, pairs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(cc.toSeq == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true)))
+  }
+
+  test("stratified sample predicate is reproducible across partitionings") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pred = org.apache.spark.sql.functions.substring(
+      org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("doc_id").cast("string")), 1, 2) < "10"
+    val a = docs.filter(pred).select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = docs.repartition(7).filter(pred).select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(a.sameElements(b) && a.nonEmpty)
   }
 }
