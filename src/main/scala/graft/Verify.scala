@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The sf dirs are single-file tables; 8 MB splits restore scan
+      // parallelism for per-row HOF-heavy operators (simhash/rolling-hash
+      // folds ran on ONE task otherwise). At cluster scale inputs are
+      // many files and the 128 MB default is right.
+      .config("spark.sql.files.maxPartitionBytes", "8388608")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -67,7 +67,12 @@ object TextOps {
     val docs = documents
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), sh.as("sh"))
-    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sha"))
+    // The theta join plans as BroadcastNestedLoopJoin whose parallelism is
+    // the STREAMED side's partition count — a single-file corpus would run
+    // the whole O(n²) pass on one task. Repartitioning the streamed side
+    // costs one shuffle of shingle arrays and unlocks full parallelism.
+    val a = docs.repartition(col("doc_id"))
+      .select(col("doc_id").as("a_id"), col("sh").as("sha"))
     val b = docs.select(col("doc_id").as("b_id"), col("sh").as("shb"))
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
     val jac = inter / (size(col("sha")) + size(col("shb")) - inter)

@@ -200,7 +200,10 @@ object VectorOps {
        |FROM sims WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.45
        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
     val e = t(s, dir, "embeddings")
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    // Streamed-side repartition: BNLJ parallelism = streamed partition
+    // count, and a single-file corpus would otherwise run O(n²) on 1 task.
+    val a = e.repartition(col("vec_id"))
+      .select(col("vec_id").as("a_id"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("sim_raw", cosine(s, col("ea"), col("eb")))
