@@ -112,7 +112,7 @@ object DocAssembly {
       |    'segment_s=' || c_mktsegment,
       |    'acctbal_d=' || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR),
       |    'nation_i=' || CAST(c_nationkey AS VARCHAR)]), '|') AS fields,
-      |  array_to_string(COALESCE(p.prios, []), ',') AS priorities_ss,
+      |  COALESCE(array_to_string(p.prios, ','), '') AS priorities_ss,
       |  COALESCE(p.n_orders, 0) AS n_orders_i
       |FROM customer LEFT JOIN (
       |  SELECT o_custkey, list_sort(list(DISTINCT o_orderpriority)) AS prios,
