@@ -56,14 +56,21 @@ object TextOps {
   }
 
   /** Shared word-3-gram Jaccard pair pipeline (docs with ≥ 3 tokens only;
-    * shorter docs have no 3-gram shingles). Also feeds dedup_cluster. */
+    * shorter docs have no 3-gram shingles). Also feeds dedup_cluster.
+    *
+    * Shingle arrays are SORTED once per document (O(s log s), n of them) so
+    * the per-pair intersection is the allocation-free merge scan
+    * `sorted_intersect_count` (O(s), n² of them) instead of
+    * `array_intersect`'s per-pair hash-set build — the dominant cost of
+    * the exact pass at sf0.1 before this change. */
   def ngramJaccardPairs(documents: org.apache.spark.sql.DataFrame,
       threshold: Double): org.apache.spark.sql.DataFrame = {
-    val sh = array_distinct(expr(
+    val sh = array_sort(array_distinct(expr(
       """transform(sequence(1, size(split(text, ' ')) - 2),
         |  i -> concat(element_at(split(text, ' '), i), ' ',
         |              element_at(split(text, ' '), i + 1), ' ',
-        |              element_at(split(text, ' '), i + 2)))""".stripMargin))
+        |              element_at(split(text, ' '), i + 2)))""".stripMargin)))
+    VectorOps.registerFns(documents.sparkSession)
     val docs = documents
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), sh.as("sh"))
@@ -71,10 +78,17 @@ object TextOps {
     // the STREAMED side's partition count — a single-file corpus would run
     // the whole O(n²) pass on one task. Repartitioning the streamed side
     // costs one shuffle of shingle arrays and unlocks full parallelism.
-    val a = docs.repartition(col("doc_id"))
+    // The partition count is EXPLICIT: a bare repartition(col) exchange is
+    // AQE-coalesced back to ~1 task (the partitions are kilobytes; AQE
+    // optimizes for bytes-per-partition, but this stage's cost is the
+    // O(n²) compare loop, not the bytes).
+    val a = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .select(col("doc_id").as("a_id"), col("sh").as("sha"))
     val b = docs.select(col("doc_id").as("b_id"), col("sh").as("shb"))
-    val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+    val inter = call_function("sorted_intersect_count",
+      col("sha"), col("shb")).cast("double")
     val jac = inter / (size(col("sha")) + size(col("shb")) - inter)
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("jaccard", jac)
@@ -226,18 +240,21 @@ object TextOps {
   }
 
   /** K6-adjacent — polynomial rolling hash over the character stream
-    * (Rabin-Karp shape: h = h*31 + byte mod 2^31-1). No SQL oracle (HOF
-    * fold is engine-specific); TextSpec pins exact values and laws. */
+    * (Rabin-Karp shape: h = h*31 + codepoint mod 2^31-1). No SQL oracle
+    * (fold is engine-specific); TextSpec pins exact values and laws. */
   val fingerprintRolling = Q.noOracle("text_fingerprint_rolling") { (s, dir) =>
     rollingHash(t(s, dir, "documents")).orderBy("doc_id")
   }
 
-  /** Shared with TextSpec: doc_id, rolling 31-bit polynomial hash. */
-  def rollingHash(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docs.select(col("doc_id"), expr(
-      """aggregate(split(text, ''), 0L,
-        |  (h, c) -> pmod(h * 31L + ascii(c), 2147483647L))""".stripMargin)
-      .as("rolling_hash"))
+  /** Shared with TextSpec: doc_id, rolling 31-bit polynomial hash —
+    * the native codegen [[graft.functions.RollingHash31]] (the HOF
+    * per-character fold it replaced ran interpreted: ~125M lambda evals
+    * at sf0.1). */
+  def rollingHash(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    VectorOps.registerFns(docs.sparkSession)
+    docs.select(col("doc_id"),
+      call_function("rolling_hash31", col("text")).as("rolling_hash"))
+  }
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, tokenizeTfidf,
     textStats, textQuality, textLangId, docFingerprint, tokenCount,

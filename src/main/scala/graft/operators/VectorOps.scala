@@ -39,6 +39,18 @@ object VectorOps {
       org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
       graft.functions.DotProduct.info,
       graft.functions.DotProduct.builder)
+    s.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count"),
+      graft.functions.SortedIntersectCount.info,
+      graft.functions.SortedIntersectCount.builder)
+    s.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+      graft.functions.SimHash64.info,
+      graft.functions.SimHash64.builder)
+    s.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash31"),
+      graft.functions.RollingHash31.info,
+      graft.functions.RollingHash31.builder)
   }
 
   private val pairOracle =
@@ -202,7 +214,11 @@ object VectorOps {
     val e = t(s, dir, "embeddings")
     // Streamed-side repartition: BNLJ parallelism = streamed partition
     // count, and a single-file corpus would otherwise run O(n²) on 1 task.
-    val a = e.repartition(col("vec_id"))
+    // Explicit count — AQE would coalesce a bare repartition(col) of
+    // kilobyte partitions back to ~1 task (see TextOps.ngramJaccardPairs).
+    val a = e
+      .repartition(e.sparkSession.sparkContext.defaultParallelism,
+        col("vec_id"))
       .select(col("vec_id").as("a_id"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
     a.join(b, col("a_id") < col("b_id"))
@@ -234,11 +250,15 @@ object VectorOps {
   def minhashPairs(docs: DataFrame, numHashes: Int, bands: Int,
       jaccardThreshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val shingles = array_distinct(expr(
+    registerFns(docs.sparkSession)
+    // Sorted so the exact-Jaccard verify below is the merge-scan
+    // sorted_intersect_count (array_min over the hashed transform is
+    // order-independent, so the signature is unaffected).
+    val shingles = array_sort(array_distinct(expr(
       """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
         |  i -> concat(element_at(split(text, ' '), i), ' ',
         |              coalesce(element_at(split(text, ' '), i + 1), ''), ' ',
-        |              coalesce(element_at(split(text, ' '), i + 2), '')))""".stripMargin))
+        |              coalesce(element_at(split(text, ' '), i + 2), '')))""".stripMargin)))
     // Deterministic universal hashing: h_i(x) = xxhash64(x, i) — seed column
     // index stands in for the random permutation family.
     val sigCols = (0 until numHashes).map { i =>
@@ -264,7 +284,8 @@ object VectorOps {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id", "sha", "shb")
       .dropDuplicates("a_id", "b_id")
-    val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+    val inter = call_function("sorted_intersect_count",
+      col("sha"), col("shb")).cast("double")
     val jac = inter / (size(col("sha")) + size(col("shb")) - inter)
     candidates
       .withColumn("jaccard", round(jac, 6))
@@ -282,22 +303,19 @@ object VectorOps {
     simhash(t(s, dir, "documents")).orderBy("doc_id")
   }
 
-  /** SimHash pipeline shared with DedupSpec: doc_id, simhash, bucket. */
+  /** SimHash pipeline shared with DedupSpec: doc_id, simhash, bucket.
+    *
+    * simhash bit i = sign of (sum over tokens of ±1 per bit i of
+    * xxhash64(token)) — computed by the one-pass native
+    * [[graft.functions.SimHash64]] expression. The original HOF
+    * formulation (`transform(sequence(0,63), i -> aggregate(tokens, …))`)
+    * re-hashed every token 64× in interpreted eval and turned the sf0.1
+    * fingerprint scan into a >10-min single-thread stage. */
   def simhash(docs: DataFrame): DataFrame = {
-    // bitSums[i] = sum over tokens of (bit i of xxhash64(token) ? +1 : -1);
-    // simhash bit i = (bitSums[i] > 0). All codegen'd HOFs, one scan.
-    val bitSums = expr(
-      """transform(sequence(0, 63), i ->
-        |  aggregate(split(text, ' '), 0L,
-        |    (acc, t) -> acc + CASE WHEN ((xxhash64(t) >> i) & 1L) = 1L
-        |                     THEN 1L ELSE -1L END))""".stripMargin)
+    registerFns(docs.sparkSession)
     docs
-      .withColumn("bit_sums", bitSums)
-      .withColumn("simhash", expr(
-        """aggregate(transform(sequence(0, 63),
-          |  i -> CASE WHEN element_at(bit_sums, i + 1) > 0L
-          |       THEN shiftleft(1L, i) ELSE 0L END),
-          |0L, (acc, v) -> acc | v)""".stripMargin))
+      .withColumn("simhash",
+        call_function("simhash64", split(col("text"), " ")))
       .select(col("doc_id"), col("simhash"),
         // 16-bit prefix bucket: the scale-path join key for near-dup search.
         expr("shiftrightunsigned(simhash, 48)").as("bucket"))

@@ -27,6 +27,18 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
       graft.functions.DotProduct.info,
       graft.functions.DotProduct.builder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count"),
+      graft.functions.SortedIntersectCount.info,
+      graft.functions.SortedIntersectCount.builder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+      graft.functions.SimHash64.info,
+      graft.functions.SimHash64.builder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash31"),
+      graft.functions.RollingHash31.info,
+      graft.functions.RollingHash31.builder))
   }
 }
 

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{TextCluster, TextOps}
+import org.apache.spark.sql.functions.expr
 
 /** Rolling-hash fingerprint laws (no SQL oracle — TextOps scaladoc). */
 class TextSpec extends SparkSpec {
@@ -15,6 +16,27 @@ class TextSpec extends SparkSpec {
     assert(out(0L) == ref("abc"))
     assert(out(0L) == out(2L), "same content, same hash")
     assert(out(0L) != out(1L), "different content, different hash")
+  }
+
+  test("rolling_hash31 matches the HOF fold spelling bit-for-bit on the corpus") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    // The interpreted per-character fold the native expression replaced.
+    val hof = docs.select($"doc_id", expr(
+      """aggregate(split(text, ''), 0L,
+        |  (h, c) -> pmod(h * 31L + ascii(c), 2147483647L))""".stripMargin)
+      .as("ref"))
+    val native = TextOps.rollingHash(docs)
+    assert(native.join(hof, "doc_id")
+      .filter($"rolling_hash" =!= $"ref").count() == 0)
+    // Edge: empty and non-ASCII strings agree too.
+    val edge = Seq((0L, ""), (1L, "héllo wörld"), (2L, "a"))
+      .toDF("doc_id", "text")
+    val eHof = edge.select($"doc_id", expr(
+      """aggregate(split(text, ''), 0L,
+        |  (h, c) -> pmod(h * 31L + ascii(c), 2147483647L))""".stripMargin)
+      .as("ref"))
+    assert(TextOps.rollingHash(edge).join(eHof, "doc_id")
+      .filter($"rolling_hash" =!= $"ref").count() == 0)
   }
 
   test("rolling hash on the corpus has no spurious collisions at sf0.001") {

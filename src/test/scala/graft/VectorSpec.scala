@@ -74,6 +74,27 @@ class VectorSpec extends SparkSpec {
     assert(hamming(fp(0L), fp(2L)) <= 12)
   }
 
+  test("simhash64 expression matches the HOF sign-sum formulation bit-for-bit") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+    // The original (interpreted, 64-pass) formulation the native
+    // expression replaced — kept here as the semantic reference.
+    val hofBitSums = expr(
+      """transform(sequence(0, 63), i ->
+        |  aggregate(split(text, ' '), 0L,
+        |    (acc, t) -> acc + CASE WHEN ((xxhash64(t) >> i) & 1L) = 1L
+        |                     THEN 1L ELSE -1L END))""".stripMargin)
+    val hof = docs.withColumn("bit_sums", hofBitSums)
+      .select($"doc_id", expr(
+        """aggregate(transform(sequence(0, 63),
+          |  i -> CASE WHEN element_at(bit_sums, i + 1) > 0L
+          |       THEN shiftleft(1L, i) ELSE 0L END),
+          |0L, (acc, v) -> acc | v)""".stripMargin).as("ref"))
+    val native = VectorOps.simhash(docs).select($"doc_id", $"simhash")
+    val joined = native.join(hof, "doc_id")
+      .filter($"simhash" =!= $"ref")
+    assert(joined.count() == 0, "native simhash64 diverged from HOF reference")
+  }
+
   test("knn top-k agrees with brute-force ranking on small corpus") {
     val e = Tables.load(spark, sfDir, "embeddings").limit(100)
     val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"))
@@ -103,6 +124,23 @@ class VectorSpec extends SparkSpec {
     // Within the bound: stays exact (kernel result, which the oracle gates).
     val exact = VectorOps.similarityTopKPairs(spark, emb, k = 20)
     assert(exact.collect().length == 20)
+  }
+
+  test("sorted_intersect_count equals size(array_intersect) on sorted input") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(s"w${rnd.nextInt(40)}").distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(s"w${rnd.nextInt(40)}").distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b").select(
+      call_function("sorted_intersect_count", $"a", $"b").as("fast"),
+      size(array_intersect($"a", $"b")).as("ref"))
+    assert(df.filter($"fast" =!= $"ref").count() == 0)
+    // empty-array edges
+    assert(Seq((Seq.empty[String], Seq("x"))).toDF("a", "b")
+      .select(call_function("sorted_intersect_count", $"a", $"b"))
+      .head.getInt(0) == 0)
   }
 
   test("cosine_sim zero-norm input yields 0.0, never NaN") {
