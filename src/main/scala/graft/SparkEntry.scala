@@ -28,7 +28,8 @@ object SparkEntry {
     Scans.all ++ Projections.all ++ Joins.all ++ Aggs.all ++ Windows.all ++
       Funcs.all ++ Relational.all ++ TextOps.all ++ VectorOps.all ++
       Udx.all ++ DocAssembly.all ++ StreamingBatch.all ++ AnnOps.all ++
-      Analytics.all ++ SqlEntry.all ++ TextCluster.all ++ aliases
+      Analytics.all ++ SqlEntry.all ++ TextCluster.all ++ CorpusOps.all ++
+      EventsOps.all ++ aliases
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

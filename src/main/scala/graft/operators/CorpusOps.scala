@@ -1,0 +1,197 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level search-relevance and training-data-curation operators:
+  * BM25 ranking, eval-set n-gram decontamination, and repetition-quality
+  * signals (the Gopher-rule family).
+  *
+  * Scale notes:
+  *  - bm25_topk: the term filter lands BEFORE the tokenize-explode's
+  *    groupBy, so the (doc, term) shuffle carries only query-term hits —
+  *    at 100 TB that is |docs containing a query term| rows, not the
+  *    corpus. df/N/avgdl are single-row or per-term aggregates,
+  *    broadcast-joined. Final ranking is TakeOrderedAndProject (top-k),
+  *    never a global sort.
+  *  - decontaminate_ngram: shingles are md5-compressed to 32-char keys so
+  *    the contamination semi-join shuffles fixed-width hashes, not 8-word
+  *    strings. The eval-set shingle list (a benchmark suite, small by
+  *    nature) is broadcast; the corpus side never shuffles at all —
+  *    explode → semi-join → distinct-on-doc_id → anti-join, all map-side
+  *    except the distinct.
+  *  - text_repetition: one tokenize-explode shuffle keyed by (doc_id,
+  *    token) then doc_id — the canonical two-phase agg; bigram metrics
+  *    ride scan-side expressions (no extra pass over the corpus).
+  */
+object CorpusOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Fixed query for the declared bm25_topk operator (mid-frequency corpus
+    * terms — present in many but not all documents). */
+  private val Bm25Terms = Seq("hash", "join", "vector")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** Search-relevance ranking: Lucene-shape BM25 over whitespace tokens.
+    *
+    * score(d) = Σ_t ln(1 + (N - df + 0.5)/(df + 0.5))
+    *            · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    *
+    * avgdl is computed as an exact BIGINT sum divided by an exact BIGINT
+    * count — bit-identical in both engines (AVG() aggregation order is
+    * not). Scores ROUND to 6 decimals; ties break on doc_id.
+    */
+  val bm25TopK = Q(
+    "bm25_topk",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+       |  WHERE token IN ('hash', 'join', 'vector') GROUP BY doc_id, token),
+       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
+       |SELECT doc_id,
+       |  ROUND(SUM(
+       |    LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |    (tf * (${K1} + 1.0)) /
+       |    (tf + ${K1} * (1.0 - ${B} + ${B} * dl /
+       |       (CAST(sum_dl AS DOUBLE) / n_docs)))), 6) AS bm25
+       |FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+       |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) {
+    (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      // Term filter BEFORE the (doc, token) shuffle: only query-term hits move.
+      val tf = docs
+        .select(col("doc_id"), explode(toks).as("token"))
+        .filter(col("token").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val dl = docs.select(col("doc_id"), size(toks).as("dl"))
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(toks)).as("sum_dl"))
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      val avgdl = col("sum_dl").cast("double") / col("n_docs")
+      val term = idf * (col("tf") * (K1 + 1.0)) /
+        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl))
+      tf.join(broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(round(sum(term), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+  }
+
+  /** Shingle expression shared by decontamination: word-8-grams, md5'd to
+    * fixed-width join keys. Callers filter to docs with ≥ 8 tokens first
+    * (Spark's `sequence(1, n)` descends for n < 1 — the short-doc trap). */
+  private def shingles8(textCol: String): org.apache.spark.sql.Column =
+    expr(
+      s"""transform(sequence(1, size(split($textCol, ' ')) - 7),
+         |  i -> md5(concat_ws(' ',
+         |    slice(split($textCol, ' '), i, 8))))""".stripMargin)
+
+  /** Training-data decontamination: drop every training document sharing
+    * at least one word-8-gram with the held-out eval set (stand-in eval
+    * set: the deterministic md5-prefix sample, the engine-portable
+    * sampling convention). Returns surviving doc_ids. */
+  val decontaminateNgram = Q(
+    "decontaminate_ngram",
+    """WITH ev AS (SELECT * FROM documents WHERE md5(text) LIKE '0%'),
+      |tr AS (SELECT * FROM documents WHERE md5(text) NOT LIKE '0%'),
+      |evsh AS (
+      |  SELECT DISTINCT unnest(list_transform(
+      |    range(1, len(string_split(text, ' ')) - 6),
+      |    i -> md5(array_to_string(string_split(text, ' ')[i:i+7], ' ')))) AS h
+      |  FROM ev),
+      |trsh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(1, len(string_split(text, ' ')) - 6),
+      |    i -> md5(array_to_string(string_split(text, ' ')[i:i+7], ' ')))) AS h
+      |  FROM tr),
+      |bad AS (SELECT DISTINCT doc_id FROM trsh WHERE h IN (SELECT h FROM evsh))
+      |SELECT doc_id FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val isEval = md5(col("text")).like("0%")
+    val ev = docs.filter(isEval)
+    val tr = docs.filter(!isEval)
+    val long = size(split(col("text"), " ")) >= 8
+    val evSh = ev.filter(long)
+      .select(explode(shingles8("text")).as("h")).distinct()
+    val trSh = tr.filter(long)
+      .select(col("doc_id"), explode(shingles8("text")).as("h"))
+    // Eval shingle sets are benchmark-sized — broadcast; the corpus side
+    // stays map-local through the semi-join.
+    val bad = trSh.join(broadcast(evSh), Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    tr.join(bad, Seq("doc_id"), "left_anti")
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** Gopher-family repetition signals per document:
+    * duplicate-bigram fraction and most-frequent-token fraction. NULL for
+    * degenerate docs (0 tokens / 0 bigrams) on both engines. */
+  val textRepetition = Q(
+    "text_repetition",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+      |top AS (
+      |  SELECT doc_id, MAX(tf) AS max_tf, CAST(SUM(tf) AS BIGINT) AS n_tok
+      |  FROM tf GROUP BY doc_id),
+      |bg AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) - 1 AS n_bigrams,
+      |    len(list_distinct(list_transform(
+      |      range(1, len(string_split(text, ' '))),
+      |      i -> string_split(text, ' ')[i] || ' ' ||
+      |           string_split(text, ' ')[i+1]))) AS n_distinct
+      |  FROM documents)
+      |SELECT doc_id,
+      |  ROUND(1.0 - n_distinct / CAST(NULLIF(n_bigrams, 0) AS DOUBLE), 6)
+      |    AS dup_bigram_frac,
+      |  ROUND(max_tf / CAST(NULLIF(n_tok, 0) AS DOUBLE), 6) AS top_token_frac
+      |FROM bg JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin) {
+    (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val tf = docs.select(col("doc_id"), explode(toks).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val top = tf.groupBy("doc_id")
+        .agg(max(col("tf")).as("max_tf"), sum(col("tf")).as("n_tok"))
+      // CASE guard: sequence(1, 0) DESCENDS in Spark — 1-token docs must
+      // yield an empty bigram list, not element_at(arr, 0) crashes.
+      val bigrams = expr(
+        """CASE WHEN size(split(text, ' ')) >= 2 THEN
+          |  transform(sequence(1, size(split(text, ' ')) - 1),
+          |    i -> concat(element_at(split(text, ' '), i), ' ',
+          |                element_at(split(text, ' '), i + 1)))
+          |ELSE array() END""".stripMargin)
+      val bg = docs.select(
+        col("doc_id"),
+        (size(toks) - 1).as("n_bigrams"),
+        size(array_distinct(bigrams)).as("n_distinct"))
+      bg.join(top, "doc_id")
+        .select(
+          col("doc_id"),
+          round(lit(1.0) - col("n_distinct") /
+            nullif(col("n_bigrams"), lit(0)).cast("double"), 6)
+            .as("dup_bigram_frac"),
+          round(col("max_tf") /
+            nullif(col("n_tok"), lit(0)).cast("double"), 6)
+            .as("top_token_frac"))
+        .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(bm25TopK, decontaminateNgram, textRepetition)
+}

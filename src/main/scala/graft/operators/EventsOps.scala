@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Event-stream product analytics: ordered funnels and cohort retention —
+  * the query family a clickstream/session warehouse runs daily.
+  *
+  * Scale notes: both operators reduce to per-user aggregates (shuffle key
+  * = user_id, the natural high-cardinality partitioner) followed by small
+  * joins/aggregations on the reduced sides. The funnel's stage-N-after-
+  * stage-N-1 condition joins per-user FIRST timestamps (one row per user)
+  * back to the event scan — the big side streams, the per-user side is
+  * orders of magnitude smaller post-aggregation. No window over a global
+  * ordering anywhere.
+  */
+object EventsOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Ordered conversion funnel view → click → purchase: a later stage
+    * counts only if it happens at-or-after the user's first earlier-stage
+    * event. One summary row. */
+  val eventsFunnel = Q(
+    "events_funnel",
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS v_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS c_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS p_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+      |  GROUP BY e.user_id)
+      |SELECT
+      |  (SELECT COUNT(*) FROM v) AS n_view,
+      |  (SELECT COUNT(*) FROM c) AS n_click_after_view,
+      |  (SELECT COUNT(*) FROM p) AS n_purchase_after_click""".stripMargin) {
+    (s, dir) =>
+      val ev = t(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") >= col("v_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") >= col("c_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+  }
+
+  /** Cohort retention: users grouped by first-activity day; for each
+    * cohort day × day-offset (0..7), how many distinct cohort members
+    * were active that day. */
+  val eventsRetention = Q(
+    "events_retention",
+    """WITH cohort AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      |  FROM events GROUP BY user_id),
+      |active AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      |SELECT cohort_day,
+      |  date_diff('day', cohort_day, day) AS day_offset,
+      |  COUNT(*) AS n_users
+      |FROM active JOIN cohort USING (user_id)
+      |WHERE date_diff('day', cohort_day, day) BETWEEN 0 AND 7
+      |GROUP BY cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val cohort = ev.groupBy("user_id")
+      .agg(min(col("ts").cast("date")).as("cohort_day"))
+    val active = ev.select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset").between(0, 7))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val all: Seq[Q] = Seq(eventsFunnel, eventsRetention)
+}

@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.{CorpusOps, EventsOps}
+import org.apache.spark.sql.functions._
+
+/** Behavior laws for the corpus search/curation and event-analytics
+  * operators (each also has a DuckDB oracle — these specs pin the
+  * SEMANTICS on planted inputs where the oracle only pins engine parity). */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25: more query-term occurrences rank higher; absent docs unscored") {
+    val out = CorpusOps.bm25TopK.fn(spark, sfDir).collect()
+    assert(out.length == 20)
+    // Descending by score, tie-broken by doc_id.
+    val scores = out.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // Every scored doc actually contains a query term.
+    val ids = out.map(_.getLong(0)).toSet
+    val texts = Tables.load(spark, sfDir, "documents")
+      .filter($"doc_id".isin(ids.toSeq: _*))
+      .select($"text").as[String].collect()
+    assert(texts.forall(t =>
+      t.split(" ").exists(Set("hash", "join", "vector"))))
+  }
+
+  test("bm25 on planted corpus: term-stuffed doc outranks single-mention doc") {
+    // Direct formula check on a 3-doc corpus via the same pipeline shape:
+    // a doc mentioning 'hash' 5 times must outrank one mentioning it once
+    // (equal lengths), and a doc without the term is absent.
+    val docs = Seq(
+      (1L, "hash hash hash hash hash pad pad pad"),
+      (2L, "hash pad pad pad pad pad pad pad"),
+      (3L, "pad pad pad pad pad pad pad pad")).toDF("doc_id", "text")
+    val tmp = s"/tmp/graft_bm25_spec_${System.nanoTime()}"
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val out = CorpusOps.bm25TopK.fn(spark, tmp).collect()
+    val byId = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId.contains(1L) && byId.contains(2L) && !byId.contains(3L))
+    assert(byId(1L) > byId(2L))
+  }
+
+  test("decontamination removes exactly the docs sharing an 8-gram with eval") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val survivors = CorpusOps.decontaminateNgram.fn(spark, sfDir)
+      .as[Long].collect().toSet
+    // Survivors are train docs (never eval docs).
+    val evalIds = docs.filter(md5($"text").like("0%"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(survivors.intersect(evalIds).isEmpty)
+    // A planted exact duplicate of an eval doc must NOT survive: any train
+    // doc whose text equals an eval doc's text shares all its 8-grams.
+    val evalTexts = docs.filter(md5($"text").like("0%"))
+      .select($"text").as[String].collect().toSet
+    val dupTrainIds = docs
+      .filter(!md5($"text").like("0%"))
+      .filter($"text".isin(evalTexts.toSeq: _*))
+      .filter(size(split($"text", " ")) >= 8)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(dupTrainIds.intersect(survivors).isEmpty,
+      "train docs textually identical to eval docs must be removed")
+  }
+
+  test("repetition: planted repetitive doc scores high, diverse doc low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val tmp = s"/tmp/graft_rep_spec_${System.nanoTime()}"
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val out = CorpusOps.textRepetition.fn(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 > 0.8, "all-identical bigrams => dup fraction ~ 6/7")
+    assert(out(1L)._2 == 1.0, "single token dominates completely")
+    assert(out(2L)._1 == 0.0 && out(2L)._2 == 0.125)
+  }
+
+  test("repetition degenerate docs yield NULL, not crash or Inf") {
+    val docs = Seq((1L, ""), (2L, "solo")).toDF("doc_id", "text")
+    val tmp = s"/tmp/graft_rep0_spec_${System.nanoTime()}"
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val out = CorpusOps.textRepetition.fn(spark, tmp).collect()
+    assert(out.forall(_.isNullAt(1)), "0 bigrams => NULL dup fraction")
+  }
+
+  test("funnel: stage order is enforced (click before first view ignored)") {
+    // events.parquet stores ts as raw INT64 nanoseconds (Tables.eventsRaw).
+    def ts(m: Int): Long =
+      (java.time.LocalDateTime.of(2024, 1, 1, 0, m)
+        .toEpochSecond(java.time.ZoneOffset.UTC)) * 1000000000L
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // user 2: click BEFORE any view -> counts as view-only
+      (2L, ts(1), "click"), (2L, ts(2), "view"),
+      // user 3: view then purchase with no click -> purchase must not count
+      (3L, ts(1), "view"), (3L, ts(5), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val tmp = s"/tmp/graft_funnel_spec_${System.nanoTime()}"
+    ev.write.parquet(s"$tmp/events.parquet")
+    val r = EventsOps.eventsFunnel.fn(spark, tmp).collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 1 && r.getLong(2) == 1)
+  }
+
+  test("retention: cohort day is first activity; offsets windowed to 0..7") {
+    def d(day: Int, h: Int = 0): Long =
+      (java.time.LocalDateTime.of(2024, 1, day, h, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC)) * 1000000000L
+    val ev = Seq(
+      (1L, d(1), "view"), (1L, d(2), "view"), (1L, d(2, 5), "click"),
+      (1L, d(20), "view"), // outside the 0..7 window
+      (2L, d(2), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val tmp = s"/tmp/graft_ret_spec_${System.nanoTime()}"
+    ev.write.parquet(s"$tmp/events.parquet")
+    val rows = EventsOps.eventsRetention.fn(spark, tmp).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSeq
+    assert(rows == Seq(
+      ("2024-01-01", 0, 1L), ("2024-01-01", 1, 1L), ("2024-01-02", 0, 1L)))
+  }
+}
