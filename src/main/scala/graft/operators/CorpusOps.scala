@@ -193,5 +193,68 @@ object CorpusOps {
         .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(bm25TopK, decontaminateNgram, textRepetition)
+  /** Training-mixture accounting: per (lang, source) document/token counts
+    * and each cell's share of total corpus tokens — the table a sampling-
+    * weight scheduler consumes. Shares divide exact BIGINT token counts
+    * (integer division order is engine-independent; double AVG is not). */
+  val mixtureStats = Q(
+    "corpus_mixture_stats",
+    """WITH g AS (
+      |  SELECT lang, source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang, source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM g)
+      |SELECT lang, source, n_docs, n_tokens,
+      |  ROUND(n_tokens / CAST(total_tokens AS DOUBLE), 6) AS token_share
+      |FROM g CROSS JOIN tot ORDER BY lang, source""".stripMargin) { (s, dir) =>
+    val g = t(s, dir, "documents")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"))
+    val tot = g.agg(sum(col("n_tokens")).as("total_tokens"))
+    g.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("total_tokens").cast("double"), 6)
+          .as("token_share"))
+      .orderBy("lang", "source")
+  }
+
+  /** Embedding int8 affine quantization audit: per-vector (min, max) range
+    * and the mean absolute reconstruction error of round((x-min)/scale)
+    * codes. The point at 100 TB is the 4x shuffle/storage reduction of
+    * shipping int8 codes + 2 floats instead of float32 vectors; this
+    * operator reports the accuracy cost per vector. Zero-range vectors
+    * quantize to NULL (scale 0) on both engines. */
+  val embeddingQuantize = Q(
+    "embedding_quantize_int8",
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+      |    (CAST(list_max(embedding) AS DOUBLE) -
+      |     CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS sc
+      |  FROM embeddings)
+      |SELECT vec_id, ROUND(mn, 6) AS q_min, ROUND(mn + 255.0 * sc, 6) AS q_max,
+      |  ROUND(list_sum(list_transform(embedding,
+      |    x -> abs(CAST(x AS DOUBLE) -
+      |      (mn + ROUND((CAST(x AS DOUBLE) - mn) / NULLIF(sc, 0.0)) * sc))))
+      |    / len(embedding), 6) AS mean_abs_err
+      |FROM base ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "embeddings")
+      .withColumn("mn", array_min(col("embedding")).cast("double"))
+      .withColumn("sc",
+        (array_max(col("embedding")).cast("double") - col("mn")) / 255.0)
+      .select(col("vec_id"),
+        round(col("mn"), 6).as("q_min"),
+        round(col("mn") + lit(255.0) * col("sc"), 6).as("q_max"),
+        round(expr(
+          """aggregate(embedding, cast(0.0 as double),
+            |  (acc, x) -> acc + abs(cast(x as double) -
+            |    (mn + round((cast(x as double) - mn) / nullif(sc, 0.0d)) * sc)))
+            |""".stripMargin) / size(col("embedding")), 6)
+          .as("mean_abs_err"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(bm25TopK, decontaminateNgram, textRepetition,
+    mixtureStats, embeddingQuantize)
 }

@@ -82,6 +82,24 @@ class CorpusSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(1)), "0 bigrams => NULL dup fraction")
   }
 
+  test("mixture stats: token shares partition the corpus (sum to 1)") {
+    val rows = CorpusOps.mixtureStats.fn(spark, sfDir).collect()
+    val share = rows.map(_.getDouble(4)).sum
+    assert(math.abs(share - 1.0) < 1e-3, s"shares sum to $share")
+    val totalDocs = rows.map(_.getLong(2)).sum
+    assert(totalDocs == Tables.load(spark, sfDir, "documents").count())
+  }
+
+  test("int8 quantization error is bounded by half a step per element") {
+    val out = CorpusOps.embeddingQuantize.fn(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val step = (r.getDouble(2) - r.getDouble(1)) / 255.0
+      assert(r.getDouble(3) <= step / 2.0 + 1e-9,
+        s"vec ${r.getLong(0)}: mean err ${r.getDouble(3)} > half-step ${step / 2}")
+    }
+  }
+
   test("funnel: stage order is enforced (click before first view ignored)") {
     // events.parquet stores ts as raw INT64 nanoseconds (Tables.eventsRaw).
     def ts(m: Int): Long =
