@@ -240,9 +240,19 @@ object TextOps {
   }
 
   /** K6-adjacent — polynomial rolling hash over the character stream
-    * (Rabin-Karp shape: h = h*31 + codepoint mod 2^31-1). No SQL oracle
-    * (fold is engine-specific); TextSpec pins exact values and laws. */
-  val fingerprintRolling = Q.noOracle("text_fingerprint_rolling") { (s, dir) =>
+    * (Rabin-Karp shape: h = h*31 + codepoint mod 2^31-1). Oracled since
+    * round 2's second wave: DuckDB `list_reduce` expresses the same
+    * per-codepoint fold (verified incl. non-ASCII + empty edges).
+    * TextSpec additionally pins exact values and laws. */
+  val fingerprintRolling = Q(
+    "text_fingerprint_rolling",
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''),
+      |        c -> CAST(ascii(c) AS BIGINT))),
+      |    (h, c) -> (h * 31 + c) % 2147483647) AS rolling_hash
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     rollingHash(t(s, dir, "documents")).orderBy("doc_id")
   }
 
