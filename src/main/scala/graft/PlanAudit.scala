@@ -18,9 +18,10 @@ object PlanAudit {
   private val expectedNlj = Set(
     "join_cross",            // cartesian by definition
     "join_range_theta",      // 3-row band table
-    "knn_query", "ann_ivf_knn", // 1-row query-vector broadcast
+    "knn_query", "ann_ivf_knn", "ann_pq_knn", // 1-row query-vector broadcast
     "text_tokenize_tf", "text_tokenize_tfidf", // 1-row corpus-count broadcast
     "bm25_topk",         // 1-row (N, avgdl) stats broadcast
+    "corpus_mixture_stats", // 1-row token-total broadcast
     "events_funnel",     // cross of three 1-row stage counts
     "dedup_embedding_cosine", "dedup_ngram_jaccard") // exact quadratic baselines
 

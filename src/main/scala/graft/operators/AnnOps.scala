@@ -130,5 +130,86 @@ object AnnOps {
     ivfKnn(s, t(s, dir, "embeddings"), queryId = 0L, k = 20)
   }
 
-  val all: Seq[Q] = Seq(annLshTopK, annIvfKnn)
+  /** Shared product-quantization (PQ) kNN pipeline: per-subspace codebooks
+    * (deterministic md5-sampled seeds + one Lloyd refinement, built with
+    * the same centroid Aggregator as IVF), asymmetric-distance (ADC) scan
+    * against a broadcast lookup table, exact cosine re-rank of the top
+    * candidates.
+    *
+    * 100 TB shape: the index build is a handful of small aggregates (the
+    * codebooks are m·ksub·dsub doubles — kilobytes, driver-held like the
+    * IVF centroids); the query is ONE map-side scan computing
+    * Σ_m lut[m][code_m(x)] in codegen (no shuffle), a TakeOrdered of
+    * `nCandidates`, then an exact re-rank of candidates only. In a
+    * production layout the codes (m bytes/vector, 8 vs 256 bytes here)
+    * are precomputed once at ingest — 32× less scan I/O than raw floats;
+    * here encode+scan fuse into one pass for the declared query. */
+  def pqKnn(s: SparkSession, emb: DataFrame, queryId: Long, k: Int,
+      m: Int = 8, dsub: Int = 8, ksub: Int = 16,
+      nCandidates: Int = 100): DataFrame = {
+    VectorOps.registerFns(s)
+    import s.implicits._
+    // --- index build (driver-side constants, as with the IVF centroids) ---
+    val seedIds = emb.select(col("vec_id"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(ksub).as[Long].collect().sorted.toSeq
+    val seeds = emb.filter(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().sortBy(_._1).map(_._2)
+    var codebooks: Array[Array[Seq[Double]]] =
+      Array.tabulate(m)(mm => Array.tabulate(ksub)(j =>
+        seeds(j).slice(mm * dsub, (mm + 1) * dsub).map(_.toDouble).toSeq))
+    def subCol(mm: Int): Column = slice(col("embedding"), mm * dsub + 1, dsub)
+    // argmin ||x-c||² == argmax (x·c − ||c||²/2); ties break to the higher
+    // code via the struct max — deterministic either way.
+    def codeCol(mm: Int, cb: Array[Array[Seq[Double]]]): Column = {
+      val scored = (0 until ksub).map { j =>
+        val c = cb(mm)(j)
+        val half = c.map(x => x * x).sum / 2.0
+        struct((call_function("dot_product", subCol(mm), typedLit(c)) - half)
+          .as("s"), lit(j).as("code"))
+      }
+      array_max(array(scored: _*)).getField("code")
+    }
+    val centroid = udaf(Udx.centroidAgg)
+    codebooks = Array.tabulate(m) { mm =>
+      val means = emb
+        .select(codeCol(mm, codebooks).as("code"), subCol(mm).as("sub"))
+        .groupBy("code").agg(centroid(col("sub")).as("c"))
+        .as[(Int, Seq[Double])].collect().toMap
+      // Empty clusters keep their seed centroid.
+      Array.tabulate(ksub)(j => means.getOrElse(j, codebooks(mm)(j)))
+    }
+    // --- query: ADC lookup table + fused encode-and-score scan ---
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    val qVec = q.as[Seq[Float]].head()
+    val lut: Array[Seq[Double]] = Array.tabulate(m) { mm =>
+      (0 until ksub).map { j =>
+        codebooks(mm)(j).zipWithIndex
+          .map { case (c, i) => c * qVec(mm * dsub + i) }.sum
+      }
+    }
+    val adc = (0 until m).map { mm =>
+      element_at(typedLit(lut(mm)), codeCol(mm, codebooks) + 1)
+    }.reduce(_ + _)
+    emb.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("embedding"), adc.as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(nCandidates)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(call_function("cosine_sim", col("embedding"), col("qe")), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** K4-scale — approximate kNN via PQ codes + ADC (the byte-budget
+    * complement to IVF's partition pruning). */
+  val annPqKnn = Q.noOracle("ann_pq_knn") { (s, dir) =>
+    pqKnn(s, t(s, dir, "embeddings"), queryId = 0L, k = 20)
+  }
+
+  val all: Seq[Q] = Seq(annLshTopK, annIvfKnn, annPqKnn)
 }

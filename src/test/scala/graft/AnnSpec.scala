@@ -46,6 +46,32 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@20 = $recall")
   }
 
+  test("PQ kNN: recall@20 vs exact knn >= 0.5, deterministic") {
+    val exact = emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(emb.filter($"vec_id" === 0)
+        .select($"embedding".as("qe"))))
+      .select($"vec_id",
+        round(call_function("cosine_sim", $"embedding", $"qe"), 6).as("sim"))
+      .orderBy($"sim".desc, $"vec_id").limit(20)
+      .collect().map(_.getLong(0)).toSet
+    val approx = AnnOps.pqKnn(spark, emb, queryId = 0L, k = 20)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size / 20.0
+    assert(recall >= 0.5, s"recall@20 = $recall")
+    val again = AnnOps.pqKnn(spark, emb, queryId = 0L, k = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx == again, "PQ result must be deterministic")
+  }
+
+  test("PQ with candidate pool = corpus recovers the exact ranking") {
+    val n = emb.count().toInt
+    val full = AnnOps.pqKnn(spark, emb, queryId = 0L, k = 20, nCandidates = n)
+    val exact = VectorOps.knnQuery.fn(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full.collect().map(_.getLong(0)).toSeq == exact,
+      "re-ranking every vector exactly must equal the exact kNN")
+  }
+
   test("IVF assignment partitions the corpus into the probe-able lists") {
     val full = AnnOps.ivfKnn(spark, emb, queryId = 0L, k = 20,
       nProbe = 10) // probing ALL lists must recover exact ranking
