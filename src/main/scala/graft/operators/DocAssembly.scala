@@ -59,44 +59,94 @@ object DocAssembly {
       .orderBy("doc_id")
   }
 
-  /** Decoded-media record produced by the (stubbed) decoder. */
+  /** Real image codec on the JDK's built-in ImageIO PNG reader/writer —
+    * no external codec jars ship in this container, but `javax.imageio`
+    * ships in the JDK itself, so the decode/resize kernels run a REAL
+    * encode→decode roundtrip. The corpus carries no media bytes, so the
+    * ingest step renders a deterministic 16×16 RGB PNG from each
+    * document's text (channels cycle over the UTF-8 bytes); every stage
+    * after that point is the production pipeline shape: payload bytes →
+    * codec → typed record. */
+  object Png {
+    val Side = 16
+    /** Deterministic PNG payload from text (the media-less-corpus ingest
+      * stand-in; everything downstream is a real codec call). */
+    def render(text: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        Side, Side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bytes = text.getBytes("UTF-8")
+      val n = bytes.length
+      var i = 0
+      while (i < Side * Side) {
+        val rgb =
+          if (n == 0) 0
+          else ((bytes(i % n) & 0xff) << 16) |
+            ((bytes((i * 3 + 1) % n) & 0xff) << 8) |
+            (bytes((i * 7 + 2) % n) & 0xff)
+        img.setRGB(i % Side, i / Side, rgb)
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    /** Real decode: (width, height, pixel checksum). Codec-layout-free:
+      * the checksum folds decoded pixels, not container bytes. */
+    def decode(bytes: Array[Byte]): (Int, Int, Long) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      var cs = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          cs = cs * 31 + (img.getRGB(x, y) & 0xffffff); x += 1
+        }
+        y += 1
+      }
+      (img.getWidth, img.getHeight, cs)
+    }
+    /** Real resize: decode → nearest-neighbor scale → re-encode PNG. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val src = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+      g.drawImage(src, 0, 0, w, h, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Decoded-media record produced by the decoder. */
   final case class DecodedMedia(doc_id: Long, n_bytes: Long, width: Int,
       height: Int, checksum: Long)
 
-  /** K7 — the media-decode seam: binary payload → per-partition batch
-    * "decode" via mapPartitions with a typed Encoder (the Scala analogue of
-    * mapInPandas batching).
-    *
-    * STUB: no image/audio codecs ship in this container, so `fakeDecode`
-    * derives deterministic pseudo-metadata from the bytes. In production
-    * this function body is replaced by the real codec call (e.g. TwelveMonkeys
-    * ImageIO / javacv) — the Spark-side plumbing (schema, partitioning,
-    * batch shape, encoder) is exactly what ships. No SQL oracle: covered by
-    * MultimodalSpec. */
+  /** K7 — media decode: binary payload → per-partition batch decode via
+    * mapPartitions with a typed Encoder (the Scala analogue of mapInPandas
+    * batching). The kernel is the JDK ImageIO PNG codec (see [[Png]]) —
+    * real bytes in, real decoded pixels out. No SQL oracle (no codec in
+    * DuckDB); EntrySpec pins the roundtrip against an independent pixel
+    * recomputation. */
   val multimodalDecode = Q.noOracle("multimodal_decode") { (s, dir) =>
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), col("text").as("text"))
     implicit val enc = Encoders.product[DecodedMedia]
     docs.mapPartitions { rows =>
-      // One codec context per partition (the expensive init happens once
-      // per task, amortized over the batch — the mapInPandas shape).
+      // One codec context per partition (expensive init amortized over the
+      // batch — the mapInPandas shape). ImageIO readers are per-thread.
       rows.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        fakeDecode(id, bytes)
+        val payload = Png.render(r.getString(1)) // ingest: text → PNG bytes
+        val (w, h, cs) = Png.decode(payload)     // REAL codec decode
+        DecodedMedia(id, payload.length.toLong, w, h, cs)
       }
     }(enc).orderBy("doc_id").toDF()
-  }
-
-  /** Deterministic stand-in for a real media decoder (see above). */
-  def fakeDecode(id: Long, bytes: Array[Byte]): DecodedMedia = {
-    var checksum = 0L
-    var i = 0
-    while (i < bytes.length) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
-    DecodedMedia(id, bytes.length.toLong,
-      width = 16 + (math.abs(checksum) % 64).toInt,
-      height = 16 + (math.abs(checksum / 64) % 64).toInt,
-      checksum = checksum)
   }
 
   /** K8 — search-document assembly: relational row → flat document with
@@ -148,26 +198,30 @@ object DocAssembly {
   }
 
   /** Resized-media record: payload carried through a binary→binary
-    * transform with typed size metadata. */
+    * transform with typed size metadata plus the decoded-pixel checksum
+    * of the resized image. */
   final case class ResizedMedia(doc_id: Long, orig_bytes: Long,
-      resized_bytes: Long, payload: Array[Byte])
+      resized_bytes: Long, width: Int, height: Int, checksum: Long,
+      payload: Array[Byte])
 
-  /** K7 — "resize": binary→binary batch transform with the same
-    * per-partition batching shape as decode. STUB: real codecs would
-    * decode→scale→re-encode; here the deterministic stand-in truncates to
-    * a target byte budget. The plumbing (typed encoder, binary column in
-    * AND out, partition batching) is the real contract. */
+  /** K7 — resize: binary→binary batch transform with the same
+    * per-partition batching shape as decode. The kernel is REAL:
+    * ImageIO decode → nearest-neighbor 16×16→8×8 scale → PNG re-encode
+    * (see [[Png]]). The plumbing (typed encoder, binary column in AND
+    * out, partition batching) is the production contract. */
   val multimodalResize = Q.noOracle("multimodal_resize") { (s, dir) =>
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), col("text").as("text"))
     implicit val enc = Encoders.product[ResizedMedia]
     docs.mapPartitions { rows =>
-      val targetBytes = 64 // per-partition "codec" config, init once
+      val (tw, th) = (8, 8) // per-partition codec config, init once
       rows.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val resized = java.util.Arrays.copyOf(bytes, math.min(bytes.length, targetBytes))
-        ResizedMedia(id, bytes.length.toLong, resized.length.toLong, resized)
+        val orig = Png.render(r.getString(1))   // ingest: text → PNG bytes
+        val resized = Png.resize(orig, tw, th)  // REAL decode→scale→encode
+        val (w, h, cs) = Png.decode(resized)
+        ResizedMedia(id, orig.length.toLong, resized.length.toLong,
+          w, h, cs, resized)
       }
     }(enc).orderBy("doc_id").toDF()
   }
@@ -175,7 +229,10 @@ object DocAssembly {
   /** K7 — "frame sampling": one binary payload → many frame rows (the
     * video shape: every k-th fixed-size block becomes a frame record).
     * Generator output (one→many) + per-frame checksum, all computed in the
-    * partition batch. */
+    * partition batch. This is the one remaining stand-in kernel: the JDK
+    * ships no video codec (decode/resize above use the real ImageIO PNG
+    * path); a production build swaps the block sampler for e.g. javacv
+    * frame grabs — the one→many generator shape is the contract. */
   val multimodalFrameSample = Q.noOracle("multimodal_framesample") { (s, dir) =>
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
