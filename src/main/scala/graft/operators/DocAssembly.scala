@@ -197,6 +197,85 @@ object DocAssembly {
       .orderBy("id")
   }
 
+  /** Decoded-audio record: real WAV-container metadata + signal features. */
+  final case class AudioFeatures(doc_id: Long, n_bytes: Long,
+      sample_rate: Int, n_samples: Long, duration_ms: Double,
+      rms: Double, zero_crossings: Long)
+
+  /** K7 — audio decode + feature extraction, the third modality. The JDK
+    * ships a real WAV codec (`javax.sound.sampled`): ingest synthesizes a
+    * deterministic 8 kHz 16-bit mono PCM clip from each document's text
+    * (one byte → one sample, scaled), wraps it in a real WAV container via
+    * AudioSystem, and the kernel decodes it back (AudioInputStream) and
+    * extracts signal features: RMS energy and zero-crossing count — the
+    * standard cheap audio-quality signals. Same mapPartitions typed-batch
+    * shape as image decode. */
+  val multimodalAudio = Q.noOracle("multimodal_audio_features") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").as("text"))
+    implicit val enc = Encoders.product[AudioFeatures]
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val wav = Wav.render(r.getString(1))      // ingest: text → WAV bytes
+        val (sr, samples) = Wav.decode(wav)       // REAL codec decode
+        var sumSq = 0.0
+        var zc = 0L
+        var i = 0
+        while (i < samples.length) {
+          val v = samples(i).toDouble / 32768.0
+          sumSq += v * v
+          if (i > 0 && ((samples(i) >= 0) != (samples(i - 1) >= 0))) zc += 1
+          i += 1
+        }
+        val n = samples.length
+        AudioFeatures(id, wav.length.toLong, sr, n.toLong,
+          if (sr == 0) 0.0 else n * 1000.0 / sr,
+          if (n == 0) 0.0 else math.sqrt(sumSq / n), zc)
+      }
+    }(enc).orderBy("doc_id").toDF()
+  }
+
+  /** Real audio codec on the JDK's built-in WAV reader/writer. */
+  object Wav {
+    val SampleRate = 8000
+    /** Deterministic 16-bit mono PCM WAV from text: byte b → sample
+      * ((b-128) << 8), i.e. full-scale signed audio. */
+    def render(text: String): Array[Byte] = {
+      val bytes = text.getBytes("UTF-8")
+      val pcm = new Array[Byte](bytes.length * 2)
+      var i = 0
+      while (i < bytes.length) {
+        val sample = (((bytes(i) & 0xff) - 128) << 8).toShort
+        pcm(2 * i) = (sample & 0xff).toByte           // little-endian
+        pcm(2 * i + 1) = ((sample >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        SampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, bytes.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    /** Real decode: WAV container → (sampleRate, 16-bit samples). */
+    def decode(bytes: Array[Byte]): (Int, Array[Short]) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val raw = ais.readAllBytes()
+      val out = new Array[Short](raw.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort
+        i += 1
+      }
+      (fmt.getSampleRate.toInt, out)
+    }
+  }
+
   /** Resized-media record: payload carried through a binary→binary
     * transform with typed size metadata plus the decoded-pixel checksum
     * of the resized image. */
@@ -255,5 +334,5 @@ object DocAssembly {
   }
 
   val all: Seq[Q] = Seq(multimodalCols, multimodalBinary, multimodalDecode,
-    multimodalResize, multimodalFrameSample, solrDocAssembly)
+    multimodalResize, multimodalAudio, multimodalFrameSample, solrDocAssembly)
 }

@@ -55,6 +55,28 @@ class EntrySpec extends SparkSpec {
     assert(we == 16 && he == 16 && cse == 0L)
   }
 
+  test("WAV codec roundtrip: decoded samples match the rendered PCM exactly") {
+    val text = "hello world"
+    val wav = DocAssembly.Wav.render(text)
+    // Real container: RIFF/WAVE magic.
+    assert(new String(wav.slice(0, 4)) == "RIFF" &&
+      new String(wav.slice(8, 12)) == "WAVE")
+    val (sr, samples) = DocAssembly.Wav.decode(wav)
+    assert(sr == 8000 && samples.length == text.getBytes("UTF-8").length)
+    val expected = text.getBytes("UTF-8")
+      .map(b => (((b & 0xff) - 128) << 8).toShort).toSeq
+    assert(samples.toSeq == expected, "codec roundtrip must be lossless")
+    // Feature sanity on the declared query: duration = n/8000 s, rms in [0,1].
+    val rows = DocAssembly.multimodalAudio.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2) == 8000)
+      assert(math.abs(r.getDouble(4) - r.getLong(3) * 1000.0 / 8000.0) < 1e-9)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getLong(6) >= 0 && r.getLong(6) < r.getLong(3))
+    }
+  }
+
   test("multimodal resize produces real 8x8 PNGs; frame-sample deterministic") {
     val resized = DocAssembly.multimodalResize.fn(spark, sfDir).collect()
     assert(resized.nonEmpty)
