@@ -50,6 +50,25 @@ object Scans {
         .orderBy("n_nationkey")
   }
 
+  /** A3-adjacent — ORC ingest (the other columnar format Spark ships
+    * natively; no spark-avro data-source jar is present in this image, so
+    * Avro is documented-absent alongside the Cassandra/Solr connectors).
+    * Round-trips supplier→ORC through /tmp with predicate + pruning applied
+    * on the ORC read; the oracle reads the original parquet — a mismatch
+    * would expose a lossy conversion or a pushdown bug on the ORC path. */
+  val scanOrc = Q(
+    "scan_orc",
+    """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+      |WHERE s_acctbal > 0 ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    val tmp = s"/tmp/graft_io/${new java.io.File(dir).getName}"
+    Tables.load(s, dir, "supplier").coalesce(1)
+      .write.mode("overwrite").orc(s"$tmp/supplier_orc")
+    s.read.schema(Tables.supplier).orc(s"$tmp/supplier_orc")
+      .filter(col("s_acctbal") > 0)
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
   /** A6 — events read with the exact schema the streaming source uses
     * (`spark.readStream.schema(Tables.events)` — see graft.streaming). */
   val streamSource = Q(
@@ -61,5 +80,5 @@ object Scans {
       .orderBy("event_id").limit(1000)
   }
 
-  val all: Seq[Q] = Seq(scanParquet, scanCsvJson, streamSource)
+  val all: Seq[Q] = Seq(scanParquet, scanCsvJson, scanOrc, streamSource)
 }

@@ -26,6 +26,15 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("l_partkey") && !read.contains("l_returnflag"), read)
   }
 
+  test("scan_orc: filter pushes into the ORC scan, schema pruned") {
+    val p = plan("scan_orc")
+    val orcScan = p.linesIterator.filter(_.contains("orc")).mkString("\n")
+    assert(p.contains("PushedFilters: [IsNotNull(s_acctbal), GreaterThan(s_acctbal,0.0)]")
+      || p.contains("GreaterThan(s_acctbal,0.0)"), p.take(900))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("s_suppkey") && !read.contains("s_nationkey"), read)
+  }
+
   test("topk plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(400))
