@@ -100,6 +100,28 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("zorder key: exact Morton values and quadrant ordering") {
+    import graft.operators.LayoutOps
+    val pts = Seq((0, 0), (1, 0), (0, 1), (1, 1), (3, 5), (40000, 50000))
+      .toDF("x", "y")
+    val keys = pts.select($"x", $"y",
+      LayoutOps.zkey($"x", $"y").as("z")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(keys((0, 0)) == 0L && keys((1, 0)) == 1L && keys((0, 1)) == 2L
+      && keys((1, 1)) == 3L)
+    // z(3,5) = interleave(x=011, y=101) = y2 x2 y1 x1 y0 x0 = 100111b = 39
+    assert(keys((3, 5)) == 39L)
+    // Reference interleave for a large pair.
+    def ref(x: Int, y: Int): Long = (0 until 16).map { i =>
+      (((x >> i) & 1).toLong << (2 * i)) | (((y >> i) & 1).toLong << (2 * i + 1))
+    }.reduce(_ | _)
+    assert(keys((40000, 50000)) == ref(40000, 50000))
+    // Quadrant law: every point in the low-low quadrant sorts before every
+    // point in the high-high quadrant — the pruning property.
+    val h = 1 << 15
+    assert(ref(h - 1, h - 1) < ref(h, h))
+  }
+
   test("funnel: stage order is enforced (click before first view ignored)") {
     // events.parquet stores ts as raw INT64 nanoseconds (Tables.eventsRaw).
     def ts(m: Int): Long =
