@@ -68,6 +68,11 @@ object DocAssembly {
     * after that point is the production pipeline shape: payload bytes →
     * codec → typed record. */
   object Png {
+    // ImageIO defaults to a FILE-backed stream cache: every read/write
+    // spills through a temp file — a per-row disk roundtrip under 32
+    // concurrent tasks (and a non-starter on executors at scale). The
+    // payloads here are small in-memory byte arrays; cache in heap.
+    javax.imageio.ImageIO.setUseCache(false)
     val Side = 16
     /** Deterministic PNG payload from text (the media-less-corpus ingest
       * stand-in; everything downstream is a real codec call). */
