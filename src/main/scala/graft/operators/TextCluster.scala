@@ -59,7 +59,8 @@ object TextCluster {
   /** Min-label-propagation connected components over (a_id, b_id) pairs.
     * Returns (doc_id, cluster_id, is_survivor); vertices with no edge form
     * singleton clusters. Shared with TextSpec. */
-  def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+      maxIter: Int = 100): DataFrame = {
     val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
       .union(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
       .localCheckpoint(true)
@@ -67,7 +68,7 @@ object TextCluster {
       col("doc_id").as("label")).localCheckpoint(true)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 50) {
+    while (changed > 0 && iter < maxIter) {
       val neighborMin = edges
         .join(labels, col("y") === col("id"))
         .groupBy(col("x")).agg(min(col("label")).as("nl"))
@@ -81,6 +82,14 @@ object TextCluster {
       labels = next
       iter += 1
     }
+    // Rounds needed = component diameter. Returning partial labels on a
+    // chain deeper than the cap would be SILENTLY wrong cluster ids /
+    // survivor flags — fail loudly instead (ADVICE r2).
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — component diameter exceeds " +
+          "the iteration cap; raise maxIter for this graph shape")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
       (col("id") === col("label")).as("is_survivor"))
   }

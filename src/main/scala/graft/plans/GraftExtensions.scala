@@ -66,6 +66,21 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
   * the rewritten subtree stay valid. Disable with
   * `spark.graft.similarity.rewrite.enabled=false`.
   *
+  * Safety gates (round-3, per ADVICE r2):
+  *  - the size estimate must be TRUSTWORTHY: plans without computable
+  *    stats (LogicalRDD from createDataFrame, etc.) report the
+  *    `spark.sql.defaultSizeInBytes` sentinel (Long.MaxValue by default),
+  *    which would silently rewrite tiny in-memory data — the rule skips
+  *    when sizeInBytes equals that sentinel;
+  *  - the sort key must be the `round(cosine_sim(·,·), 6)` shape the LSH
+  *    pipeline actually emits (a bare cosine projection would silently
+  *    return rounded values), and the projected sim output must be that
+  *    same rounded expression;
+  *  - the ORIGINAL Sort (all keys, null ordering included) is re-applied
+  *    on top of the spliced k-row LSH result, so secondary tie-break keys
+  *    like `orderBy(sim.desc, b_id, a_id)` order the output exactly as
+  *    the user wrote — only LSH recall remains approximate.
+  *
   * Idempotent by construction: the LSH pipeline's own top-k sort sits over
   * an EQUI-join on (band, bucket) (the `a_id < b_id` there is a Filter, not
   * the join condition), so the rewritten subtree can never re-match.
@@ -117,6 +132,14 @@ class SimilarityRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     resolveThrough(side, id, vec)
   }
 
+  /** True when the plan's sizeInBytes is the untrustworthy
+    * `spark.sql.defaultSizeInBytes` fallback (plans with no computable
+    * stats — LogicalRDD, non-file leaves — all report exactly this
+    * sentinel). Rewriting on the sentinel would turn an exact top-k over
+    * a tiny in-memory dataset into approximate LSH results. */
+  private def statsUntrusted(size: BigInt): Boolean =
+    size == BigInt(session.sessionState.conf.defaultSizeInBytes)
+
   private def rewrite(k: Int, sort: Sort): Option[LogicalPlan] = {
     val head = sort.order.head
     if (head.direction != Descending) return None
@@ -125,11 +148,12 @@ class SimilarityRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           Join(jl, jr, Inner, Some(LessThan(la: AttributeReference,
             ra: AttributeReference)), _))
           if jl.outputSet.contains(la) && jr.outputSet.contains(ra) =>
-        // The sort key must be cosine_sim (bare or round(·, 6)) over one
-        // attribute from each join input.
+        // The sort key must be round(cosine_sim(·,·), 6) — the exact
+        // expression lshTopKPairs emits. A bare (unrounded) cosine is NOT
+        // matched: the spliced plan could only return rounded values for
+        // a column the user projected unrounded.
         val simExpr = dealias(head.child, projList)
         val cos = simExpr match {
-          case c: CosineSimilarity => Some(c)
           case Round(c: CosineSimilarity, Literal(6, IntegerType), _) => Some(c)
           case _ => None
         }
@@ -142,8 +166,9 @@ class SimilarityRewrite(session: SparkSession) extends Rule[LogicalPlan] {
               (rBase, rId, rVec) <- sideInfo(jr, ra, cb)
               if lBase.canonicalized == rBase.canonicalized
               if lId == rId && lVec == rVec
+              if !statsUntrusted(lBase.stats.sizeInBytes)
               if lBase.stats.sizeInBytes > sizeThreshold
-              roles <- outputRoles(projList, la, ra)
+              roles <- outputRoles(projList, la, ra, ca, cb)
             } yield {
               val emb = GraftSqlBridge.ofRows(session, lBase)
                 .select(col(lId).as("vec_id"), col(lVec).as("embedding"))
@@ -158,9 +183,14 @@ class SimilarityRewrite(session: SparkSession) extends Rule[LogicalPlan] {
               val byName = lshPlan.output.map(a => a.name -> a).toMap
               // Preserve the original output attribute names AND exprIds so
               // any references above the rewritten subtree stay bound.
-              Project(proj.output.zip(roles).map { case (o, role) =>
+              val aliased = Project(proj.output.zip(roles).map { case (o, role) =>
                 Alias(byName(role), o.name)(exprId = o.exprId)
               }, lshPlan)
+              // Re-apply the ORIGINAL Sort (secondary keys + null ordering
+              // included) over the k-row LSH result: its order expressions
+              // reference proj.output exprIds, which `aliased` preserves.
+              // Cost is a k-row sort; benefit is the user's exact ordering.
+              Sort(sort.order, global = true, aliased)
             }
           case _ => None
         }
@@ -169,16 +199,23 @@ class SimilarityRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Map each projected output to its LSH-result column: the left join key
-    * → a_id, right → b_id, anything containing the cosine → sim. Bail on
-    * any other output (the rewrite must reproduce the full schema). */
+    * → a_id, right → b_id, the rounded cosine → sim. The sim output must
+    * be the exact round(cosine_sim, 6) shape over the same attributes —
+    * anything else (incl. a bare cosine projected alongside a rounded sort
+    * key) bails. Bail on any other output too (the rewrite must reproduce
+    * the full schema). */
   private def outputRoles(projList: Seq[NamedExpression],
-      la: AttributeReference, ra: AttributeReference): Option[Seq[String]] = {
+      la: AttributeReference, ra: AttributeReference,
+      ca: AttributeReference, cb: AttributeReference): Option[Seq[String]] = {
     val roles = projList.map { ne =>
       val e = ne match { case a: Alias => a.child; case other => other }
       e match {
         case ar: AttributeReference if ar.exprId == la.exprId => Some("a_id")
         case ar: AttributeReference if ar.exprId == ra.exprId => Some("b_id")
-        case other if other.exists(_.isInstanceOf[CosineSimilarity]) => Some("sim")
+        case Round(CosineSimilarity(x: AttributeReference,
+            y: AttributeReference), Literal(6, IntegerType), _)
+            if x.exprId == ca.exprId && y.exprId == cb.exprId => Some("sim")
+        case other if other.exists(_.isInstanceOf[CosineSimilarity]) => None
         case _ => None
       }
     }

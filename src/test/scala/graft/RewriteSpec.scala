@@ -57,6 +57,73 @@ class RewriteSpec extends SparkSpec {
       "below-threshold results must stay exact (equal the kernel)")
   }
 
+  test("untrusted stats (in-memory LogicalRDD sentinel) are never rewritten") {
+    // createDataFrame has no computable stats: it reports the
+    // spark.sql.defaultSizeInBytes sentinel (Long.MaxValue), which is
+    // ABOVE any threshold — without the sentinel gate this tiny exact
+    // query would silently become approximate LSH (ADVICE r2, medium).
+    spark.conf.set(thresholdKey, "1")
+    try {
+      val rows = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding")).limit(20).collect()
+      val local = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 2),
+        Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding")).schema)
+      val a = local.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val b = local.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      val df = a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(call_function("cosine_sim", col("ea"), col("eb")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+        .limit(5)
+      assert(thetaJoins(df).nonEmpty,
+        "sentinel-stat plans must keep the exact all-pairs join")
+    } finally spark.conf.unset(thresholdKey)
+  }
+
+  test("bare (unrounded) cosine sort key is not rewritten") {
+    // The LSH pipeline emits round(sim, 6); splicing it under a bare
+    // cosine projection would silently round a column the user projected
+    // raw (ADVICE r2) — the match is restricted to the Round shape.
+    spark.conf.set(thresholdKey, "1")
+    try {
+      val e = Tables.load(spark, sfDir, "embeddings")
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      val df = a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          call_function("cosine_sim", col("ea"), col("eb")).as("sim"))
+        .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+        .limit(10)
+      assert(thetaJoins(df).nonEmpty,
+        "bare-cosine top-k must keep the exact all-pairs join")
+    } finally spark.conf.unset(thresholdKey)
+  }
+
+  test("secondary sort keys survive the rewrite (original Sort re-applied)") {
+    spark.conf.set(thresholdKey, "1")
+    try {
+      val e = Tables.load(spark, sfDir, "embeddings")
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      // User tie-break differs from LSH's fixed (sim desc, a_id, b_id).
+      val df = a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(call_function("cosine_sim", col("ea"), col("eb")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("b_id").desc, col("a_id"))
+        .limit(50)
+      assert(thetaJoins(df).isEmpty, "still rewritten above threshold")
+      val expected = AnnOps.lshTopKPairs(spark,
+        Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding")), 50)
+        .orderBy(col("sim").desc, col("b_id").desc, col("a_id"))
+        .collect()
+      assert(df.collect().toSeq == expected.toSeq,
+        "rewritten output must be ordered by the USER's sort keys")
+    } finally spark.conf.unset(thresholdKey)
+  }
+
   test("rewrite disabled by conf leaves the plan alone even above threshold") {
     spark.conf.set(thresholdKey, "1")
     spark.conf.set("spark.graft.similarity.rewrite.enabled", "false")

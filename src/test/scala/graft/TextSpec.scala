@@ -60,6 +60,23 @@ class TextSpec extends SparkSpec {
       (4L, 4L, true), (5L, 5L, true)))
   }
 
+  test("connected components: unconverged cap throws instead of partial labels") {
+    import spark.implicits._
+    // A 6-node chain has diameter 5: min-label propagation needs 5 rounds.
+    // With the cap at 2 the labels are still moving — the operator must
+    // fail loudly, never return silently-wrong cluster ids (ADVICE r2).
+    val verts = (1L to 6L).toDF("doc_id")
+    val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val ex = intercept[IllegalStateException] {
+      TextCluster.connectedComponents(verts, pairs, maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // And with an adequate cap the same chain converges to one cluster.
+    val ok = TextCluster.connectedComponents(verts, pairs, maxIter = 10)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ok.toSeq == (1L to 6L).map(i => (i, 1L)))
+  }
+
   test("stratified sample predicate is reproducible across partitionings") {
     val docs = Tables.load(spark, sfDir, "documents")
     val pred = org.apache.spark.sql.functions.substring(
