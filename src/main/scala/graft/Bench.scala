@@ -63,6 +63,12 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_COMPRESS", "false"))
       .config("spark.broadcast.compress",
         sys.env.getOrElse("SPARK_GRAFT_BENCH_COMPRESS", "false"))
+      // At bench scale every non-lineitem table fits in one broadcast; a
+      // raised threshold turns the remaining sort-merge joins (orders ⋈
+      // lineitem in q3/q5) into broadcast joins — two fewer exchanges per
+      // query. At 100 TB the default threshold + AQE decide per stats.
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BROADCAST", "10485760"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
