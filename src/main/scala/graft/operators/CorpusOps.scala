@@ -255,6 +255,67 @@ object CorpusOps {
       .orderBy("vec_id")
   }
 
+  /** Text normalization — the canonical pre-dedup scrub: lowercase, strip
+    * sentence punctuation, collapse whitespace runs, trim. Pure per-row
+    * scan (no shuffle); the md5 of the normalized form is the join key a
+    * normalized-exact dedup would group on, so the declared output proves
+    * the normalization is bit-identical cross-engine. Regexes use only
+    * character classes + explicit repetition (Java regex ≡ RE2). */
+  val textNormalize = Q(
+    "text_normalize",
+    """SELECT doc_id,
+      |  length(text) AS n_chars_raw,
+      |  length(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[.,!?;:]', '', 'g'), '[ \t]+', ' ', 'g'))) AS n_chars_norm,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[.,!?;:]', '', 'g'), '[ \t]+', ' ', 'g'))) AS norm_md5
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[.,!?;:]", ""), "[ \t]+", " "))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_raw"),
+        length(norm).as("n_chars_norm"),
+        md5(norm).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language heavy hitters: exact top-3 most frequent tokens per
+    * lang — the vocabulary-skew audit run before tokenizer training. Two
+    * phases: (lang, token) counts with map-side partial aggregation over
+    * the exploded scan, then a top-k window over the REDUCED side (rows =
+    * distinct tokens, not token occurrences). Deterministic tie-break
+    * (count DESC, token ASC). At 100 TB the count table is what shuffles —
+    * the explode never crosses the wire. */
+  val textHeavyHitters = Q(
+    "text_heavy_hitters",
+    """WITH tok AS (
+      |  SELECT lang, UNNEST(string_split(lower(text), ' ')) AS token
+      |  FROM documents),
+      |counts AS (
+      |  SELECT lang, token, COUNT(*) AS n FROM tok
+      |  WHERE token <> '' GROUP BY lang, token),
+      |ranked AS (
+      |  SELECT lang, token, n, ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY n DESC, token) AS rank
+      |  FROM counts)
+      |SELECT lang, rank, token, n FROM ranked WHERE rank <= 3
+      |ORDER BY lang, rank""".stripMargin) { (s, dir) =>
+    val counts = t(s, dir, "documents")
+      .select(col("lang"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("token"))))
+      .filter(col("rank") <= 3)
+      .select(col("lang"), col("rank"), col("token"), col("n"))
+      .orderBy("lang", "rank")
+  }
+
   val all: Seq[Q] = Seq(bm25TopK, decontaminateNgram, textRepetition,
-    mixtureStats, embeddingQuantize)
+    mixtureStats, embeddingQuantize, textNormalize, textHeavyHitters)
 }

@@ -87,5 +87,39 @@ object EventsOps {
       .orderBy("cohort_day", "day_offset")
   }
 
-  val all: Seq[Q] = Seq(eventsFunnel, eventsRetention)
+  /** Attribution interval join — the BATCH TWIN of the stream-stream join
+    * (streaming.Streams.attributionJoin): every purchase joined to each
+    * same-user view it followed within 30 minutes. The oracle verifies the
+    * interval edges ([closed, open)) and the per-user rollup; StreamingSpec
+    * re-proves the identical join incrementally with watermarked state.
+    * Scale: equi-key on user_id carries the shuffle; the range predicate is
+    * a post-join filter within each key group, never a cartesian. */
+  val eventsAttribution = Q(
+    "events_attribution",
+    """WITH v AS (
+      |  SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT user_id, ts AS p_ts, value FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT v.user_id, COUNT(*) AS n_attributed,
+      |  CAST(SUM(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE) AS attributed_value
+      |FROM v JOIN p ON v.user_id = p.user_id
+      |  AND p.p_ts >= v.v_ts AND p.p_ts < v.v_ts + INTERVAL 30 MINUTE
+      |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"), col("value"))
+    v.join(p, col("user_id") === col("p_user_id") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") < col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_attributed"),
+        sum(col("value").cast("decimal(12,2)")).cast("double")
+          .as("attributed_value"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(eventsFunnel, eventsRetention, eventsAttribution)
 }

@@ -125,6 +125,30 @@ object Streams {
       .toDF()
   }
 
+  /** I8 — stream-stream interval join: purchases attributed to a same-user
+    * view within [v_ts, v_ts + 30 min). Both sides carry watermarks and the
+    * range condition bounds buffered state: a view is evicted once the
+    * watermark passes v_ts + 30 min, a purchase once it passes p_ts — the
+    * canonical bounded-state stream-stream join. Shuffle key on both sides
+    * is user_id (high-cardinality), so state partitions evenly at scale.
+    * The join itself is the SAME condition the batch twin
+    * (operators.EventsOps.eventsAttribution) verifies against DuckDB. */
+  def attributionJoin(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    v.join(p, col("user_id") === col("p_user_id") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") < col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("v_ts"), col("p_ts"), col("value"))
+  }
+
   /** I7 — micro-batch sink: per-batch bulk write through a DocumentSink
     * (the Solr-indexing shape: one bulk commit per micro-batch). */
   def foreachBatchSink(df: DataFrame, checkpointDir: String)(

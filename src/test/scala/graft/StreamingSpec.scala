@@ -261,4 +261,19 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(rows.filter(_.getLong(0) != sentinelUser).map(_.toSeq).toSet == batch)
   }
+
+  test("stream-stream interval join: incremental inner join equals batch join") {
+    // I8: purchases ⋈ views within [v_ts, v_ts + 30 min) per user, both
+    // sides watermarked. Chronological feed ⇒ no matches are dropped by
+    // eviction (a view is only evicted once the watermark passes
+    // v_ts + 30 min, after which no purchase can still match it), so the
+    // incremental inner join must converge to the exact batch join.
+    val dir = feedDirChrono(4)
+    val stream = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
+    val rows = runToCompletion(Streams.attributionJoin(stream), OutputMode.Append())
+    val batch = Streams.attributionJoin(Tables.load(spark, sfDir, "events"))
+      .collect().map(_.toSeq)
+    assert(batch.nonEmpty, "corpus must contain attributable purchases")
+    assert(rows.map(_.toSeq).toSet == batch.toSet)
+  }
 }
