@@ -316,6 +316,44 @@ object CorpusOps {
       .orderBy("lang", "rank")
   }
 
+  /** Per-document token-distribution Shannon entropy — the repetition/
+    * diversity quality signal (low entropy ⇒ boilerplate or degenerate
+    * repetition). Computed as ln(T) - Σ n·ln(n) / T over the per-doc token
+    * counts: n and T stay exact integers until the final double division,
+    * and the ln() last-bit libm drift is absorbed by round(·, 6). Docs
+    * with no non-empty token (empty text) drop out on both sides. One
+    * shuffle on (doc_id, token), then a per-doc reduce. */
+  val textTokenEntropy = Q(
+    "text_token_entropy",
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, token, COUNT(*) AS n FROM tok
+      |  WHERE token <> '' GROUP BY doc_id, token)
+      |SELECT doc_id,
+      |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_distinct,
+      |  ROUND(LN(CAST(SUM(n) AS DOUBLE))
+      |    - SUM(CAST(n AS DOUBLE) * LN(CAST(n AS DOUBLE)))
+      |      / CAST(SUM(n) AS DOUBLE), 6) AS token_entropy
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val counts = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy("doc_id")
+      .agg(sum(col("n")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(log(sum(col("n")).cast("double")) -
+          sum(col("n").cast("double") * log(col("n").cast("double"))) /
+            sum(col("n")).cast("double"), 6).as("token_entropy"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(bm25TopK, decontaminateNgram, textRepetition,
-    mixtureStats, embeddingQuantize, textNormalize, textHeavyHitters)
+    mixtureStats, embeddingQuantize, textNormalize, textHeavyHitters,
+    textTokenEntropy)
 }

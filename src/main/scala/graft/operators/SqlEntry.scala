@@ -31,5 +31,37 @@ object SqlEntry {
         |ORDER BY n_name, o_orderpriority""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(sqlPath)
+  /** Correlated scalar subquery (TPC-H q17 shape): rows below half their
+    * part's average quantity. Catalyst DECORRELATES this into a left outer
+    * join against the per-part aggregate (RewriteCorrelatedScalarSubquery)
+    * — the plan a user would hand-write, derived automatically; DuckDB
+    * runs the same text natively, making the oracle near-verbatim.
+    *
+    * Parity: the threshold is built from an exact decimal SUM divided by
+    * an exact COUNT (both engines produce bit-identical doubles), never
+    * from AVG(double) whose accumulation order is engine-dependent — a
+    * boundary-row flip there would silently change the aggregate. */
+  val sqlCorrelated = Q(
+    "sql_correlated_subquery",
+    """SELECT l_returnflag, COUNT(*) AS n_small,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_revenue
+      |FROM lineitem l
+      |WHERE l_quantity * 2.0 < (
+      |  SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+      |         / COUNT(*)
+      |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Views.register(s, dir)
+    s.sql(
+      """SELECT l_returnflag, COUNT(*) AS n_small,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_revenue
+        |FROM lineitem l
+        |WHERE l_quantity * 2.0 < (
+        |  SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |         / COUNT(*)
+        |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(sqlPath, sqlCorrelated)
 }
