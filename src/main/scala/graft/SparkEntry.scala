@@ -29,7 +29,8 @@ object SparkEntry {
       Funcs.all ++ Relational.all ++ TextOps.all ++ VectorOps.all ++
       Udx.all ++ DocAssembly.all ++ StreamingBatch.all ++ AnnOps.all ++
       Analytics.all ++ SqlEntry.all ++ TextCluster.all ++ CorpusOps.all ++
-      EventsOps.all ++ LayoutOps.all ++ TableOps.all ++ aliases
+      EventsOps.all ++ LayoutOps.all ++ TableOps.all ++ SketchOps.all ++
+      aliases
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
