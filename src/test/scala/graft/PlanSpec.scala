@@ -87,4 +87,24 @@ class PlanSpec extends SparkSpec {
       .exists(l => l.trim.matches("""[:+\-\s]*\*\(\d+\) Project.*cosine_sim.*"""))
     assert(inCodegen, "cosine_sim must sit in a codegen'd Project:\n" + p.take(800))
   }
+
+  test("q4: EXISTS plans as a semi join, never an explode-and-distinct") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), p.take(600))
+  }
+
+  test("q10/q18: top-k customers end in TakeOrderedAndProject") {
+    assert(plan("q10_returned_items").contains("TakeOrderedAndProject"))
+    assert(plan("q18_large_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("q7: all four dims broadcast; fact side never pre-shuffled") {
+    val p = plan("q7_volume_shipping")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, "4 dims -> >=4 BHJ")
+  }
+
+  test("bitmap distinct: no Expand (the COUNT DISTINCT row explosion)") {
+    val p = plan("agg_bitmap_distinct")
+    assert(!p.contains("Expand"), "bitmap path must not expand rows")
+  }
 }
