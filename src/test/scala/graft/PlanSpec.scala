@@ -107,4 +107,10 @@ class PlanSpec extends SparkSpec {
     val p = plan("agg_bitmap_distinct")
     assert(!p.contains("Expand"), "bitmap path must not expand rows")
   }
+
+  test("fuzzy join: deletion-variant blocking is an equi-join, no cartesian") {
+    val p = plan("fuzzy_join_name")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "FastSS candidates must come from an equi-join")
+  }
 }
