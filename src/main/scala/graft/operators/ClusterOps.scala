@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative fixpoint operators: PageRank on a derived trade graph and
+  * Lloyd's k-means over the embedding table.
+  *
+  * Scale notes: both are the canonical distributed iteration shapes —
+  * PageRank is per-iteration (edges ⋈ ranks) shuffled on src then a
+  * groupBy dst (rank state stays a DataFrame, nothing driver-side except
+  * the fixed iteration count); k-means keeps the DATA distributed and
+  * only the k×d centroid model on the driver (kilobytes — the same
+  * broadcast-model pattern as the IVF/PQ index builds). Damping < 1 makes
+  * the PageRank recurrence a contraction, so cross-engine double-sum
+  * reassociation (~1e-17/iter) cannot amplify — round(…,6) output is
+  * deterministic and the unrolled-CTE DuckDB oracle reproduces it
+  * exactly.
+  */
+object ClusterOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  private val Damping = 0.85
+  private val PrIters = 10
+
+  /** PageRank (damping 0.85, 10 fixed iterations) over the nation-level
+    * trade graph: an edge src→dst when any supplier in src shipped a line
+    * to a customer in dst. Oracle = the same recurrence unrolled into 11
+    * chained CTEs. */
+  val graphPagerank: Q = {
+    val edgesSql =
+      """edges AS (
+        |  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey),
+        |deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d
+        |        FROM edges GROUP BY src),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nation),
+        |r0 AS (SELECT n_name AS node, 1.0 / (SELECT n FROM nn) AS pr
+        |       FROM nation)""".stripMargin
+    val iterSql = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT base.node,
+         |    0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(inc.s, 0.0) AS pr
+         |  FROM r0 base LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(r.pr / deg.d) AS s
+         |    FROM edges e
+         |    JOIN r${i - 1} r ON e.src = r.node
+         |    JOIN deg ON deg.src = e.src
+         |    GROUP BY e.dst) inc ON base.node = inc.node)""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "graph_pagerank",
+      s"""WITH $edgesSql,
+         |$iterSql
+         |SELECT node, ROUND(pr, 6) AS pr FROM r$PrIters ORDER BY node"""
+        .stripMargin) { (s, dir) =>
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("src"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("dst"))
+      val edges = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .select("src", "dst").distinct()
+      val deg = edges.groupBy("src")
+        .agg(count(lit(1)).cast("double").as("d"))
+      val nodes = t(s, dir, "nation").select(col("n_name").as("node"))
+      val n = nodes.count().toDouble
+      var ranks = nodes.withColumn("pr", lit(1.0) / lit(n))
+      for (_ <- 1 to PrIters) {
+        val inc = edges
+          .join(ranks, edges("src") === ranks("node"))
+          .join(deg, "src")
+          .groupBy(col("dst"))
+          .agg(sum(col("pr") / col("d")).as("s"))
+        ranks = nodes
+          .join(inc, nodes("node") === inc("dst"), "left")
+          .select(col("node"),
+            (lit(0.15) / lit(n) + lit(Damping) * coalesce(col("s"), lit(0.0)))
+              .as("pr"))
+      }
+      ranks.select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
+    }
+  }
+
+  /** Lloyd's k-means (k = 8, 3 fixed iterations) over the embedding table.
+    * Deterministic: seeds are the 8 lowest vec_ids; assignment tie-breaks
+    * to the lowest cluster id. The data never leaves the cluster — only
+    * the k×d centroid model rides the driver between iterations. Output is
+    * the final assignment (rows-only driver check; KmeansSpec proves WCSS
+    * monotonicity, determinism, and non-empty clusters). */
+  val kmeansEmbed = Q.noOracle("kmeans_embed") { (s, dir) =>
+    VectorOps.registerFns(s)
+    import s.implicits._
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    kmeansAssign(s, emb, k = 8, iters = 3)
+      .select(col("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  /** Shared k-means pipeline; returns (vec_id, cluster_id) after `iters`
+    * Lloyd steps. Assignment maximizes dot(v,c) − ‖c‖²/2 (equivalent to
+    * min squared euclidean; ‖v‖² is constant per row) in codegen'd
+    * expressions; centroid recompute reuses the typed mean Aggregator. */
+  def kmeansAssign(s: SparkSession, emb: DataFrame, k: Int, iters: Int)
+      : DataFrame = {
+    VectorOps.registerFns(s)
+    import s.implicits._
+    val centroidAgg = udaf(Udx.centroidAgg)
+    def assignCol(cents: Array[(Int, Seq[Double])])(v: Column): Column = {
+      val scored = cents.map { case (cid, c) =>
+        val half = c.map(x => x * x).sum / 2.0
+        struct(
+          (call_function("dot_product", v, typedLit(c)) - lit(half)).as("sc"),
+          lit(-cid).as("negcid"))
+      }
+      (-array_max(array(scored.toIndexedSeq: _*)).getField("negcid"))
+        .as("cluster_id")
+    }
+    var cents: Array[(Int, Seq[Double])] = emb
+      .orderBy("vec_id").limit(k)
+      .select(col("embedding"))
+      .as[Seq[Float]].collect()
+      .zipWithIndex
+      .map { case (v, i) => (i, v.map(_.toDouble)) }
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = emb.withColumn("cluster_id", assignCol(cents)(col("embedding")))
+      cents = assigned.groupBy("cluster_id")
+        .agg(centroidAgg(col("embedding")).as("c"))
+        .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    }
+    assigned
+  }
+
+  /** Within-cluster sum of squares for a (vec_id, embedding, cluster_id)
+    * assignment against its centroids — the KmeansSpec convergence metric. */
+  def wcss(s: SparkSession, assigned: DataFrame): Double = {
+    VectorOps.registerFns(s)
+    import s.implicits._
+    val centroidAgg = udaf(Udx.centroidAgg)
+    val cents = assigned.groupBy("cluster_id")
+      .agg(centroidAgg(col("embedding")).as("c"))
+      .as[(Int, Seq[Double])].collect().toMap
+    val centLit = typedLit(cents.map { case (k0, v) => (k0, v) })
+    assigned
+      .select(
+        (call_function("dot_product", col("embedding"), col("embedding"))
+          - lit(2.0) * call_function("dot_product", col("embedding"),
+              element_at(centLit, col("cluster_id")))
+          + aggregate(element_at(centLit, col("cluster_id")),
+              lit(0.0), (acc, x) => acc + x * x)).as("d2"))
+      .agg(sum(col("d2"))).head.getDouble(0)
+  }
+
+  val all: Seq[Q] = Seq(graphPagerank, kmeansEmbed)
+}
