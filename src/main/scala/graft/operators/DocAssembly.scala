@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2-K7 (multimodal columns) + §2-K8 (search-document assembly —
@@ -338,6 +338,73 @@ object DocAssembly {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Per-image dHash record: 64-bit perceptual fingerprint. */
+  final case class PhashRec(doc_id: Long, phash: Long)
+
+  /** Difference-hash (dHash) of a PNG payload through the REAL codec path:
+    * decode → codec nearest-neighbor resize to 9×8 → decode → luminance →
+    * bit (x,y) = lum(x,y) > lum(x+1,y), packed into one long. */
+  def dHash(payload: Array[Byte]): Long = {
+    val small = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Png.resize(payload, 9, 8)))
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        def lum(px: Int): Double = {
+          val r = (px >> 16) & 0xff; val g = (px >> 8) & 0xff; val b = px & 0xff
+          0.299 * r + 0.587 * g + 0.114 * b
+        }
+        if (lum(small.getRGB(x, y)) > lum(small.getRGB(x + 1, y)))
+          bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** K7-scale — image near-duplicate pairs via perceptual hash: render →
+    * REAL codec dHash per doc (mapPartitions batch), then banded hamming
+    * LSH — the 64-bit fingerprint splits into 4×16-bit bands, candidates
+    * EQUI-join on (band index, band value) (pairs within hamming ≤ 6 on
+    * ≤ 3 corrupted bands always agree on one band — never a cross join),
+    * exact popcount(xor) verifies. The image twin of dedup_simhash;
+    * rows-only driver check (no codec in DuckDB), PhashSpec pins the
+    * exact-duplicate ⊆ output invariant. */
+  val multimodalPhash = Q.noOracle("multimodal_phash") { (s, dir) =>
+    phashPairs(s, t(s, dir, "documents").select(col("doc_id"), col("text")))
+  }
+
+  /** Shared phash near-dup pipeline over a (doc_id, text) corpus. */
+  def phashPairs(s: SparkSession, docs: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[PhashRec]
+    val hashed = docs.mapPartitions { rows =>
+      rows.map { r => PhashRec(r.getLong(0), dHash(Png.render(r.getString(1)))) }
+    }(enc).toDF()
+    val banded = hashed.select(col("doc_id"), col("phash"),
+      explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> struct(b as band, shiftright(phash, b * 16) & 65535 as bv))"""
+          .stripMargin)).as("bd"))
+      .select(col("doc_id"), col("phash"),
+        col("bd.band").as("band"), col("bd.bv").as("bv"))
+    val a = banded.select(col("doc_id").as("a_id"), col("phash").as("a_hash"),
+      col("band"), col("bv"))
+    val b = banded.select(col("doc_id").as("b_id"), col("phash").as("b_hash"),
+      col("band").as("band2"), col("bv").as("bv2"))
+    a.join(b, col("band") === col("band2") && col("bv") === col("bv2") &&
+        col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_hash", "b_hash")
+      .distinct()
+      .select(col("a_id"), col("b_id"),
+        expr("cast(bit_count(a_hash ^ b_hash) as bigint)").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy("a_id", "b_id")
+  }
+
   val all: Seq[Q] = Seq(multimodalCols, multimodalBinary, multimodalDecode,
-    multimodalResize, multimodalAudio, multimodalFrameSample, solrDocAssembly)
+    multimodalResize, multimodalAudio, multimodalFrameSample, solrDocAssembly,
+    multimodalPhash)
 }

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Perceptual-hash near-dup invariants for the no-oracle multimodal_phash:
+  * dHash is a pure function of the payload, exact text duplicates must
+  * surface as hamming-0 pairs, and reported distances obey the filter. */
+class PhashSpec extends SparkSpec {
+
+  test("dHash is deterministic and payload-pure") {
+    val p = operators.DocAssembly.Png.render("spark table scan merge row")
+    assert(operators.DocAssembly.dHash(p) == operators.DocAssembly.dHash(p.clone()))
+  }
+
+  test("every exact text-duplicate pair appears with hamming 0") {
+    // The synthetic corpus has no exact dups at this sf — construct them:
+    // clone 10 docs under shifted ids, so each clone pairs with its source.
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val clones = base.orderBy("doc_id").limit(10)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val corpus = base.unionAll(clones)
+    val docs = corpus.select(col("doc_id"), md5(col("text")).as("h"))
+    val dupPairs = docs.as("x").join(docs.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = operators.DocAssembly.phashPairs(spark, corpus).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(dupPairs.size >= 10)
+    dupPairs.foreach { p =>
+      assert(out.get(p).contains(0L), s"dup pair $p missing or nonzero")
+    }
+    assert(out.values.forall(_ <= 6))
+  }
+}
