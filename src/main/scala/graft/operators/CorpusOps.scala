@@ -29,10 +29,62 @@ object CorpusOps {
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
   /** Fixed query for the declared bm25_topk operator (mid-frequency corpus
-    * terms — present in many but not all documents). */
-  private val Bm25Terms = Seq("hash", "join", "vector")
+    * terms — present in many but not all documents). Shared with the
+    * RelevanceOps rankers (RRF fusion, nDCG eval). */
+  private[operators] val Bm25Terms = Seq("hash", "join", "vector")
   private val K1 = 1.2
   private val B = 0.75
+
+  /** Reusable BM25 scorer over a (doc_id, text) corpus: per-doc rounded
+    * score for [[Bm25Terms]], unsorted (callers rank/limit). Same pipeline
+    * shape as [[bm25TopK]]: term filter lands before the (doc, token)
+    * shuffle, df/stats are broadcast. */
+  private[operators] def bm25Scores(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val tf = docs
+      .select(col("doc_id"), explode(toks).as("token"))
+      .filter(col("token").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), size(toks).as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(toks)).as("sum_dl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val term = idf * (col("tf") * (K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl))
+    tf.join(broadcast(df), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(term), 6).as("bm25"))
+  }
+
+  /** DuckDB CTE block computing the same per-doc rounded BM25 scores as
+    * [[bm25Scores]] (terminal CTE name: `bm`). */
+  private[operators] val Bm25OracleCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+       |  WHERE token IN ('hash', 'join', 'vector') GROUP BY doc_id, token),
+       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+       |bm AS (
+       |  SELECT doc_id,
+       |    ROUND(SUM(
+       |      LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |      (tf * (${K1} + 1.0)) /
+       |      (tf + ${K1} * (1.0 - ${B} + ${B} * dl /
+       |         (CAST(sum_dl AS DOUBLE) / n_docs)))), 6) AS bm25
+       |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  GROUP BY doc_id)""".stripMargin
 
   /** Search-relevance ranking: Lucene-shape BM25 over whitespace tokens.
     *
@@ -45,48 +97,11 @@ object CorpusOps {
     */
   val bm25TopK = Q(
     "bm25_topk",
-    s"""WITH tok AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-       |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
-       |stats AS (
-       |  SELECT COUNT(*) AS n_docs,
-       |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
-       |  FROM documents),
-       |tf AS (
-       |  SELECT doc_id, token, COUNT(*) AS tf FROM tok
-       |  WHERE token IN ('hash', 'join', 'vector') GROUP BY doc_id, token),
-       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
-       |SELECT doc_id,
-       |  ROUND(SUM(
-       |    LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-       |    (tf * (${K1} + 1.0)) /
-       |    (tf + ${K1} * (1.0 - ${B} + ${B} * dl /
-       |       (CAST(sum_dl AS DOUBLE) / n_docs)))), 6) AS bm25
-       |FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
-       |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) {
+    s"""WITH $Bm25OracleCtes
+       |SELECT doc_id, bm25 FROM bm
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) {
     (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val toks = split(col("text"), " ")
-      // Term filter BEFORE the (doc, token) shuffle: only query-term hits move.
-      val tf = docs
-        .select(col("doc_id"), explode(toks).as("token"))
-        .filter(col("token").isin(Bm25Terms: _*))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val dl = docs.select(col("doc_id"), size(toks).as("dl"))
-      val stats = docs.agg(
-        count(lit(1)).as("n_docs"),
-        sum(size(toks)).as("sum_dl"))
-      val idf = log(lit(1.0) +
-        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-      val avgdl = col("sum_dl").cast("double") / col("n_docs")
-      val term = idf * (col("tf") * (K1 + 1.0)) /
-        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl))
-      tf.join(broadcast(df), "token")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .groupBy("doc_id")
-        .agg(round(sum(term), 6).as("bm25"))
+      bm25Scores(t(s, dir, "documents"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(20)
   }
@@ -353,7 +368,58 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Paragraph-level (sub-document) deduplication — the RefinedWeb-style
+    * pass that drops repeated boilerplate BLOCKS while keeping the host
+    * documents. The corpus has no paragraph breaks, so "paragraph" =
+    * 20-token chunk; each chunk is md5'd to a fixed-width key and the
+    * FIRST occurrence (by doc_id, chunk index) survives.
+    *
+    * Scale: the shuffle carries (doc_id, idx, 16-byte hash) — never chunk
+    * text; the window partitions by chunk hash (max partition = one
+    * duplicated paragraph's occurrence list). Per-doc rollup is the
+    * canonical two-phase agg. */
+  val dedupParagraph = Q(
+    "dedup_paragraph",
+    """WITH ch AS (
+      |  SELECT doc_id, u.idx AS idx, u.h AS h FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      range(0, CAST(ceil(len(string_split(text, ' ')) / 20.0) AS BIGINT)),
+      |      i -> {'idx': i, 'h': md5(array_to_string(
+      |        string_split(text, ' ')[(i*20+1):(i*20+20)], ' '))})) AS u
+      |    FROM documents)),
+      |rn AS (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+      |  FROM ch)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) /
+      |    CAST(COUNT(*) AS BIGINT), 6) AS dup_ratio
+      |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    paragraphDupStats(t(s, dir, "documents"))
+  }
+
+  /** Shared chunk-dedup pipeline over a (doc_id, text, …) corpus. */
+  def paragraphDupStats(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = expr(
+      """transform(
+        |  sequence(0, cast(ceil(size(split(text, ' ')) / 20.0) as int) - 1),
+        |  i -> struct(i as idx,
+        |    md5(array_join(slice(split(text, ' '), i*20+1, 20), ' ')) as h))"""
+        .stripMargin)
+    val dup = sum(when(col("rn") > 1, 1L).otherwise(0L))
+    docs.select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.idx").as("idx"), col("c.h").as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "idx")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), dup.as("n_dup"),
+        round(dup / count(lit(1)), 6).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(bm25TopK, decontaminateNgram, textRepetition,
     mixtureStats, embeddingQuantize, textNormalize, textHeavyHitters,
-    textTokenEntropy)
+    textTokenEntropy, dedupParagraph)
 }

@@ -1,0 +1,252 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Search-relevance evaluation + hybrid-retrieval operators — the trireme
+  * domain (search-relevance engineering): rank fusion of lexical and vector
+  * retrievers, offline relevance metrics (nDCG), and hit highlighting.
+  *
+  * Scale notes:
+  *  - rank_fusion_rrf: each retriever ends in TakeOrderedAndProject(k)
+  *    BEFORE fusion — the fused stage sees 2k rows regardless of corpus
+  *    size. The rank window partitions by `ranker` (never keyless; each
+  *    partition is ≤ k rows by construction).
+  *  - relevance_ndcg: judgment lists and rankings are per-query-term;
+  *    every window partitions by term. At 100 TB the judgments table is
+  *    eval-set-sized (small); the only corpus-wide work is the BM25
+  *    scorer, which shares bm25_topk's term-filter-before-shuffle plan.
+  *  - snippet_extract: pure scan-side string expressions — no shuffle,
+  *    no window; predicate (`contains`) pushes to the parquet scan.
+  */
+object RelevanceOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  private def cosine(s: SparkSession, a: Column, b: Column): Column = {
+    VectorOps.registerFns(s)
+    call_function("cosine_sim", a, b)
+  }
+
+  /** DuckDB CTEs for the vector retriever: rounded cosine of every
+    * embedding against the query vector (vec_id = 0), terminal CTE `vsim`
+    * with (doc_id, score). Mirrors VectorOps.knnQuery's oracle. */
+  private val VecOracleCtes =
+    """q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |un AS (
+      |  SELECT e.vec_id, unnest(e.embedding) AS xe, unnest((SELECT qe FROM q)) AS xq
+      |  FROM embeddings e WHERE e.vec_id <> 0),
+      |vsim AS (
+      |  SELECT vec_id AS doc_id,
+      |    ROUND(SUM(CAST(xe AS DOUBLE) * CAST(xq AS DOUBLE)) /
+      |      (SQRT(SUM(CAST(xe AS DOUBLE) * CAST(xe AS DOUBLE))) *
+      |       SQRT(SUM(CAST(xq AS DOUBLE) * CAST(xq AS DOUBLE)))), 6) AS score
+      |  FROM un GROUP BY vec_id)""".stripMargin
+
+  /** Hybrid search: reciprocal-rank fusion of the BM25 lexical retriever
+    * and the cosine vector retriever (query = embedding 0), the standard
+    * fusion rule rrf(d) = Σ_r 1/(60 + rank_r(d)).
+    *
+    * Ranks are assigned over ROUNDED scores (ties → doc_id) so both
+    * engines rank identically; each reciprocal term is an exact IEEE
+    * division and the ≤2-term sum is order-independent (double addition
+    * is commutative). */
+  val rankFusionRrf = Q(
+    "rank_fusion_rrf",
+    s"""WITH ${CorpusOps.Bm25OracleCtes},
+       |$VecOracleCtes,
+       |bmtop AS (
+       |  SELECT 'bm25' AS ranker, doc_id, bm25 AS score FROM bm
+       |  ORDER BY bm25 DESC, doc_id LIMIT 50),
+       |vtop AS (
+       |  SELECT 'vec' AS ranker, doc_id, score FROM vsim
+       |  ORDER BY score DESC, doc_id LIMIT 50),
+       |ranked AS (
+       |  SELECT ranker, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY ranker ORDER BY score DESC, doc_id) AS rk
+       |  FROM (SELECT * FROM bmtop UNION ALL SELECT * FROM vtop))
+       |SELECT doc_id,
+       |  ROUND(SUM(CAST(1.0 AS DOUBLE) / (60 + rk)), 6) AS rrf,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lists
+       |FROM ranked GROUP BY doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val bmTop = CorpusOps.bm25Scores(docs)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+      .select(lit("bm25").as("ranker"), col("doc_id"), col("bm25").as("score"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val vecTop = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(cosine(s, col("embedding"), col("qe")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+      .select(lit("vec").as("ranker"), col("doc_id"), col("score"))
+    val rk = row_number().over(
+      Window.partitionBy("ranker").orderBy(col("score").desc, col("doc_id")))
+    bmTop.unionByName(vecTop)
+      .withColumn("rk", rk)
+      .groupBy("doc_id")
+      .agg(
+        round(sum(lit(1.0) / (lit(60) + col("rk"))), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Per-element DCG gain, summed exactly: (2^rel − 1) / log2(rank + 1),
+    * decimal(18,6)-cast per row so the sum is order-independent and any
+    * last-ulp libm log2 drift between engines is rounded away. */
+  private def gain(rel: Column, rk: Column): Column =
+    ((pow(lit(2.0), rel) - 1.0) / log2(rk + 1)).cast(DecimalType(18, 6))
+
+  /** Offline relevance evaluation: nDCG@10 of the fused 3-term BM25
+    * ranking, judged per query term. Judgments are graded by capped term
+    * frequency — rel(term, doc) = least(tf, 3) — the deterministic
+    * stand-in for human labels; the metric reads "how well does the
+    * blended ranking serve each term's intent". IDCG comes from the full
+    * judgment list (not just ranked docs), the textbook normalizer. */
+  val relevanceNdcg = Q(
+    "relevance_ndcg",
+    s"""WITH ${CorpusOps.Bm25OracleCtes},
+       |top10 AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10),
+       |terms AS (SELECT unnest(['hash', 'join', 'vector']) AS token),
+       |judg AS (SELECT token, doc_id, LEAST(tf, 3) AS rel FROM tf),
+       |ranked AS (
+       |  SELECT token, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY token ORDER BY bm25 DESC, doc_id) AS rk
+       |  FROM top10 CROSS JOIN terms),
+       |gains AS (
+       |  SELECT r.token,
+       |    CAST((POWER(2.0, COALESCE(j.rel, 0)) - 1.0) / LOG2(r.rk + 1)
+       |      AS DECIMAL(18,6)) AS g
+       |  FROM ranked r LEFT JOIN judg j ON r.token = j.token AND r.doc_id = j.doc_id),
+       |dcg AS (SELECT token, CAST(SUM(g) AS DOUBLE) AS dcg FROM gains GROUP BY token),
+       |ideal AS (
+       |  SELECT token, CAST(SUM(g) AS DOUBLE) AS idcg FROM (
+       |    SELECT token,
+       |      CAST((POWER(2.0, rel) - 1.0) / LOG2(rk + 1) AS DECIMAL(18,6)) AS g
+       |    FROM (
+       |      SELECT token, rel,
+       |        ROW_NUMBER() OVER (PARTITION BY token ORDER BY rel DESC, doc_id) AS rk
+       |      FROM judg)
+       |    WHERE rk <= 10)
+       |  GROUP BY token)
+       |SELECT d.token, ROUND(dcg, 6) AS dcg, ROUND(idcg, 6) AS idcg,
+       |  ROUND(CASE WHEN idcg = 0 THEN 0.0 ELSE dcg / idcg END, 6) AS ndcg
+       |FROM dcg d JOIN ideal i ON d.token = i.token
+       |ORDER BY d.token""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isin(CorpusOps.Bm25Terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val judg = tf.select(col("token"), col("doc_id"),
+      least(col("tf"), lit(3L)).as("rel"))
+    val top10 = CorpusOps.bm25Scores(docs)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+    val terms = { import s.implicits._; CorpusOps.Bm25Terms.toDF("token") }
+    val ranked = top10.crossJoin(broadcast(terms))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("token").orderBy(col("bm25").desc, col("doc_id"))))
+    val dcg = ranked.join(judg, Seq("token", "doc_id"), "left")
+      .select(col("token"), gain(coalesce(col("rel"), lit(0L)), col("rk")).as("g"))
+      .groupBy("token").agg(sum(col("g")).cast(DoubleType).as("dcg"))
+    val ideal = judg
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("token").orderBy(col("rel").desc, col("doc_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("token"), gain(col("rel"), col("rk")).as("g"))
+      .groupBy("token").agg(sum(col("g")).cast(DoubleType).as("idcg"))
+    dcg.join(ideal, "token")
+      .select(col("token"),
+        round(col("dcg"), 6).as("dcg"),
+        round(col("idcg"), 6).as("idcg"),
+        round(when(col("idcg") === 0.0, 0.0)
+          .otherwise(col("dcg") / col("idcg")), 6).as("ndcg"))
+      .orderBy("token")
+  }
+
+  /** Offline relevance evaluation, set-based family: precision@10,
+    * recall@10 and MRR of the fused BM25 ranking per query term, with
+    * binary relevance = "document contains the term" (tf ≥ 1). All inputs
+    * to the divisions are exact integers, so cross-engine parity is exact
+    * IEEE arithmetic — no decimal laundering needed. */
+  val relevancePrk = Q(
+    "relevance_prk",
+    s"""WITH ${CorpusOps.Bm25OracleCtes},
+       |top10 AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10),
+       |terms AS (SELECT unnest(['hash', 'join', 'vector']) AS token),
+       |judg AS (SELECT token, doc_id FROM tf),
+       |ranked AS (
+       |  SELECT token, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY token ORDER BY bm25 DESC, doc_id) AS rk
+       |  FROM top10 CROSS JOIN terms),
+       |hits AS (
+       |  SELECT r.token,
+       |    CAST(COUNT(j.doc_id) AS BIGINT) AS hits10,
+       |    MIN(CASE WHEN j.doc_id IS NOT NULL THEN r.rk END) AS first_rk
+       |  FROM ranked r LEFT JOIN judg j ON r.token = j.token AND r.doc_id = j.doc_id
+       |  GROUP BY r.token),
+       |rel AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_rel FROM judg GROUP BY token)
+       |SELECT h.token, n_rel, hits10,
+       |  ROUND(hits10 / CAST(10 AS DOUBLE), 6) AS p_at_10,
+       |  ROUND(hits10 / CAST(n_rel AS DOUBLE), 6) AS r_at_10,
+       |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / first_rk, 0.0), 6) AS mrr
+       |FROM hits h JOIN rel USING (token)
+       |ORDER BY h.token""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val judg = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isin(CorpusOps.Bm25Terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .select(col("token"), col("doc_id"))
+    val top10 = CorpusOps.bm25Scores(docs)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+    val terms = { import s.implicits._; CorpusOps.Bm25Terms.toDF("token") }
+    val ranked = top10.crossJoin(broadcast(terms))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("token").orderBy(col("bm25").desc, col("doc_id"))))
+    val hits = ranked
+      .join(judg.withColumn("hit", lit(1)), Seq("token", "doc_id"), "left")
+      .groupBy("token")
+      .agg(count(col("hit")).as("hits10"),
+        min(when(col("hit").isNotNull, col("rk"))).as("first_rk"))
+    val rel = judg.groupBy("token").agg(count(lit(1)).as("n_rel"))
+    hits.join(rel, "token")
+      .select(col("token"), col("n_rel"), col("hits10"),
+        round(col("hits10") / 10.0, 6).as("p_at_10"),
+        round(col("hits10") / col("n_rel").cast(DoubleType), 6).as("r_at_10"),
+        round(coalesce(lit(1.0) / col("first_rk"), lit(0.0)), 6).as("mrr"))
+      .orderBy("token")
+  }
+
+  /** Hit highlighting: first-match position + a ±30-char context window
+    * with the hit bracketed — the snippet stage of a search response.
+    * Scan-side only; the `contains` predicate reaches the parquet scan. */
+  val snippetExtract = Q(
+    "snippet_extract",
+    """SELECT doc_id,
+      |  CAST(STRPOS(text, 'vector') AS BIGINT) AS pos,
+      |  CAST(len(string_split(text, 'vector')) - 1 AS BIGINT) AS n_hits,
+      |  REPLACE(SUBSTR(text, GREATEST(1, STRPOS(text, 'vector') - 30), 66),
+      |    'vector', '[vector]') AS snippet
+      |FROM documents WHERE STRPOS(text, 'vector') > 0
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pos = locate("vector", col("text"))
+    t(s, dir, "documents")
+      .filter(pos > 0)
+      .select(col("doc_id"),
+        pos.cast("long").as("pos"),
+        (size(split(col("text"), "vector")) - 1).cast("long").as("n_hits"),
+        regexp_replace(
+          col("text").substr(greatest(lit(1), pos - 30), lit(66)),
+          "vector", "[vector]").as("snippet"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(rankFusionRrf, relevanceNdcg, relevancePrk,
+    snippetExtract)
+}
