@@ -121,5 +121,60 @@ object EventsOps {
       .orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(eventsFunnel, eventsRetention, eventsAttribution)
+  /** Robust outlier detection per event type: median absolute deviation
+    * (MAD) flags values beyond 3 scaled-MAD of the median — the quality
+    * filter a pipeline runs before trusting a metric column (mean/stddev
+    * would be dragged by the very outliers being hunted).
+    *
+    * Parity: exact interpolated medians (`percentile` ↔ `quantile_cont`,
+    * the agg_percentile-proven pair), deviations and the 3·1.4826 = 4.4478
+    * threshold are identical IEEE arithmetic on both engines.
+    *
+    * Scale: two keyed aggregations over event_type + broadcast joins of
+    * the per-type medians back onto the scan. Exact medians need the
+    * per-group value multiset (Spark's percentile = ObjectHashAggregate);
+    * above memory bounds the approx_percentile twin (t-digest partials)
+    * takes over — the declared agg_approx_percentile covers that path. */
+  val eventsAnomalyMad = Q(
+    "events_anomaly_mad",
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.event_type, ABS(e.value - m.med) AS dev, m.med
+      |  FROM events e JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT d.event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN d.dev > CAST(4.4478 AS DOUBLE) * m.mad
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+      |  ROUND(MAX(d.med), 6) AS med,
+      |  ROUND(m.mad, 6) AS mad
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY d.event_type, m.mad
+      |ORDER BY d.event_type""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("value") - col("med")).as("dev"),
+        col("med"))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("mad"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("dev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+          .as("n_anomalies"),
+        round(max(col("med")), 6).as("med"))
+      .select(col("event_type"), col("n_events"), col("n_anomalies"),
+        col("med"), round(col("mad"), 6).as("mad"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(eventsFunnel, eventsRetention, eventsAttribution,
+    eventsAnomalyMad)
 }

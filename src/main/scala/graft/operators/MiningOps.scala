@@ -128,5 +128,65 @@ object MiningOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(basketPairs, fuzzyJoinName, textBigramLogprob)
+  /** CCNet-style quality bucketing: score every doc with the corpus bigram
+    * LM (same pipeline as [[textBigramLogprob]]), then split each language
+    * into head/middle/tail terciles of LM quality — the standard recipe
+    * for weighting web data by fluency before training.
+    *
+    * Parity: NTILE runs over (rounded logprob DESC, doc_id) in both
+    * engines — identical ordering ⇒ identical bucket boundaries. The
+    * window partitions by lang (never keyless). */
+  val corpusQualityBuckets = Q(
+    "corpus_quality_buckets",
+    """WITH bg AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, len(string_split(text,' '))),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |  )) AS bigram
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |bc AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram),
+      |uc AS (SELECT string_split(bigram, ' ')[1] AS w1, SUM(c2) AS c1
+      |       FROM bc GROUP BY w1),
+      |lp AS (
+      |  SELECT bg.doc_id,
+      |    ROUND(AVG(LN(CAST(bc.c2 AS DOUBLE) / CAST(uc.c1 AS DOUBLE))), 4)
+      |      AS mean_logprob
+      |  FROM bg JOIN bc USING (bigram)
+      |  JOIN uc ON string_split(bg.bigram, ' ')[1] = uc.w1
+      |  GROUP BY bg.doc_id)
+      |SELECT d.doc_id, d.lang, lp.mean_logprob,
+      |  CAST(NTILE(3) OVER (PARTITION BY d.lang
+      |    ORDER BY lp.mean_logprob DESC, d.doc_id) AS INTEGER) AS bucket
+      |FROM lp JOIN documents d USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val toksLen = size(split(col("text"), " "))
+    val bg = docs.filter(toksLen >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(1, size(split(text,' ')) - 1),
+            |  i -> concat(element_at(split(text,' '), i), ' ',
+            |              element_at(split(text,' '), i + 1)))""".stripMargin))
+          .as("bigram"))
+    val bc = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val uc = bc
+      .groupBy(element_at(split(col("bigram"), " "), 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val lp = bg.join(broadcast(bc), "bigram")
+      .join(broadcast(uc),
+        element_at(split(col("bigram"), " "), 1) === col("w1"))
+      .groupBy("doc_id")
+      .agg(round(avg(log(col("c2").cast("double") / col("c1").cast("double"))), 4)
+        .as("mean_logprob"))
+    lp.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("bucket", ntile(3).over(
+        Window.partitionBy("lang")
+          .orderBy(col("mean_logprob").desc, col("doc_id"))))
+      .select("doc_id", "lang", "mean_logprob", "bucket")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(basketPairs, fuzzyJoinName, textBigramLogprob,
+    corpusQualityBuckets)
 }

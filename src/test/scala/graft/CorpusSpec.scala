@@ -157,4 +157,33 @@ class CorpusSpec extends SparkSpec {
     assert(rows == Seq(
       ("2024-01-01", 0, 1L), ("2024-01-01", 1, 1L), ("2024-01-02", 0, 1L)))
   }
+
+  test("anomaly MAD: planted outlier flagged; spread-but-clean group is not") {
+    val ev = (Seq.fill(20)(("a", 10.0)) ++ Seq(("a", 1000.0)) ++
+      (1 to 9).map(i => ("b", i.toDouble)))
+      .toDF("event_type", "value")
+    val tmp = s"/tmp/graft_mad_spec_${System.nanoTime()}"
+    ev.write.parquet(s"$tmp/events.parquet")
+    val out = EventsOps.eventsAnomalyMad.fn(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // Group a: median 10, MAD 0 -> any deviation at all is an anomaly.
+    assert(out("a") == ((21L, 1L)))
+    // Group b: uniform 1..9, MAD 2 -> max deviation 4 << 4.4478*2.
+    assert(out("b") == ((9L, 0L)))
+  }
+
+  test("quality buckets: terciles per lang are balanced and ordered") {
+    val out = graft.operators.MiningOps.corpusQualityBuckets.fn(spark, sfDir)
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getInt(3)))
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_._3).view.mapValues(_.size).toMap
+      assert(sizes.keySet.subsetOf(Set(1, 2, 3)), s"$lang buckets: $sizes")
+      if (rows.size >= 3) {
+        assert(sizes.values.max - sizes.values.min <= 1, s"$lang: $sizes")
+        // Head bucket is at least as fluent as the tail bucket.
+        assert(rows.filter(_._3 == 1).map(_._2).min >=
+          rows.filter(_._3 == 3).map(_._2).max, s"$lang ordering")
+      }
+    }
+  }
 }
