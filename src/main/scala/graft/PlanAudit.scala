@@ -21,6 +21,8 @@ object PlanAudit {
     "knn_query", "ann_ivf_knn", "ann_pq_knn", // 1-row query-vector broadcast
     "text_tokenize_tf", "text_tokenize_tfidf", // 1-row corpus-count broadcast
     "bm25_topk",         // 1-row (N, avgdl) stats broadcast
+    "rank_fusion_rrf",   // 1-row query-vector + 1-row bm25-stats broadcasts
+    "relevance_ndcg", "relevance_prk", // 3-row query-terms broadcast
     "corpus_mixture_stats", // 1-row token-total broadcast
     "events_funnel",     // cross of three 1-row stage counts
     "dedup_embedding_cosine", "dedup_ngram_jaccard") // exact quadratic baselines

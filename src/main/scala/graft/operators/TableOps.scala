@@ -252,6 +252,68 @@ object TableOps {
       .orderBy("l_returnflag")
   }
 
+  /** Snapshot-diff change-data-capture: given two table snapshots, emit
+    * the I/U/D changelog that replays A into B — the feed a downstream
+    * incremental consumer (or a CDC sink) ingests. Snapshot B is derived
+    * deterministically from A: every 11th key's price bumped 50.00 (U),
+    * every 13th key dropped (D), every 17th key cloned beyond the key
+    * range (I).
+    *
+    * Scale: one full-outer sort-merge join on the snapshot key — the
+    * canonical diff; with both snapshots bucketed by key the shuffle
+    * disappears entirely. The changed-row filter is post-join map-side;
+    * unchanged rows (the overwhelming majority at 100 TB) never leave the
+    * join stage. */
+  val tableDiffCdc = Q(
+    "table_diff_cdc",
+    """WITH a AS (SELECT o_orderkey, o_totalprice FROM orders),
+      |b AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN
+      |      CAST(CAST(o_totalprice AS DECIMAL(12,2))
+      |           + CAST(50.00 AS DECIMAL(12,2)) AS DOUBLE)
+      |    ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_totalprice
+      |  FROM orders WHERE o_orderkey % 17 = 0)
+      |SELECT
+      |  CASE WHEN a.o_orderkey IS NULL THEN 'I'
+      |       WHEN b.o_orderkey IS NULL THEN 'D'
+      |       ELSE 'U' END AS op,
+      |  COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |  a.o_totalprice AS old_price, b.o_totalprice AS new_price
+      |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+      |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+      |   OR a.o_totalprice <> b.o_totalprice
+      |ORDER BY op, o_orderkey""".stripMargin) { (s, dir) =>
+    val a = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val bUpd = a.filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 11 === 0,
+          (Parity.dec2(col("o_totalprice")) + Parity.dec2(lit(50.00)))
+            .cast("double"))
+          .otherwise(col("o_totalprice")))
+    val bIns = a.filter(col("o_orderkey") % 17 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        col("o_totalprice"))
+    val aa = a.select(col("o_orderkey").as("a_key"),
+      col("o_totalprice").as("old_price"))
+    val bb = bUpd.unionByName(bIns)
+      .select(col("o_orderkey").as("b_key"),
+        col("o_totalprice").as("new_price"))
+    aa.join(bb, col("a_key") === col("b_key"), "full_outer")
+      .filter(col("a_key").isNull || col("b_key").isNull ||
+        col("old_price") =!= col("new_price"))
+      .select(
+        when(col("a_key").isNull, "I")
+          .when(col("b_key").isNull, "D")
+          .otherwise("U").as("op"),
+        coalesce(col("a_key"), col("b_key")).as("o_orderkey"),
+        col("old_price"), col("new_price"))
+      .orderBy("op", "o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(mergeUpsert, scd2Intervals, timeResampleLocf,
-    dataProfile, aggModeMedian)
+    dataProfile, aggModeMedian, tableDiffCdc)
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Physical-plan regression guards: the properties SCALE.md claims must
   * stay true (pushdown reaches the scan, dims broadcast, top-k never does
   * a global sort, LSH never degenerates to a cross join). A refactor that
@@ -112,5 +114,31 @@ class PlanSpec extends SparkSpec {
     val p = plan("fuzzy_join_name")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "FastSS candidates must come from an equi-join")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // At cluster scale Spark injects a bloom filter built from the
+    // selective (dimension) side into the fact-side scan — rows that
+    // cannot join die before the shuffle. Thresholds are size-gated, so
+    // force them down to observe the rewrite on test data; production
+    // keeps the defaults (creation side ≤ 10 MB, application side ≥ 10 GB).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val orders = Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderstatus") === "F")
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val joined = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        "expected BloomFilterMightContain on the fact side:\n" + p.take(1200))
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 }
