@@ -175,6 +175,29 @@ object EventsOps {
       .orderBy("event_type")
   }
 
+  /** Robust time-series smoothing: sliding-window median of the metric per
+    * event type (4-row trailing frame) — the denoiser that precedes
+    * thresholding when spikes would wreck a moving average. Exact
+    * interpolated percentile as a WINDOW aggregate; frame contents are
+    * pinned by the unique (ts, event_id) ordering so both engines see the
+    * same 4 rows. Window is keyed by event_type — at scale the partition
+    * is one metric stream, the standard time-series layout. */
+  val eventsRollingMedian = Q(
+    "events_rolling_median",
+    """SELECT event_id, event_type, value,
+      |  ROUND(quantile_cont(value, 0.5) OVER (
+      |    PARTITION BY event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rolling_med
+      |FROM events ORDER BY event_id LIMIT 5000""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      .rowsBetween(-3, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(expr("percentile(value, 0.5)").over(w), 6).as("rolling_med"))
+      .orderBy("event_id").limit(5000)
+  }
+
   val all: Seq[Q] = Seq(eventsFunnel, eventsRetention, eventsAttribution,
-    eventsAnomalyMad)
+    eventsAnomalyMad, eventsRollingMedian)
 }

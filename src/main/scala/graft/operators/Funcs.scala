@@ -168,5 +168,34 @@ object Funcs {
         .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(fnString, fnDate, fnMath, fnArray, fnMap, fnJson)
+  /** H3-adjacent — bitwise surface: AND/OR/XOR, shifts, popcount — the
+    * primitives behind bitmap indexes, bloom hashing and the Morton
+    * (z-order) layout key. Both engines compute on BIGINT two's
+    * complement; every output is cast BIGINT (DuckDB's xor() returns the
+    * operand width, bit_count an INT). */
+  val fnBitwise = Q(
+    "fn_bitwise",
+    """SELECT o_orderkey,
+      |  CAST(o_orderkey & 255 AS BIGINT) AS band,
+      |  CAST(o_orderkey | 4096 AS BIGINT) AS bor,
+      |  CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS bxor,
+      |  CAST(o_orderkey << 3 AS BIGINT) AS shl,
+      |  CAST(o_orderkey >> 2 AS BIGINT) AS shr,
+      |  CAST(bit_count(o_orderkey) AS BIGINT) AS pop,
+      |  CAST(~o_orderkey AS BIGINT) AS bnot
+      |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("o_orderkey & 255").cast("long").as("band"),
+        expr("o_orderkey | 4096").cast("long").as("bor"),
+        expr("o_orderkey ^ o_custkey").cast("long").as("bxor"),
+        expr("shiftleft(o_orderkey, 3)").cast("long").as("shl"),
+        expr("shiftright(o_orderkey, 2)").cast("long").as("shr"),
+        expr("bit_count(o_orderkey)").cast("long").as("pop"),
+        expr("~o_orderkey").cast("long").as("bnot"))
+      .orderBy("o_orderkey").limit(2000)
+  }
+
+  val all: Seq[Q] = Seq(fnString, fnDate, fnMath, fnArray, fnMap, fnJson,
+    fnBitwise)
 }
