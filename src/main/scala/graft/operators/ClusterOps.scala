@@ -167,5 +167,94 @@ object ClusterOps {
       .agg(sum(col("d2"))).head.getDouble(0)
   }
 
-  val all: Seq[Q] = Seq(graphPagerank, kmeansEmbed)
+  /** Raw-mean vector aggregator for the power iteration: same mergeable
+    * (sums, n) state as Udx.centroidAgg but over double vectors and with
+    * the ROUNDED-to-6 finish applied by the caller AFTER normalization
+    * (rounding the unit vector, not the raw sums, is what pins
+    * determinism across merge orders). */
+  private val dMeanAgg: org.apache.spark.sql.expressions.Aggregator[
+      Seq[Double], Udx.CentroidBuf, Seq[Double]] =
+    new org.apache.spark.sql.expressions.Aggregator[
+        Seq[Double], Udx.CentroidBuf, Seq[Double]] {
+      override def zero: Udx.CentroidBuf = Udx.CentroidBuf(Array.empty, 0L)
+      override def reduce(b: Udx.CentroidBuf, v: Seq[Double]): Udx.CentroidBuf = {
+        val s = if (b.sums.isEmpty) new Array[Double](v.length) else b.sums
+        var i = 0
+        while (i < v.length) { s(i) += v(i); i += 1 }
+        Udx.CentroidBuf(s, b.n + 1)
+      }
+      override def merge(a: Udx.CentroidBuf, b: Udx.CentroidBuf): Udx.CentroidBuf =
+        if (a.sums.isEmpty) b
+        else if (b.sums.isEmpty) a
+        else {
+          val s = a.sums.clone()
+          var i = 0
+          while (i < s.length) { s(i) += b.sums(i); i += 1 }
+          Udx.CentroidBuf(s, a.n + b.n)
+        }
+      override def finish(r: Udx.CentroidBuf): Seq[Double] =
+        r.sums.toSeq.map(_ / r.n)
+      override def bufferEncoder: org.apache.spark.sql.Encoder[Udx.CentroidBuf] =
+        org.apache.spark.sql.Encoders.product
+      override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }
+
+  /** PCA top principal component by distributed power iteration, declared
+    * as the per-vector projection onto it (the 1-D reduced feature) plus
+    * the explained-variance ratio — the whitening/compression precursor a
+    * vector pipeline runs before quantization.
+    *
+    * Per iteration: v ← normalize(mean_i[(xᵢ−μ)·v (xᵢ−μ)]) — one keyed-less
+    * but MERGEABLE (sums, n) aggregation; only the d-length direction ever
+    * reaches the driver (same broadcast-model contract as k-means/IVF).
+    * The unit vector is rounded to 6 decimals each step, which pins the
+    * result across aggregation merge orders (double-sum reassociation
+    * drifts ~1e-15, the rounding grid is 1e-6). Deterministic start
+    * v₀ = 1/√d; sign canonicalized so the largest-|component| is positive.
+    * No SQL oracle (iterative float recurrence); KmeansSpec asserts
+    * recovery of a planted dominant axis and projection laws. */
+  val pcaPowerEmbed = Q.noOracle("pca_power_embed") { (s, dir) =>
+    VectorOps.registerFns(s)
+    pcaProject(s, t(s, dir, "embeddings").select("vec_id", "embedding"))
+  }
+
+  /** Shared PCA pipeline: returns (vec_id, pc1_proj, evr). */
+  def pcaProject(s: SparkSession, emb: DataFrame, iters: Int = 8): DataFrame = {
+    VectorOps.registerFns(s)
+    import s.implicits._
+    val agg = udaf(dMeanAgg)
+    val asD = expr("transform(embedding, x -> cast(x as double))")
+    val mu = emb.select(agg(asD).as("mu")).as[Seq[Double]].head()
+    val centered = zip_with(asD, typedLit(mu), (a, b) => a - b)
+    def normRound(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val u = if (n == 0.0) v.map(_ => 0.0) else v.map(_ / n)
+      u.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }
+    var v: Seq[Double] = normRound(Seq.fill(mu.length)(1.0))
+    for (_ <- 1 to iters) {
+      val scaled = transform(centered,
+        c => c * call_function("dot_product", centered, typedLit(v)))
+      v = normRound(emb.select(agg(scaled).as("t")).as[Seq[Double]].head())
+    }
+    // Sign canonicalization: largest-|component| positive.
+    val pivot = v.maxBy(math.abs)
+    if (pivot < 0) v = v.map(-_)
+    // λ = mean squared projection, total variance = mean ‖c‖²; their ratio
+    // is the explained-variance share of the recovered axis.
+    val proj = call_function("dot_product", centered, typedLit(v))
+    val stats = emb.select(
+      avg(proj * proj).as("lambda"),
+      avg(call_function("dot_product", centered, centered)).as("tot"))
+      .head()
+    val evr = BigDecimal(stats.getDouble(0) / stats.getDouble(1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    emb.select(col("vec_id"), round(proj, 6).as("pc1_proj"),
+        lit(evr).as("evr"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(graphPagerank, kmeansEmbed, pcaPowerEmbed)
 }

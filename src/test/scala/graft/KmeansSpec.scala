@@ -43,4 +43,34 @@ class KmeansSpec extends SparkSpec {
     val total = rows.map(_.getDouble(1)).sum
     assert(total <= 1.0 + 1e-6 && total >= 0.15, s"sum(pr)=$total")
   }
+
+  test("pca power iteration recovers a planted dominant axis") {
+    import spark.implicits._
+    // Vectors ±t·e1 + small fixed off-axis wobble on e2: the top component
+    // must align with e1 and explain almost all the variance.
+    val rows = (0 until 64).map { i =>
+      val t = if (i % 2 == 0) 10.0f + i else -(10.0f + i)
+      (i.toLong, Seq(t, (i % 5) * 0.01f, 0.0f, 0.0f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = operators.ClusterOps.pcaProject(spark, emb).collect()
+    val evr = out.head.getDouble(2)
+    assert(evr > 0.999, s"evr=$evr")
+    // Projections must reproduce each CENTERED vector's e1 coordinate
+    // (global sign aside).
+    val mean1 = rows.map(_._2.head.toDouble).sum / rows.size
+    val byId = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, v) =>
+      val expected = math.abs(v.head - mean1)
+      assert(math.abs(math.abs(byId(id)) - expected) < 0.1,
+        s"vec $id proj=${byId(id)} expected ±$expected")
+    }
+  }
+
+  test("pca projection is deterministic under repartitioning") {
+    val a = operators.ClusterOps.pcaProject(spark, emb).collect().toSeq
+    val b = operators.ClusterOps.pcaProject(spark, emb.repartition(7))
+      .collect().toSeq
+    assert(a.map(_.toString) == b.map(_.toString))
+  }
 }
