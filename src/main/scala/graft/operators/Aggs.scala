@@ -183,7 +183,28 @@ object Aggs {
         .orderBy("event_type")
   }
 
+  /** D-adjacent — boolean/conditional aggregates: bool_and / bool_or /
+    * count_if — the assertion-style rollups ("is every discount mild",
+    * "any high-tax line in this group") that replace self-joins.
+    * DuckDB count_if returns HUGEINT → cast BIGINT (the H6 lesson). */
+  val aggBool = Q(
+    "agg_bool",
+    """SELECT l_returnflag,
+      |  bool_and(l_discount <= 0.08) AS all_mild_discount,
+      |  bool_or(l_tax > 0.07) AS any_high_tax,
+      |  CAST(count_if(l_quantity >= 25) AS BIGINT) AS n_bulk
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          bool_and(col("l_discount") <= 0.08).as("all_mild_discount"),
+          bool_or(col("l_tax") > 0.07).as("any_high_tax"),
+          count_if(col("l_quantity") >= 25).as("n_bulk"))
+        .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(aggHashMulti, aggGlobal, aggCountDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggCollect,
-    aggMinMaxBy, aggSaltedTwoPhase)
+    aggMinMaxBy, aggSaltedTwoPhase, aggBool)
 }

@@ -144,6 +144,32 @@ object Windows {
       .orderBy("o_orderkey").limit(2000)
   }
 
+  /** E3-adjacent — first_value/last_value/nth_value: each event annotated
+    * with its user's session entry, exit and third touch. The full
+    * partition frame is EXPLICIT on both engines (last_value's default
+    * frame stops at CURRENT ROW — the classic silent-wrong-answer);
+    * ordering is pinned unique by (ts, event_id). */
+  val firstLast = Q(
+    "win_first_last",
+    """SELECT event_id, user_id,
+      |  FIRST_VALUE(event_type) OVER w AS first_type,
+      |  LAST_VALUE(event_type) OVER w AS last_type,
+      |  NTH_VALUE(event_type, 3) OVER w AS third_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"),
+        nth_value(col("event_type"), 3).over(w).as("third_type"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(rankTopN, runningSum, lagLead, slidingFrame, ntilePct,
-    rangeFrame)
+    rangeFrame, firstLast)
 }
