@@ -25,6 +25,7 @@ object PlanAudit {
     "relevance_ndcg", "relevance_prk", // 3-row query-terms broadcast
     "corpus_mixture_stats", // 1-row token-total broadcast
     "events_funnel",     // cross of three 1-row stage counts
+    "q22_sales_opportunity", // 1-row avg-acctbal threshold broadcast
     "dedup_embedding_cosine", "dedup_ngram_jaccard") // exact quadratic baselines
 
   def main(args: Array[String]): Unit = {

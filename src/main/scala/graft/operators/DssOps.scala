@@ -202,6 +202,217 @@ object DssOps {
         .limit(100)
   }
 
+  /** TPC-H q8 (adapted): national market share — NATION_1's share of
+    * ECONOMY-part revenue sold into AMERICA customers, by order year. Two
+    * role-playing nation dims (supplier's and customer's) join the same
+    * broadcast table under different aliases; the share divides two exact
+    * decimal sums, so the double ratio is engine-identical. */
+  val q8MarketShare = Q(
+    "q8_market_share",
+    """SELECT o_year,
+      |  ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+      |                 ELSE CAST(0.00 AS DECIMAL(24,4)) END) AS DOUBLE) /
+      |        CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |         CAST(1 - l_discount AS DECIMAL(12,2)) AS DECIMAL(24,4)) AS volume,
+      |    n1.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN part     ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  JOIN region   ON n2.n_regionkey = r_regionkey
+      |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY') all_sales
+      |GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, dir) =>
+    val part = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+      .select("p_partkey")
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+    val reg = t(s, dir, "region").filter(col("r_name") === "AMERICA")
+      .select("r_regionkey")
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(to_date(col("o_orderdate"))).as("o_year"))
+    val volume = (dec2(col("l_extendedprice")) *
+      dec2(lit(1) - col("l_discount"))).cast("decimal(24,4)")
+    t(s, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(reg), col("c_rk") === col("r_regionkey"))
+      .select(col("o_year"), volume.as("volume"), col("supp_nation"))
+      .groupBy("o_year")
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_1", col("volume"))
+          .otherwise(lit(0.00).cast("decimal(24,4)"))).cast("double") /
+          sum(col("volume")).cast("double"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H q13 (adapted): customer order-count distribution — LEFT join so
+    * zero-order customers land in the c_count = 0 bucket; non-urgent
+    * orders only (the comment-filter analog). Double aggregation: per
+    * customer, then per count. */
+  val q13CustDistribution = Q(
+    "q13_cust_distribution",
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    t(s, dir, "customer").select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H q15 (adapted): top supplier(s) by 1996-Q1 shipped revenue — the
+    * scalar-max subquery selects every supplier tying the maximum. Exact
+    * decimal revenue makes the equality comparison engine-safe. */
+  val q15TopSupplier = Q(
+    "q15_top_supplier",
+    """WITH rev AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |             CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    val rev = t(s, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+        to_date(col("l_shipdate")) < lit("1996-04-01"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+        .cast("double").as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+    t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      .join(rev, col("s_suppkey") === col("supplier_no"))
+      .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H q16 (adapted): supplier breadth per part profile — the
+    * part-supplier relation is derived from lineitem (no partsupp table in
+    * the reduced schema), distinct'd BEFORE the part join so the count
+    * distinct sees fixed-width key pairs. */
+  val q16PartSupplier = Q(
+    "q16_part_supplier",
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%'
+      |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) {
+    (s, dir) =>
+      val ps = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val part = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#13" &&
+          !col("p_type").startsWith("PROMO") &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      ps.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+  }
+
+  /** TPC-H q19 (adapted): discounted revenue under an OR-of-ANDs
+    * brand/size/quantity predicate — the disjunctive-pushdown shape (the
+    * part filter is the union of the three brand branches; the residual
+    * per-branch quantity conjunction applies post-join). */
+  val q19DiscountedRevenue = Q(
+    "q19_discounted_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |             CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#5'  AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, dir) =>
+    val part = t(s, dir, "part")
+      .select("p_partkey", "p_brand", "p_size")
+    def branch(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    t(s, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(branch("Brand#5", 15, 1, 11) ||
+        branch("Brand#13", 25, 10, 20) ||
+        branch("Brand#19", 35, 20, 30))
+      .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+        .cast("double").as("revenue"))
+  }
+
+  /** TPC-H q22 (adapted): global sales opportunity — rich-but-inactive
+    * customers per market segment: above-positive-average account balance
+    * (scalar subquery, broadcast as a 1-row side) and no RECENT orders —
+    * none since 1998-01-01 (anti join; the reduced schema's analog of
+    * q22's seven-year inactivity window). The average divides an exact decimal sum by an exact
+    * count, so the threshold double is engine-identical. */
+  val q22SalesOpportunity = Q(
+    "q22_sales_opportunity",
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+      |           / COUNT(*)
+      |    FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |      AND CAST(o_orderdate AS DATE) >= DATE '1998-01-01')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val thr = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1)))
+        .as("avg_bal"))
+    val ord = t(s, dir, "orders")
+      .filter(to_date(col("o_orderdate")) >= lit("1998-01-01"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Q] = Seq(q4OrderPriority, q7VolumeShipping, q10ReturnedItems,
-    q14PromoRevenue, q18LargeOrders)
+    q14PromoRevenue, q18LargeOrders, q8MarketShare, q13CustDistribution,
+    q15TopSupplier, q16PartSupplier, q19DiscountedRevenue,
+    q22SalesOpportunity)
 }
