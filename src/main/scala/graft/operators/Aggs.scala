@@ -204,7 +204,49 @@ object Aggs {
         .orderBy("l_returnflag")
   }
 
+  /** D-adjacent — UNPIVOT/melt: wide metric columns to long (metric, value)
+    * rows, the inverse of agg_pivot and the long-format feed for
+    * metric-generic pipelines. Spark's native `unpivot` plans as Expand
+    * (one pass, no join); the oracle spells the same semantics as the
+    * portable UNION ALL. */
+  val aggUnpivot = Q(
+    "agg_unpivot",
+    """WITH src AS (
+      |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |         l_discount, l_tax
+      |  FROM lineitem
+      |  ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |           l_discount, l_tax
+      |  LIMIT 2000)
+      |SELECT l_orderkey, l_linenumber, metric, value FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+      |         l_quantity AS value FROM src
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      |  FROM src
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src) long
+      |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      // (l_orderkey, l_linenumber) is NOT unique in the reduced schema:
+      // order by the full row so the LIMIT's boundary ties are identical
+      // rows (interchangeable across engines).
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      .limit(2000)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric", "value")
+  }
+
   val all: Seq[Q] = Seq(aggHashMulti, aggGlobal, aggCountDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggCollect,
-    aggMinMaxBy, aggSaltedTwoPhase, aggBool)
+    aggMinMaxBy, aggSaltedTwoPhase, aggBool, aggUnpivot)
 }

@@ -63,5 +63,28 @@ object SqlEntry {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(sqlPath, sqlCorrelated)
+  /** SQL path — LATERAL correlated join: each customer's two biggest
+    * orders via a per-row dependent subquery (ORDER BY + LIMIT inside the
+    * lateral). Catalyst decorrelates this to a ranked window join — the
+    * declarative spelling of win_rank_topn, proving the planner handles
+    * the dependent-join surface. */
+  val sqlLateral = Q(
+    "sql_lateral_topk",
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) top2
+      |ORDER BY c_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    Views.register(s, dir)
+    s.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) top2
+        |ORDER BY c_custkey, o_orderkey""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(sqlPath, sqlCorrelated, sqlLateral)
 }
