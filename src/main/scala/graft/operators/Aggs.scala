@@ -246,7 +246,33 @@ object Aggs {
       .orderBy("l_orderkey", "l_linenumber", "metric", "value")
   }
 
+  /** D-adjacent — NATIVE top-k aggregate (functions.TopKAgg, a
+    * TypedImperativeAggregate with a k-bounded heap buffer): each
+    * partition ships ≤ k doubles per group into the shuffle — map-side
+    * partial top-k, where the window spelling shuffles every row before
+    * discarding all but k. The declared output renders the array as
+    * decimal strings per the comparator convention; AggSpec pins
+    * equivalence to the window spelling and merge determinism. */
+  val aggTopkNative = Q(
+    "agg_topk_native",
+    """SELECT o_orderstatus,
+      |  array_to_string(list_transform(
+      |    list(o_totalprice ORDER BY o_totalprice DESC)[1:5],
+      |    x -> CAST(CAST(x AS DECIMAL(12,2)) AS VARCHAR)), ',') AS top5
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+    (s, dir) =>
+      VectorOps.registerFns(s)
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(array_join(
+          transform(
+            call_function("topk_agg", col("o_totalprice"), lit(5)),
+            x => x.cast("decimal(12,2)").cast("string")),
+          ",").as("top5"))
+        .orderBy("o_orderstatus")
+  }
+
   val all: Seq[Q] = Seq(aggHashMulti, aggGlobal, aggCountDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggCollect,
-    aggMinMaxBy, aggSaltedTwoPhase, aggBool, aggUnpivot)
+    aggMinMaxBy, aggSaltedTwoPhase, aggBool, aggUnpivot, aggTopkNative)
 }

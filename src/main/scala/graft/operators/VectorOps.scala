@@ -51,6 +51,10 @@ object VectorOps {
       org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash31"),
       graft.functions.RollingHash31.info,
       graft.functions.RollingHash31.builder)
+    s.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("topk_agg"),
+      graft.functions.TopKAgg.info,
+      graft.functions.TopKAgg.builder)
   }
 
   private val pairOracle =

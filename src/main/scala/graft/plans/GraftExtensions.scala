@@ -39,6 +39,10 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash31"),
       graft.functions.RollingHash31.info,
       graft.functions.RollingHash31.builder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("topk_agg"),
+      graft.functions.TopKAgg.info,
+      graft.functions.TopKAgg.builder))
   }
 }
 
