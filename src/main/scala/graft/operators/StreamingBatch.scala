@@ -90,5 +90,22 @@ object StreamingBatch {
       .orderBy("user_id", "event_type")
   }
 
-  val all: Seq[Q] = Seq(tumbling, sliding, session, dedup)
+  /** I9 — batch twin of streaming/Streams.staticEnrich: events LEFT-joined
+    * to the static customer dimension, rolled up per market segment (NULL
+    * segment = dimension miss). Same logical plan the stream runs per
+    * micro-batch; StreamingSpec proves incremental == this. */
+  val staticEnrich = Q(
+    "stream_static_enrich",
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events LEFT OUTER JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment NULLS FIRST""".stripMargin) { (s, dir) =>
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    graft.streaming.Streams.staticEnrich(ev(s, dir), dim)
+      .orderBy(col("c_mktsegment").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(tumbling, sliding, session, dedup, staticEnrich)
 }

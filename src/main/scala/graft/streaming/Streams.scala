@@ -149,6 +149,21 @@ object Streams {
         col("v_ts"), col("p_ts"), col("value"))
   }
 
+  /** I9 — stream-static broadcast enrich: every micro-batch hash-joins the
+    * static customer dimension (re-planned per batch, so a slowly-changing
+    * dim picks up updates between batches — Spark's documented
+    * stream-static semantics). LEFT join keeps dimension misses as a NULL
+    * segment; the per-segment rollup is the deterministic declared shape.
+    * The batch twin is operators.StreamingBatch.staticEnrich (DuckDB
+    * oracle). */
+  def staticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(org.apache.spark.sql.functions.broadcast(dim),
+        col("user_id") === col("c_custkey"), "left_outer")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+
   /** I7 — micro-batch sink: per-batch bulk write through a DocumentSink
     * (the Solr-indexing shape: one bulk commit per micro-batch). */
   def foreachBatchSink(df: DataFrame, checkpointDir: String)(

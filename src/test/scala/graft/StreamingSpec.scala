@@ -89,6 +89,21 @@ class StreamingSpec extends SparkSpec {
     batch.foreach { case (k, v) => assert(finalState(k) == v, s"window $k") }
   }
 
+  test("stream-static enrich converges to the batch answer") {
+    val dir = feedDir(4)
+    val stream = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
+    val dim = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val rows = runToCompletion(
+      Streams.staticEnrich(stream, dim), OutputMode.Update())
+    // Update mode re-emits segments; last emission per key is final.
+    val finalState = rows.map(r => r.get(0) -> ((r.getLong(1), r.getDouble(2))))
+      .foldLeft(Map.empty[Any, (Long, Double)]) { case (m, (k, v)) => m + (k -> v) }
+    val batch = operators.StreamingBatch.staticEnrich.fn(spark, sfDir)
+      .collect().map(r => r.get(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(finalState == batch)
+  }
+
   test("watermark drops late rows deterministically in append mode") {
     // Append mode is where the watermark contract is deterministic: a
     // window emits once when the watermark passes its end, and rows
