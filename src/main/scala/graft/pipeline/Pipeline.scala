@@ -32,6 +32,33 @@ object Pipeline {
     out.count()
   }
 
+  /** Batch run with a dead-letter channel — the migration-tool contract
+    * that ONE malformed source row must never abort a bulk load, and every
+    * diverted row stays accounted for. Rows failing `isValid` are written
+    * (raw, untransformed) to `deadLetterPath` for replay after repair;
+    * valid rows proceed through transform → sink. Returns
+    * (rows written, rows diverted).
+    *
+    * The canonical `isValid` for file ingest is
+    * `col("_corrupt_record").isNull` over a PERMISSIVE-mode read
+    * (PipelineSpec drives exactly that). The source is pinned in the cache
+    * for the duration so the valid/invalid split reads one scan, not two.
+    */
+  def runWithDeadLetter(
+      spark: SparkSession,
+      m: Migration,
+      isValid: org.apache.spark.sql.Column,
+      deadLetterPath: String): (Long, Long) = {
+    val src = m.source.load(spark, m.sourceConf).cache()
+    try {
+      val bad = src.filter(!isValid)
+      bad.write.mode("append").parquet(deadLetterPath)
+      val out = m.transform(src.filter(isValid))
+      m.sink.save(out, m.sinkConf)
+      (out.count(), bad.count())
+    } finally src.unpersist()
+  }
+
   /** Micro-batch run: the same transform applied incrementally, one bulk
     * sink commit per micro-batch (the Solr indexing shape, I7). The caller
     * provides the streaming source DataFrame (e.g. Streams.eventsStream). */

@@ -30,6 +30,33 @@ class PipelineSpec extends SparkSpec {
     assert(readback.columns.toSet == Set("id", "name_s", "segment_s", "acctbal_d"))
   }
 
+  test("dead-letter channel: malformed CSV rows divert, load completes") {
+    val base = Files.createTempDirectory("graft_dlq").toString
+    // 3 valid rows, 2 malformed (non-numeric id / truncated line).
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/in.csv"),
+      ("id,name,score\n1,alpha,10.5\nnot_a_number,beta,2.0\n" +
+        "2,gamma,7.25\n3,delta\n4,epsilon,1.0\n").getBytes("UTF-8"))
+    val m = Migration(
+      source = graft.sources.CsvSource,
+      sourceConf = Map(
+        "path" -> s"$base/in.csv",
+        "schema" -> "id BIGINT, name STRING, score DOUBLE, _corrupt_record STRING"),
+      transform = df => df.select(col("id"), upper(col("name")).as("name_s"),
+        col("score").as("score_d")),
+      sink = ParquetSink,
+      sinkConf = Map("path" -> s"$base/docs"))
+    val (good, bad) = Pipeline.runWithDeadLetter(spark, m,
+      isValid = col("_corrupt_record").isNull, s"$base/dead")
+    assert(good == 3 && bad == 2, s"good=$good bad=$bad")
+    val docs = spark.read.parquet(s"$base/docs")
+    assert(docs.count() == 3 &&
+      docs.columns.toSet == Set("id", "name_s", "score_d"))
+    // Diverted rows keep their RAW line for replay after repair.
+    val dead = spark.read.parquet(s"$base/dead")
+      .select("_corrupt_record").collect().map(_.getString(0)).toSet
+    assert(dead == Set("not_a_number,beta,2.0", "3,delta"))
+  }
+
   test("declared solr_doc_assembly output feeds the sink unchanged") {
     val out = Files.createTempDirectory("graft_migr2").toString + "/docs"
     val docs = DocAssembly.solrDocAssembly.fn(spark, sfDir)
