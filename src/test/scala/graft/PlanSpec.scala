@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Physical-plan regression guards: the properties SCALE.md claims must
   * stay true (pushdown reaches the scan, dims broadcast, top-k never does
@@ -114,6 +114,48 @@ class PlanSpec extends SparkSpec {
     val p = plan("fuzzy_join_name")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "FastSS candidates must come from an equi-join")
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    // One hot key carrying ~100k rows against a uniform right side: with
+    // the skew thresholds scaled to test data, AQE must mark the hot
+    // partition skewed and split it (OptimizeSkewedJoin) instead of
+    // leaving one straggler task — the runtime half of SCALE.md's skew
+    // story (the salted-join spelling in scale.Scale is the static half).
+    import spark.implicits._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.get(k))
+    try {
+      conf.set(keys(0), "2")
+      conf.set(keys(1), "8KB")
+      conf.set(keys(2), "8KB")
+      conf.set(keys(3), "false")
+      // The partial agg above the join adds an ENSURE_REQUIREMENTS
+      // exchange; without force, OptimizeSkewedJoin refuses any split
+      // that adds a shuffle. Forcing mirrors the cluster posture where
+      // the straggler dominates the extra exchange.
+      conf.set(keys(4), "true")
+      conf.set(keys(5), "-1") // force a shuffle join
+      val left = spark.range(100000)
+        .select((col("id") * 0).as("k"), col("id").as("payload"))
+        .unionAll(spark.range(200).select((col("id") + 1).as("k"), col("id")))
+      val right = spark.range(201).select(col("id").as("k2"), lit("dim").as("v"))
+      // Keep the payload live through the agg so column pruning cannot
+      // shrink the hot partition below the skew threshold.
+      val joined = left.join(right, col("k") === col("k2"))
+        .groupBy("v").agg(org.apache.spark.sql.functions.sum("payload"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") && plan.contains("AQEShuffleRead skewed"),
+        "expected a skew-split SMJ + skew-marked AQEShuffleRead:\n" + plan.take(1200))
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {

@@ -89,6 +89,28 @@ class StreamingSpec extends SparkSpec {
     batch.foreach { case (k, v) => assert(finalState(k) == v, s"window $k") }
   }
 
+  test("stateful aggregation on the RocksDB state store provider") {
+    // Production state lives in RocksDB, not the default in-memory HDFS
+    // provider — prove the same tumbling aggregation is provider-agnostic
+    // (the 1000-executor deployment shape SCALE.md claims).
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = feedDir(3)
+      val stream = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
+      val rows = runToCompletion(Streams.tumblingCounts(stream), OutputMode.Update())
+      val finalState = rows.map(r => (r.get(0), r.get(1)) -> (r.getLong(2), r.getDouble(3)))
+        .foldLeft(Map.empty[Any, (Long, Double)]) { case (m, (k, v)) => m + (k -> v) }
+      val batch = Streams.tumblingCounts(
+        Tables.load(spark, dir = sfDir, "events")).collect()
+        .map(r => ((r.get(0), r.get(1)), (r.getLong(2), r.getDouble(3)))).toMap
+      assert(finalState == batch)
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", saved)
+  }
+
   test("stream-static enrich converges to the batch answer") {
     val dir = feedDir(4)
     val stream = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
