@@ -54,10 +54,12 @@ case class TopKAgg(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuf] {
 
-  private lazy val k: Int = kExpr match {
-    case Literal(i: Int, IntegerType) => i
-    case _ => throw new IllegalArgumentException(
-      "topk_agg: k must be an integer literal")
+  // Any foldable int expression works (`2+3` folds after resolution);
+  // non-foldable k is rejected by checkInputDataTypes, not an exception.
+  private lazy val k: Int = kExpr.eval() match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(
+      s"topk_agg: k must evaluate to an int, got $other")
   }
 
   override def children: Seq[Expression] = Seq(child, kExpr)
@@ -65,8 +67,9 @@ case class TopKAgg(
     if (child.dataType != DoubleType)
       TypeCheckResult.TypeCheckFailure(
         s"topk_agg expects a double value column, got ${child.dataType.simpleString}")
-    else if (!kExpr.foldable)
-      TypeCheckResult.TypeCheckFailure("topk_agg: k must be foldable")
+    else if (!kExpr.foldable || kExpr.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        "topk_agg: k must be a foldable int expression")
     else if (k <= 0)
       TypeCheckResult.TypeCheckFailure(s"topk_agg: k must be positive, got $k")
     else TypeCheckResult.TypeCheckSuccess

@@ -249,8 +249,12 @@ object ClusterOps {
       avg(proj * proj).as("lambda"),
       avg(call_function("dot_product", centered, centered)).as("tot"))
       .head()
-    val evr = BigDecimal(stats.getDouble(0) / stats.getDouble(1))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Degenerate corpus (every vector == mean) has zero total variance;
+    // report evr 0 rather than NaN (NaN sorts above everything in Spark).
+    val evr =
+      if (stats.getDouble(1) == 0.0) 0.0
+      else BigDecimal(stats.getDouble(0) / stats.getDouble(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     emb.select(col("vec_id"), round(proj, 6).as("pc1_proj"),
         lit(evr).as("evr"))
       .orderBy("vec_id")
