@@ -63,10 +63,12 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_COMPRESS", "false"))
       .config("spark.broadcast.compress",
         sys.env.getOrElse("SPARK_GRAFT_BENCH_COMPRESS", "false"))
-      // At bench scale every non-lineitem table fits in one broadcast; a
-      // raised threshold turns the remaining sort-merge joins (orders ⋈
-      // lineitem in q3/q5) into broadcast joins — two fewer exchanges per
-      // query. At 100 TB the default threshold + AQE decide per stats.
+      // The 10 MB Spark default, pinned explicitly so the bench is immune
+      // to ambient config: dims broadcast, orders ⋈ lineitem stays SMJ.
+      // Measured (r3): raising to 100 MB to broadcast orders is NOT a win
+      // — the per-run broadcast build costs more than the exchanges saved
+      // (2.58 s vs 2.49 s total). At 100 TB the threshold + AQE decide
+      // per stats.
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BENCH_BROADCAST", "10485760"))
       .getOrCreate()

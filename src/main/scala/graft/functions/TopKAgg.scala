@@ -55,11 +55,11 @@ case class TopKAgg(
   extends TypedImperativeAggregate[TopKBuf] {
 
   // Any foldable int expression works (`2+3` folds after resolution);
-  // non-foldable k is rejected by checkInputDataTypes, not an exception.
+  // non-foldable or NULL k is rejected by checkInputDataTypes, not an
+  // exception.
   private lazy val k: Int = kExpr.eval() match {
     case i: Int => i
-    case other => throw new IllegalArgumentException(
-      s"topk_agg: k must evaluate to an int, got $other")
+    case _ => 0 // checkInputDataTypes rejects before any buffer is built
   }
 
   override def children: Seq[Expression] = Seq(child, kExpr)
@@ -70,8 +70,9 @@ case class TopKAgg(
     else if (!kExpr.foldable || kExpr.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure(
         "topk_agg: k must be a foldable int expression")
-    else if (k <= 0)
-      TypeCheckResult.TypeCheckFailure(s"topk_agg: k must be positive, got $k")
+    else if (kExpr.eval() == null || k <= 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_agg: k must be a positive non-null int, got ${kExpr.eval()}")
     else TypeCheckResult.TypeCheckSuccess
   }
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)

@@ -177,21 +177,10 @@ object ClusterOps {
     new org.apache.spark.sql.expressions.Aggregator[
         Seq[Double], Udx.CentroidBuf, Seq[Double]] {
       override def zero: Udx.CentroidBuf = Udx.CentroidBuf(Array.empty, 0L)
-      override def reduce(b: Udx.CentroidBuf, v: Seq[Double]): Udx.CentroidBuf = {
-        val s = if (b.sums.isEmpty) new Array[Double](v.length) else b.sums
-        var i = 0
-        while (i < v.length) { s(i) += v(i); i += 1 }
-        Udx.CentroidBuf(s, b.n + 1)
-      }
+      override def reduce(b: Udx.CentroidBuf, v: Seq[Double]): Udx.CentroidBuf =
+        Udx.VecSum.add(b, v(_), v.length)
       override def merge(a: Udx.CentroidBuf, b: Udx.CentroidBuf): Udx.CentroidBuf =
-        if (a.sums.isEmpty) b
-        else if (b.sums.isEmpty) a
-        else {
-          val s = a.sums.clone()
-          var i = 0
-          while (i < s.length) { s(i) += b.sums(i); i += 1 }
-          Udx.CentroidBuf(s, a.n + b.n)
-        }
+        Udx.VecSum.merge(a, b)
       override def finish(r: Udx.CentroidBuf): Seq[Double] =
         r.sums.toSeq.map(_ / r.n)
       override def bufferEncoder: org.apache.spark.sql.Encoder[Udx.CentroidBuf] =
@@ -235,8 +224,11 @@ object ClusterOps {
     }
     var v: Seq[Double] = normRound(Seq.fill(mu.length)(1.0))
     for (_ <- 1 to iters) {
-      val scaled = transform(centered,
-        c => c * call_function("dot_product", centered, typedLit(v)))
+      // Hoist the projection OUT of the element lambda: inside transform
+      // it would re-evaluate the full d-length dot product once per array
+      // element (O(d²) per row).
+      val p = call_function("dot_product", centered, typedLit(v))
+      val scaled = transform(centered, c => c * p)
       v = normRound(emb.select(agg(scaled).as("t")).as[Seq[Double]].head())
     }
     // Sign canonicalization: largest-|component| positive.

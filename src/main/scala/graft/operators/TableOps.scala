@@ -74,28 +74,36 @@ object TableOps {
   val scd2Intervals = Q(
     "scd2_intervals",
     """WITH chg AS (
-      |  SELECT user_id, event_type, ts,
+      |  SELECT user_id, event_type, ts, event_id,
       |    LAG(event_type) OVER (PARTITION BY user_id
       |      ORDER BY ts, event_id) AS prev_type
       |  FROM events),
       |runs AS (
-      |  SELECT user_id, event_type, ts AS valid_from
+      |  SELECT user_id, event_type, ts AS valid_from, event_id
       |  FROM chg WHERE prev_type IS NULL OR event_type <> prev_type)
       |SELECT user_id, event_type, valid_from,
       |  LEAD(valid_from) OVER (PARTITION BY user_id
-      |    ORDER BY valid_from) AS valid_to,
+      |    ORDER BY valid_from, event_id) AS valid_to,
       |  (LEAD(valid_from) OVER (PARTITION BY user_id
-      |    ORDER BY valid_from) IS NULL) AS is_current
-      |FROM runs ORDER BY user_id, valid_from""".stripMargin) { (s, dir) =>
+      |    ORDER BY valid_from, event_id) IS NULL) AS is_current
+      |FROM runs ORDER BY user_id, valid_from, event_id""".stripMargin) { (s, dir) =>
+    // ts alone is not unique per user: two different-type events at the
+    // same instant both open runs, and a tie in the LEAD ordering would
+    // make valid_to/is_current engine-arbitrary. event_id rides along as
+    // the tiebreak in BOTH windows and the final order (the parity rule:
+    // unique frame ordering everywhere).
     val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val byFrom = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    val byFrom = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("event_id"))
     t(s, dir, "events")
       .withColumn("prev_type", lag(col("event_type"), 1).over(byTs))
       .filter(col("prev_type").isNull || col("event_type") =!= col("prev_type"))
-      .select(col("user_id"), col("event_type"), col("ts").as("valid_from"))
+      .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+        col("event_id"))
       .withColumn("valid_to", lead(col("valid_from"), 1).over(byFrom))
       .withColumn("is_current", col("valid_to").isNull)
-      .orderBy("user_id", "valid_from")
+      .orderBy("user_id", "valid_from", "event_id")
+      .select("user_id", "event_type", "valid_from", "valid_to", "is_current")
   }
 
   /** Time-series resample + gap fill: hourly buckets per event type over
@@ -135,10 +143,17 @@ object TableOps {
           .as("hour_start"))
     val fillW = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(hourly.withColumnRenamed("hour_start", "h_start"),
-        spine("event_type") === hourly("event_type") &&
+    // spine DERIVES from hourly, so the two sides share exprIds; rename
+    // BOTH right-side join columns to fresh names and join on plain
+    // column references — never `hourly("event_type")`, whose exprId is
+    // also reachable from the left (ambiguous-self-join trap).
+    val obs = hourly
+      .withColumnRenamed("hour_start", "h_start")
+      .withColumnRenamed("event_type", "h_type")
+    spine.join(obs,
+        col("event_type") === col("h_type") &&
           col("hour_start") === col("h_start"), "left_outer")
-      .select(spine("event_type"), col("hour_start"),
+      .select(col("event_type"), col("hour_start"),
         coalesce(col("n"), lit(0L)).as("n"),
         col("h_start").isNull.as("is_gap"),
         col("hour_value"))

@@ -44,24 +44,34 @@ object Udx {
     * This is the `TypedImperativeAggregate`-class capability through the
     * public API: partial buffers merge associatively, so Spark runs it as
     * a two-phase aggregate with map-side combine — the scalable shape. */
+  /** Shared mergeable (sums, n) vector-sum core — one implementation for
+    * every element-wise mean aggregator (the float centroid here, the
+    * double power-iteration mean in ClusterOps). */
+  object VecSum {
+    def add(b: CentroidBuf, v: Int => Double, len: Int): CentroidBuf = {
+      val s = if (b.sums.isEmpty) new Array[Double](len) else b.sums
+      var i = 0
+      while (i < len) { s(i) += v(i); i += 1 }
+      CentroidBuf(s, b.n + 1)
+    }
+    def merge(a: CentroidBuf, b: CentroidBuf): CentroidBuf =
+      if (a.sums.isEmpty) b
+      else if (b.sums.isEmpty) a
+      else {
+        val s = a.sums.clone()
+        var i = 0
+        while (i < s.length) { s(i) += b.sums(i); i += 1 }
+        CentroidBuf(s, a.n + b.n)
+      }
+  }
+
   val centroidAgg: Aggregator[Seq[Float], CentroidBuf, Seq[Double]] =
     new Aggregator[Seq[Float], CentroidBuf, Seq[Double]] {
       override def zero: CentroidBuf = CentroidBuf(Array.empty, 0L)
-      override def reduce(b: CentroidBuf, v: Seq[Float]): CentroidBuf = {
-        val s = if (b.sums.isEmpty) new Array[Double](v.length) else b.sums
-        var i = 0
-        while (i < v.length) { s(i) += v(i); i += 1 }
-        CentroidBuf(s, b.n + 1)
-      }
+      override def reduce(b: CentroidBuf, v: Seq[Float]): CentroidBuf =
+        VecSum.add(b, i => v(i).toDouble, v.length)
       override def merge(a: CentroidBuf, b: CentroidBuf): CentroidBuf =
-        if (a.sums.isEmpty) b
-        else if (b.sums.isEmpty) a
-        else {
-          val s = a.sums.clone()
-          var i = 0
-          while (i < s.length) { s(i) += b.sums(i); i += 1 }
-          CentroidBuf(s, a.n + b.n)
-        }
+        VecSum.merge(a, b)
       override def finish(r: CentroidBuf): Seq[Double] =
         r.sums.toSeq.map { s =>
           BigDecimal(s / r.n).setScale(6, BigDecimal.RoundingMode.HALF_UP)

@@ -50,13 +50,17 @@ object Pipeline {
       isValid: org.apache.spark.sql.Column,
       deadLetterPath: String): (Long, Long) = {
     val src = m.source.load(spark, m.sourceConf).cache()
+    val out = m.transform(src.filter(isValid)).cache()
     try {
       val bad = src.filter(!isValid)
       bad.write.mode("append").parquet(deadLetterPath)
-      val out = m.transform(src.filter(isValid))
+      // Count from the pinned transform output BEFORE unpersisting, so the
+      // reported metric is the exact batch the sink received — never a
+      // recomputation that could rescan the source (or disagree under a
+      // nondeterministic transform).
       m.sink.save(out, m.sinkConf)
       (out.count(), bad.count())
-    } finally src.unpersist()
+    } finally { out.unpersist(); src.unpersist() }
   }
 
   /** Micro-batch run: the same transform applied incrementally, one bulk

@@ -142,4 +142,30 @@ class OperatorSpec extends SparkSpec {
       .cast("double")).head
     assert(math.abs(s.getDouble(0) - 9.45) < 1e-9)
   }
+
+  test("scd2: same-instant run starts break ties by event_id, not arbitrarily") {
+    // Two different-type events at the SAME timestamp both open runs; the
+    // LEAD/ordering tiebreak (event_id) must pin which run closes — the
+    // lower event_id's run gets valid_to = T, the higher stays current.
+    val t0 = 1700000000L * 1000000000L
+    val ev = Seq(
+      (10L, t0, 1L, "view", 1.0, "{}"),
+      (11L, t0, 1L, "click", 1.0, "{}"),
+      (12L, t0 + 3600L * 1000000000L, 1L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = s"/tmp/graft_scd2_tie_${System.nanoTime()}"
+    ev.write.parquet(s"$tmp/events.parquet")
+    val out = graft.operators.TableOps.scd2Intervals.fn(spark, tmp).collect()
+      .map(r => (r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4)))
+    assert(out.length == 3)
+    val Array(view, click, purchase) = out
+    // view (event_id 10) closes at T itself (the tie's next run start is
+    // click, also at T), click closes at T+1h, purchase stays current.
+    assert(view._1 == "view" && !view._4 &&
+      view._3.get.getTime == view._2.getTime)
+    assert(click._1 == "click" && !click._4 &&
+      click._3.get.getTime == click._2.getTime + 3600L * 1000L)
+    assert(purchase._1 == "purchase" && purchase._3.isEmpty && purchase._4)
+  }
 }
