@@ -187,6 +187,53 @@ object MiningOps {
       .orderBy("doc_id")
   }
 
+  /** Collocation mining: document-level PMI of token pairs —
+    * pmi(a,b) = ln(df(a,b)·N / (df(a)·df(b))) over distinct
+    * (doc, token) incidence, minimum co-support 5 — the signal behind
+    * synonym/phrase discovery and feature crosses.
+    *
+    * Parity: the ln argument is (exact long · double N) / (exact long
+    * product) — identical IEEE arithmetic in both engines; round(…, 6)
+    * absorbs libm's last ulp. Ranking orders by the ROUNDED pmi with
+    * (t1, t2) tiebreak.
+    *
+    * Scale: the pair join is basket_pairs' shape — distinct incidence
+    * first (shrinks each doc to unique tokens), equi-join on doc_id;
+    * df sides broadcast. */
+  val tokenPmiPairs = Q(
+    "token_pmi_pairs",
+    """WITH dt AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |df AS (SELECT token, COUNT(*) AS c FROM dt GROUP BY token),
+      |pairs AS (
+      |  SELECT a.token AS t1, b.token AS t2, COUNT(*) AS c_ab
+      |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+      |  GROUP BY t1, t2 HAVING COUNT(*) >= 5)
+      |SELECT t1, t2, CAST(c_ab AS BIGINT) AS c_ab,
+      |  ROUND(LN(c_ab * (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
+      |                   FROM documents) / (d1.c * d2.c)), 6) AS pmi
+      |FROM pairs JOIN df d1 ON t1 = d1.token JOIN df d2 ON t2 = d2.token
+      |ORDER BY pmi DESC, t1, t2 LIMIT 50""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val n = docs.select(countDistinct(col("doc_id"))).head.getLong(0).toDouble
+    val dt = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val df = dt.groupBy("token").agg(count(lit(1)).as("c"))
+    val a = dt.select(col("doc_id"), col("token").as("t1"))
+    val b = dt.select(col("doc_id").as("d2"), col("token").as("t2"))
+    a.join(b, col("doc_id") === col("d2") && col("t1") < col("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+      .join(broadcast(df.select(col("token").as("t1"), col("c").as("c1"))), "t1")
+      .join(broadcast(df.select(col("token").as("t2"), col("c").as("c2"))), "t2")
+      .select(col("t1"), col("t2"), col("c_ab"),
+        round(log(col("c_ab") * lit(n) / (col("c1") * col("c2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("t1"), col("t2"))
+      .limit(50)
+  }
+
   val all: Seq[Q] = Seq(basketPairs, fuzzyJoinName, textBigramLogprob,
-    corpusQualityBuckets)
+    corpusQualityBuckets, tokenPmiPairs)
 }

@@ -247,6 +247,54 @@ object RelevanceOps {
       .orderBy("doc_id")
   }
 
+  /** Search autocomplete: the suggest dictionary — for every 2..4-char
+    * token prefix, the top-3 completions by corpus frequency (ties →
+    * lexicographic). The index a suggester serves from; build is one
+    * tokenize-explode + prefix-explode, ranked inside a prefix-keyed
+    * window. At 100 TB the (prefix, token) shuffle carries ≤ 3 fixed-size
+    * prefix keys per token occurrence and the window partitions by
+    * prefix (bounded-cardinality, never keyless). */
+  val suggestDictionary = Q(
+    "suggest_dictionary",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (
+      |  SELECT token, COUNT(*) AS freq FROM tok
+      |  WHERE len(token) >= 2 GROUP BY token),
+      |pref AS (
+      |  SELECT substr(token, 1, p) AS prefix, token, freq
+      |  FROM tf, unnest([2, 3, 4]) AS u(p)
+      |  WHERE len(token) >= p),
+      |ranked AS (
+      |  SELECT prefix, token, freq,
+      |    ROW_NUMBER() OVER (PARTITION BY prefix
+      |      ORDER BY freq DESC, token) AS rk
+      |  FROM pref)
+      |SELECT prefix, token, freq, CAST(rk AS INTEGER) AS rk
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY prefix, rk""".stripMargin) { (s, dir) =>
+    val tf = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) >= 2)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    // substr CLAMPS (substr('ab',1,3) = 'ab'), so filter on the true
+    // prefix length p, not length(prefix) — else short tokens emit
+    // duplicate (prefix, token) rows the oracle doesn't have.
+    val pref = tf
+      .select(col("token"), col("freq"),
+        explode(expr(
+          "transform(sequence(2, 4), p -> struct(p as p, substr(token, 1, p) as prefix))"))
+          .as("pp"))
+      .filter(length(col("token")) >= col("pp.p"))
+      .select(col("token"), col("freq"), col("pp.prefix").as("prefix"))
+    pref
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("prefix").orderBy(col("freq").desc, col("token"))))
+      .filter(col("rk") <= 3)
+      .select("prefix", "token", "freq", "rk")
+      .orderBy("prefix", "rk")
+  }
+
   val all: Seq[Q] = Seq(rankFusionRrf, relevanceNdcg, relevancePrk,
-    snippetExtract)
+    snippetExtract, suggestDictionary)
 }

@@ -87,6 +87,40 @@ class RelevanceSpec extends SparkSpec {
     assert(docs.forall { case (id, t) => t.contains("vector") == ids(id) })
   }
 
+  test("suggest dictionary: completions extend their prefix, ranked by freq") {
+    val out = RelevanceOps.suggestDictionary.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (prefix, token, freq, rk) =>
+      assert(token.startsWith(prefix) && prefix.length >= 2 && prefix.length <= 4)
+      assert(freq >= 1 && rk >= 1 && rk <= 3)
+    }
+    // Within a prefix, rank order matches descending frequency.
+    out.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._3).toSeq == byRank.map(_._3).sortBy(-_).toSeq)
+    }
+  }
+
+  test("pmi pairs: symmetric support bound and direct recomputation") {
+    import org.apache.spark.sql.functions.{countDistinct => cd}
+    val docs = Tables.load(spark, sfDir, "documents")
+    val n = docs.select(cd(col("doc_id"))).head.getLong(0).toDouble
+    val incidence = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) => (id, t.split(" ").toSet) }
+    val out = graft.operators.MiningOps.tokenPmiPairs.fn(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 50)
+    out.foreach { r =>
+      val (t1, t2, cAb, pmi) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(t1 < t2 && cAb >= 5)
+      val c1 = incidence.count(_._2(t1))
+      val c2 = incidence.count(_._2(t2))
+      val expect = math.log(cAb * n / (c1.toLong * c2))
+      assert(math.abs(pmi - expect) < 1e-5, s"($t1,$t2): $pmi vs $expect")
+    }
+  }
+
   test("paragraph dedup: cloned doc's chunks are all flagged as dups") {
     val base = Tables.load(spark, sfDir, "documents")
       .select($"doc_id", $"text")
