@@ -196,6 +196,32 @@ object Funcs {
       .orderBy("o_orderkey").limit(2000)
   }
 
+  /** H6-adjacent — Spark 4 VariantType: semi-structured JSON parsed ONCE
+    * into the binary variant encoding, then field-extracted with typed
+    * `variant_get` (decode-once-scan-many — the modern replacement for
+    * re-parsing strings per get_json_object call). The oracle runs plain
+    * JSON extraction (DuckDB has no variant; the SEMANTICS are identical
+    * by design). `try_variant_get` covers the missing-path → NULL
+    * contract. */
+  val fnVariant = Q(
+    "fn_json_variant",
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+      |  json_extract_string(props, '$.k') AS k_str,
+      |  (json_extract(props, '$.missing') IS NULL) AS missing_is_null
+      |FROM events
+      |ORDER BY event_id LIMIT 5000""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(
+        col("event_id"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k_typed"),
+        expr("variant_get(v, '$.k', 'string')").as("k_str"),
+        expr("try_variant_get(v, '$.missing', 'string')").isNull
+          .as("missing_is_null"))
+      .orderBy("event_id").limit(5000)
+  }
+
   val all: Seq[Q] = Seq(fnString, fnDate, fnMath, fnArray, fnMap, fnJson,
-    fnBitwise)
+    fnBitwise, fnVariant)
 }
