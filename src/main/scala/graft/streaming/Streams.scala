@@ -125,6 +125,78 @@ object Streams {
       .toDF()
   }
 
+  /** Closed-session record emitted by the timer-driven sessionizer. */
+  final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long)
+
+  /** I6 (timer API) — timer-driven sessionization on `transformWithState`:
+    * per-user session state (start, last-seen, count) plus an EVENT-TIME
+    * timer re-registered at last_ts + gap on every row; when the watermark
+    * passes the timer the session CLOSES and emits exactly once — the
+    * timeout-emission pattern `session_window` can't express (emit on
+    * inactivity, not on next-batch arrival). State is one small row + one
+    * timer per ACTIVE user, watermark-bounded — the 1000-executor shape.
+    * StreamingSpec proves emitted sessions equal the batch gap-split
+    * sessionization for every session whose timeout precedes the final
+    * watermark. */
+  def timedSessionsTws(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    class Sessionizer extends StatefulProcessor[Long, (Long, Long), ClosedSession] {
+      @transient private var state: ValueState[ClosedSession] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[ClosedSession]("session",
+          Encoders.product[ClosedSession], TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+          timerValues: TimerValues): Iterator[ClosedSession] = {
+        // Rows within a batch arrive unordered; sort by event time so the
+        // gap-split fold sees the true sequence (per-key per-batch rows
+        // are small — this is not a corpus sort).
+        val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+        var cur = Option(state.get())
+        rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
+          cur match {
+            case Some(s) if ts <= s.end_ms + gapMs =>
+              cur = Some(ClosedSession(key, math.min(s.start_ms, ts),
+                math.max(s.end_ms, ts), s.n_events + 1))
+            case Some(s) => // gap exceeded inside the batch: close inline
+              out += s
+              cur = Some(ClosedSession(key, ts, ts, 1L))
+            case None =>
+              cur = Some(ClosedSession(key, ts, ts, 1L))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // Earlier batches may have left stale timers (at old end+gap);
+          // handleExpiredTimer's expiry >= end+gap guard absorbs them, so
+          // no delete bookkeeping is needed — just register the current
+          // timeout.
+          getHandle.registerTimer(s.end_ms + gapMs)
+        }
+        out.iterator
+      }
+      override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+          expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+        val s = state.get()
+        if (s != null && expiredTimerInfo.getExpiryTimeInMs() >= s.end_ms + gapMs) {
+          state.clear()
+          Iterator.single(s)
+        } else Iterator.empty
+      }
+    }
+    events
+      .withWatermark("ts", "0 seconds")
+      .selectExpr("user_id", "unix_millis(ts) AS ts_ms")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new Sessionizer, TimeMode.EventTime(),
+        OutputMode.Append())
+      .toDF()
+  }
+
   /** I8 — stream-stream interval join: purchases attributed to a same-user
     * view within [v_ts, v_ts + 30 min). Both sides carry watermarks and the
     * range condition bounds buffered state: a view is evicted once the

@@ -111,6 +111,61 @@ class StreamingSpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass", saved)
   }
 
+  test("timer-driven sessionizer closes sessions like the batch gap split") {
+    // transformWithState timers require multi-column-family state — the
+    // RocksDB provider (the production default at scale anyway).
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { timerSessionBody() }
+    finally prev match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private def timerSessionBody(): Unit = {
+    val gapMs = 30L * 60 * 1000
+    val dir = feedDirChrono(5)
+    val stream = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
+    val emitted = runToCompletion(
+      Streams.timedSessionsTws(spark, stream, gapMs), OutputMode.Append())
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // Batch expectation: per-user gap-split over the same ms timeline.
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"user_id", unix_millis($"ts").as("ms"))
+      .as[(Long, Long)].collect()
+    val sessions = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val ts = es.map(_._2).sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var start = ts.head; var last = ts.head; var n = 1L
+      ts.tail.foreach { t =>
+        if (t <= last + gapMs) { last = t; n += 1 }
+        else { out += ((u, start, last, n)); start = t; last = t; n = 1L }
+      }
+      out += ((u, start, last, n))
+      out
+    }.toSet
+    // Nothing is emitted that the batch split doesn't contain.
+    assert(emitted.subsetOf(sessions),
+      s"phantom sessions: ${emitted.diff(sessions).take(3)}")
+    // Every session whose timeout precedes the watermark reached by the
+    // last batch (= max event time of all slices but the final one) MUST
+    // have been closed by its timer.
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val wmMs = files.dropRight(1).map { f =>
+      spark.read.schema(Tables.eventsRaw).parquet(f.toString)
+        .agg(max($"ts")).head.getLong(0) / 1000000L
+    }.max
+    val guaranteed = sessions.filter(s => s._3 + gapMs <= wmMs)
+    assert(guaranteed.nonEmpty, "feed produced no closeable sessions")
+    assert(guaranteed.subsetOf(emitted),
+      s"unclosed due sessions: ${guaranteed.diff(emitted).take(3)}")
+  }
+
   test("stream-static enrich converges to the batch answer") {
     val dir = feedDir(4)
     val stream = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
