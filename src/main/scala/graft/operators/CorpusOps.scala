@@ -419,7 +419,46 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Training-sequence packing, concat-and-split strategy: documents are
+    * concatenated in a deterministic order (doc_id) within each language
+    * stream and cut into fixed 512-token packs — each doc is assigned the
+    * pack its FIRST token lands in, with its offset inside that pack.
+    * The layout step before writing pretraining shards; packs are
+    * language-pure (the mixture weights stay controllable downstream).
+    *
+    * Scale: one running-sum window per language partition (the natural
+    * shard key — never keyless) over (doc_id, n_tokens) pairs; the text
+    * itself never moves for the planning pass. */
+  val packSequences = Q(
+    "corpus_pack_sequences",
+    """WITH d AS (
+      |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      |      AS tokens_before
+      |  FROM d)
+      |SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(tokens_before // 512 AS BIGINT) AS pack_id,
+      |  CAST(tokens_before % 512 AS BIGINT) AS pack_offset
+      |FROM c ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("tokens_before",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        (col("tokens_before") / 512).cast("long").as("pack_id"),
+        (col("tokens_before") % 512).as("pack_offset"))
+      .orderBy("lang", "doc_id")
+  }
+
   val all: Seq[Q] = Seq(bm25TopK, decontaminateNgram, textRepetition,
     mixtureStats, embeddingQuantize, textNormalize, textHeavyHitters,
-    textTokenEntropy, dedupParagraph)
+    textTokenEntropy, dedupParagraph, packSequences)
 }

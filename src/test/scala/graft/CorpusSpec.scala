@@ -172,6 +172,25 @@ class CorpusSpec extends SparkSpec {
     assert(out("b") == ((9L, 0L)))
   }
 
+  test("sequence packing: offsets tile the concatenated stream exactly") {
+    val out = CorpusOps.packSequences.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).values.foreach { rows =>
+      val ordered = rows.sortBy(_._2)
+      var before = 0L
+      ordered.foreach { case (_, _, n, packId, off) =>
+        assert(packId == before / 512 && off == before % 512,
+          s"doc at cum=$before: pack=$packId off=$off")
+        before += n
+      }
+      // Pack ids are monotone within the language stream.
+      val packs = ordered.map(_._4)
+      assert(packs.zip(packs.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("quality buckets: terciles per lang are balanced and ordered") {
     val out = graft.operators.MiningOps.corpusQualityBuckets.fn(spark, sfDir)
       .collect().map(r => (r.getString(1), r.getDouble(2), r.getInt(3)))
