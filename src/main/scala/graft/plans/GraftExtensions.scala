@@ -19,6 +19,7 @@ import graft.functions.CosineSimilarity
 object GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(session => new SimilarityRewrite(session))
+    ext.injectOptimizerRule(session => new DistinctBitmapRewrite(session))
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       graft.functions.CosineSimilarity.info,
@@ -224,5 +225,111 @@ class SimilarityRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       }
     }
     if (roles.forall(_.isDefined)) Some(roles.flatten) else None
+  }
+}
+
+/** Optimizer rule: exact per-group COUNT(DISTINCT intcol) → bitmap-bucket
+  * two-level aggregate above a size threshold.
+  *
+  * Spark executes grouped count-distinct by keeping every distinct
+  * (group, value) pair alive through the first aggregate — per-group state
+  * proportional to the distinct count. The bitmap plan
+  * (`agg_bitmap_distinct`'s shape) replaces that with FIXED-SIZE mergeable
+  * state: group by (keys, bitmap_bucket_number(v)), build a 4 KB bucket
+  * bitmap via bitmap_construct_agg, then sum bitmap_count per key — the
+  * shuffle carries bitmap blobs, never value rows.
+  *
+  * EXACT for every long (verified empirically this session: negatives map
+  * to bucket ≤ 0 / position |v| — the (bucket, position) pair is injective
+  * over the full domain; NULLs are ignored by both spellings).
+  *
+  * Safety gates (same discipline as [[SimilarityRewrite]]):
+  *  - only fires on an Aggregate whose output is grouping attributes plus
+  *    EXACTLY ONE unfiltered COUNT(DISTINCT c) with c an integral
+  *    attribute — anything else (mixed aggregates, expressions over the
+  *    count, multiple distincts) is left untouched;
+  *  - grouping expressions must be plain attributes with distinct names
+  *    (the DataFrame re-spelling addresses columns by name);
+  *  - the child's sizeInBytes must be trustworthy (not the
+  *    defaultSizeInBytes sentinel) and above
+  *    `spark.graft.distinct.rewrite.sizeThreshold` (default 1 GiB);
+  *  - output attribute names AND exprIds are preserved via an aliasing
+  *    Project, and the spliced subtree is re-run through the optimizer.
+  *
+  * Idempotent: the rewritten subtree aggregates bitmap_count sums — no
+  * COUNT(DISTINCT) remains to re-match. Disable with
+  * `spark.graft.distinct.rewrite.enabled=false`.
+  */
+class DistinctBitmapRewrite(session: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+  import org.apache.spark.sql.functions.{coalesce, sum => fsum, lit, expr => fexpr}
+  import org.apache.spark.sql.types.{ByteType, IntegerType => IntT, LongType, ShortType}
+
+  private def enabled: Boolean =
+    session.conf.get("spark.graft.distinct.rewrite.enabled", "true").toBoolean
+  private def sizeThreshold: BigInt =
+    BigInt(session.conf.get("spark.graft.distinct.rewrite.sizeThreshold",
+      (1L << 30).toString))
+  private def statsUntrusted(size: BigInt): Boolean =
+    size == BigInt(session.sessionState.conf.defaultSizeInBytes)
+
+  private def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == ByteType || dt == ShortType || dt == IntT || dt == LongType
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformDown {
+      case agg @ Aggregate(groupingExprs, resultExprs, child, _)
+          if groupingExprs.forall(_.isInstanceOf[AttributeReference]) =>
+        rewrite(agg, groupingExprs.map(_.asInstanceOf[AttributeReference]),
+          resultExprs, child).getOrElse(agg)
+    }
+
+  private def rewrite(agg: Aggregate, groups: Seq[AttributeReference],
+      resultExprs: Seq[NamedExpression], child: LogicalPlan)
+      : Option[LogicalPlan] = {
+    // Partition outputs into grouping attrs and the single count-distinct.
+    val groupIds = groups.map(_.exprId).toSet
+    val (plain, aggs) = resultExprs.partition {
+      case ar: AttributeReference => groupIds.contains(ar.exprId)
+      case _ => false
+    }
+    val cd = aggs match {
+      case Seq(al @ Alias(AggregateExpression(
+          Count(Seq(c: AttributeReference)), _, true, None, _), _))
+          if integral(c.dataType) && child.outputSet.contains(c) =>
+        Some((al, c))
+      case _ => None
+    }
+    cd.flatMap { case (al, c) =>
+      val names = (groups.map(_.name) :+ c.name)
+      if (names.distinct.size != names.size) None
+      else if (statsUntrusted(child.stats.sizeInBytes) ||
+        child.stats.sizeInBytes <= sizeThreshold) None
+      else {
+        val df = GraftSqlBridge.ofRows(session, child)
+        val gCols = groups.map(g => col(g.name))
+        val bucketed = df
+          .groupBy((gCols :+ fexpr(s"bitmap_bucket_number(`${c.name}`)")
+            .as("__bucket")): _*)
+          .agg(fexpr(s"bitmap_construct_agg(bitmap_bit_position(`${c.name}`))")
+            .as("__bm"))
+          .groupBy(gCols: _*)
+          .agg(coalesce(fsum(fexpr("bitmap_count(__bm)")), lit(0L))
+            .as("__cnt"))
+        val spliced = session.sessionState.optimizer
+          .execute(GraftSqlBridge.analyzed(bucketed))
+        val byName = spliced.output.map(a => a.name -> a).toMap
+        val aliased = Project(resultExprs.map { ne =>
+          val src = ne match {
+            case ar: AttributeReference => byName(ar.name)
+            case a: Alias => byName("__cnt")
+            case other => return None
+          }
+          Alias(src, ne.name)(exprId = ne.exprId)
+        }, spliced)
+        Some(aliased)
+      }
+    }
   }
 }

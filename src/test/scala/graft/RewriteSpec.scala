@@ -133,4 +133,70 @@ class RewriteSpec extends SparkSpec {
       spark.conf.unset("spark.graft.similarity.rewrite.enabled")
     }
   }
+
+  // ---- DistinctBitmapRewrite ----
+
+  private val dThresholdKey = "spark.graft.distinct.rewrite.sizeThreshold"
+
+  private def countDistinctDf: DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy("o_orderstatus")
+
+  private def hasDistinctAgg(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.toString.contains("count(distinct")
+
+  test("count-distinct rewrites to bitmap buckets above threshold, exactly") {
+    val expected = countDistinctDf.collect() // default 1 GiB: untouched
+    spark.conf.set(dThresholdKey, "1")
+    try {
+      val df = countDistinctDf
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(!hasDistinctAgg(df) && p.contains("bitmap_construct_agg") &&
+        p.contains("bitmapCount"),
+        "expected the bitmap two-level aggregate:\n" + p.take(800))
+      assert(df.collect().toSeq == expected.toSeq,
+        "bitmap rewrite must be EXACT")
+    } finally spark.conf.unset(dThresholdKey)
+  }
+
+  test("bitmap rewrite is exact for negative ids and ignores NULLs") {
+    import spark.implicits._
+    // createDataFrame → untrusted stats sentinel; route through parquet so
+    // the gate sees real stats.
+    val tmp = s"/tmp/graft_bmneg_${System.nanoTime()}"
+    Seq((1L, Some(-5L)), (1L, Some(-5L)), (1L, Some(3L)), (2L, Some(-1L)),
+      (2L, Option.empty[Long]), (2L, Some(0L)))
+      .toDF("k", "v").write.parquet(tmp)
+    val src = spark.read.parquet(tmp)
+    def q = src.groupBy("k").agg(countDistinct(col("v")).as("d")).orderBy("k")
+    val expected = q.collect()
+    spark.conf.set(dThresholdKey, "1")
+    try {
+      val df = q
+      assert(!hasDistinctAgg(df))
+      assert(df.collect().toSeq == expected.toSeq)
+    } finally spark.conf.unset(dThresholdKey)
+  }
+
+  test("bitmap rewrite leaves mixed/multi aggregates and defaults untouched") {
+    // Default threshold (1 GiB) far above sf data: untouched.
+    assert(hasDistinctAgg(countDistinctDf))
+    spark.conf.set(dThresholdKey, "1")
+    try {
+      // Mixed aggregate (count distinct + sum) must NOT be rewritten.
+      val mixed = Tables.load(spark, sfDir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          sum(col("o_totalprice")).as("s"))
+      assert(hasDistinctAgg(mixed))
+      // Disabled by conf: untouched even above threshold.
+      spark.conf.set("spark.graft.distinct.rewrite.enabled", "false")
+      assert(hasDistinctAgg(countDistinctDf))
+    } finally {
+      spark.conf.unset(dThresholdKey)
+      spark.conf.unset("spark.graft.distinct.rewrite.enabled")
+    }
+  }
 }
