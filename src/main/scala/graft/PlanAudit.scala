@@ -24,6 +24,7 @@ object PlanAudit {
     "rank_fusion_rrf",   // 1-row query-vector + 1-row bm25-stats broadcasts
     "relevance_ndcg", "relevance_prk", // 3-row query-terms broadcast
     "corpus_mixture_stats", // 1-row token-total broadcast
+    "token_pmi_pairs",   // 1-row corpus-size broadcast
     "events_funnel",     // cross of three 1-row stage counts
     "q22_sales_opportunity", // 1-row avg-acctbal threshold broadcast
     "dedup_embedding_cosine", "dedup_ngram_jaccard") // exact quadratic baselines

@@ -216,7 +216,9 @@ object MiningOps {
       |FROM pairs JOIN df d1 ON t1 = d1.token JOIN df d2 ON t2 = d2.token
       |ORDER BY pmi DESC, t1, t2 LIMIT 50""".stripMargin) { (s, dir) =>
     val docs = t(s, dir, "documents")
-    val n = docs.select(countDistinct(col("doc_id"))).head.getLong(0).toDouble
+    // N rides as a broadcast 1-row side (the oracle's scalar subquery) so
+    // building the DataFrame stays LAZY — no job at plan-construction time.
+    val nDf = docs.agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
     val dt = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .distinct()
@@ -228,8 +230,10 @@ object MiningOps {
       .filter(col("c_ab") >= 5)
       .join(broadcast(df.select(col("token").as("t1"), col("c").as("c1"))), "t1")
       .join(broadcast(df.select(col("token").as("t2"), col("c").as("c2"))), "t2")
+      .crossJoin(broadcast(nDf))
       .select(col("t1"), col("t2"), col("c_ab"),
-        round(log(col("c_ab") * lit(n) / (col("c1") * col("c2"))), 6).as("pmi"))
+        round(log(col("c_ab") * col("n_docs") / (col("c1") * col("c2"))), 6)
+          .as("pmi"))
       .orderBy(col("pmi").desc, col("t1"), col("t2"))
       .limit(50)
   }

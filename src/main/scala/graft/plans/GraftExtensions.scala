@@ -288,9 +288,10 @@ class DistinctBitmapRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   private def rewrite(agg: Aggregate, groups: Seq[AttributeReference],
       resultExprs: Seq[NamedExpression], child: LogicalPlan)
       : Option[LogicalPlan] = {
-    // Partition outputs into grouping attrs and the single count-distinct.
+    // Split outputs: grouping attrs pass through, everything else must be
+    // the single count-distinct alias.
     val groupIds = groups.map(_.exprId).toSet
-    val (plain, aggs) = resultExprs.partition {
+    val aggs = resultExprs.filterNot {
       case ar: AttributeReference => groupIds.contains(ar.exprId)
       case _ => false
     }
@@ -302,8 +303,15 @@ class DistinctBitmapRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
     cd.flatMap { case (al, c) =>
-      val names = (groups.map(_.name) :+ c.name)
-      if (names.distinct.size != names.size) None
+      // The DataFrame re-spelling resolves columns BY NAME over the whole
+      // child output: every child output name must be unique (a duplicate
+      // anywhere — not just among the referenced columns — would make
+      // analysis of the spliced subtree ambiguous), and none may collide
+      // with the rewrite's reserved internal names.
+      val childNames = child.output.map(_.name)
+      val reserved = Set("__bucket", "__bm", "__cnt")
+      if (childNames.distinct.size != childNames.size ||
+        childNames.exists(reserved)) None
       else if (statsUntrusted(child.stats.sizeInBytes) ||
         child.stats.sizeInBytes <= sizeThreshold) None
       else {
@@ -320,11 +328,12 @@ class DistinctBitmapRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         val spliced = session.sessionState.optimizer
           .execute(GraftSqlBridge.analyzed(bucketed))
         val byName = spliced.output.map(a => a.name -> a).toMap
+        // resultExprs can only hold grouping attrs or the verified single
+        // count alias at this point (the aggs match above guarantees it).
         val aliased = Project(resultExprs.map { ne =>
           val src = ne match {
             case ar: AttributeReference => byName(ar.name)
-            case a: Alias => byName("__cnt")
-            case other => return None
+            case _ => byName("__cnt")
           }
           Alias(src, ne.name)(exprId = ne.exprId)
         }, spliced)

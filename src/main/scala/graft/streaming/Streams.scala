@@ -140,7 +140,8 @@ object Streams {
     * sessionization for every session whose timeout precedes the final
     * watermark. */
   def timedSessionsTws(spark: SparkSession, events: DataFrame,
-      gapMs: Long = 30L * 60 * 1000): DataFrame = {
+      gapMs: Long = 30L * 60 * 1000,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.Encoders
@@ -188,7 +189,10 @@ object Streams {
       }
     }
     events
-      .withWatermark("ts", "0 seconds")
+      // The delay is the caller's disorder tolerance: rows later than it
+      // are dropped BEFORE the sessionizer (standard watermark contract);
+      // the in-batch sort + expiry guard absorb disorder within bounds.
+      .withWatermark("ts", watermarkDelay)
       .selectExpr("user_id", "unix_millis(ts) AS ts_ms")
       .as[(Long, Long)]
       .groupByKey(_._1)

@@ -107,7 +107,7 @@ class RelevanceSpec extends SparkSpec {
     val docs = Tables.load(spark, sfDir, "documents")
     val n = docs.select(cd(col("doc_id"))).head.getLong(0).toDouble
     val incidence = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .collect().map { case (id, t) => (id, t.split(" ").toSet) }
+      .collect().map { case (id, t) => (id, t.split(" ", -1).toSet) }
     val out = graft.operators.MiningOps.tokenPmiPairs.fn(spark, sfDir).collect()
     assert(out.nonEmpty && out.length <= 50)
     out.foreach { r =>

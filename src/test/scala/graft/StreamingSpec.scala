@@ -131,7 +131,8 @@ class StreamingSpec extends SparkSpec {
     val dir = feedDirChrono(5)
     val stream = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
     val emitted = runToCompletion(
-      Streams.timedSessionsTws(spark, stream, gapMs), OutputMode.Append())
+      Streams.timedSessionsTws(spark, stream, gapMs, watermarkDelay = "0 seconds"),
+      OutputMode.Append())
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     // Batch expectation: per-user gap-split over the same ms timeline.
     val ev = Tables.load(spark, sfDir, "events")
