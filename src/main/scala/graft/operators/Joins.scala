@@ -273,6 +273,31 @@ object Joins {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** C-adjacent — NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM):
+    * NULL keys MATCH each other instead of vanishing — the semantics a
+    * dimension join needs when "unknown" is itself a category. Keys are
+    * NULLIF-derived so the NULL group is populated; explicit NULLS FIRST
+    * ordering (Spark and DuckDB default opposite null orders). */
+  val joinNullSafe = Q(
+    "join_null_safe",
+    """WITH k AS (
+      |  SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS pk
+      |  FROM orders),
+      |d AS (SELECT DISTINCT pk FROM k)
+      |SELECT d.pk, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM k JOIN d ON k.pk IS NOT DISTINCT FROM d.pk
+      |GROUP BY d.pk ORDER BY d.pk NULLS FIRST""".stripMargin) { (s, dir) =>
+    val k = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        nullif(col("o_orderpriority"), lit("1-URGENT")).as("pk"))
+    val d = k.select(col("pk").as("dk")).distinct()
+    k.join(broadcast(d), col("pk") <=> col("dk"))
+      .groupBy(col("dk").as("pk"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("pk").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(joinBroadcast, joinSortMerge, joinOuter, joinFull,
-    joinSemi, joinAnti, joinRangeTheta, joinAsof, joinStar, joinCross, q3, q5)
+    joinSemi, joinAnti, joinRangeTheta, joinAsof, joinStar, joinCross, q3, q5,
+    joinNullSafe)
 }

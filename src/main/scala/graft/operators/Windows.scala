@@ -170,6 +170,29 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** E1-adjacent — RANK vs DENSE_RANK under heavy ties (l_quantity repeats
+    * constantly): rank leaves gaps after tie groups, dense_rank doesn't —
+    * the pair a reporting layer actually distinguishes. Rows sharing
+    * (flag, quantity) share both ranks, so the full-row ORDER BY leaves
+    * only interchangeable duplicates (the hash-safe tie convention). */
+  val denseRank = Q(
+    "win_dense_rank",
+    """SELECT l_returnflag, l_quantity,
+      |  CAST(RANK() OVER w AS BIGINT) AS rnk,
+      |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC)
+      |ORDER BY l_returnflag, l_quantity DESC, rnk, drnk""".stripMargin) {
+    (s, dir) =>
+      val w = Window.partitionBy("l_returnflag").orderBy(col("l_quantity").desc)
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"))
+        .orderBy(col("l_returnflag"), col("l_quantity").desc, col("rnk"),
+          col("drnk"))
+  }
+
   val all: Seq[Q] = Seq(rankTopN, runningSum, lagLead, slidingFrame, ntilePct,
-    rangeFrame, firstLast)
+    rangeFrame, firstLast, denseRank)
 }
