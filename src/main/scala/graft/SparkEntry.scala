@@ -30,7 +30,8 @@ object SparkEntry {
       Udx.all ++ DocAssembly.all ++ StreamingBatch.all ++ AnnOps.all ++
       Analytics.all ++ SqlEntry.all ++ TextCluster.all ++ CorpusOps.all ++
       EventsOps.all ++ LayoutOps.all ++ TableOps.all ++ SketchOps.all ++
-      DssOps.all ++ MiningOps.all ++ ClusterOps.all ++ RelevanceOps.all ++
+      DssOps.all ++ DssOps2.all ++ MiningOps.all ++ ClusterOps.all ++
+      RelevanceOps.all ++
       aliases
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
