@@ -27,6 +27,7 @@ object PlanAudit {
     "token_pmi_pairs",   // 1-row corpus-size broadcast
     "events_funnel",     // cross of three 1-row stage counts
     "q22_sales_opportunity", // 1-row avg-acctbal threshold broadcast
+    "q11_important_stock",   // 1-row total-value threshold broadcast
     "dedup_embedding_cosine", "dedup_ngram_jaccard") // exact quadratic baselines
 
   def main(args: Array[String]): Unit = {

@@ -80,23 +80,54 @@ object AnnOps {
       .limit(k)
   }
 
+  /** Threshold twin of [[lshTopKPairs]]: ALL candidate pairs whose exact
+    * cosine clears `threshold` (no top-k cut). This is the bucketed scale
+    * path [[graft.operators.VectorOps.dedupEmbeddingPairs]] reroutes to
+    * above its exact-quadratic bound — the only shuffles are the band-key
+    * equi-join and the candidate distinct, never a cross join. */
+  def lshThresholdPairs(s: SparkSession, emb: DataFrame, threshold: Double,
+      nBits: Int = 48, bands: Int = 8, dims: Int = 64): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    VectorOps.registerFns(s)
+    val keys = bandKeys(s, col("embedding"), nBits, bands, dims)
+    val banded = emb.select(
+      col("vec_id"), col("embedding"),
+      posexplode(array(keys: _*)))
+      .select(col("vec_id"), col("embedding"),
+        col("pos").as("band"), col("col").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("vec_id").as("b_id"), col("embedding").as("eb"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("sim_raw", call_function("cosine_sim", col("ea"), col("eb")))
+      .filter(col("sim_raw") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("sim_raw"), 6).as("sim"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** K3-scale — approximate top-k most-similar pairs via banded SRP-LSH. */
   val annLshTopK = Q.noOracle("ann_lsh_topk") { (s, dir) =>
     lshTopKPairs(s, t(s, dir, "embeddings"), k = 100)
   }
 
-  /** Shared IVF pipeline: centroid build (per-label mean — stands in for
-    * the k-means step of a production IVF build), nearest-centroid
-    * assignment, nProbe-list probing, exact re-rank. */
+  /** Shared IVF pipeline: k-means centroid build (ClusterOps.kmeansFit,
+    * no label column consumed), nearest-centroid assignment, nProbe-list
+    * probing, exact re-rank. */
   def ivfKnn(s: SparkSession, emb: DataFrame, queryId: Long, k: Int,
-      nProbe: Int = 3): DataFrame = {
+      nProbe: Int = 3, nLists: Int = 8): DataFrame = {
     VectorOps.registerFns(s)
     import s.implicits._
-    // Index build: one centroid per label cluster (udaf centroid reused).
-    val centroid = udaf(Udx.centroidAgg)
-    val centroids = emb.groupBy("label")
-      .agg(centroid(col("embedding")).as("c"))
-      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    // Index build: k-means centroids (ClusterOps.kmeansFit — deterministic
+    // seeding, empty clusters keep their previous centroid). A real corpus
+    // has no label column, so the coarse quantizer must be LEARNED; the
+    // k×d model is a bounded driver-held index constant, the standard IVF
+    // build shape.
+    val centroids = ClusterOps.kmeansFit(s,
+      emb.select(col("vec_id"), col("embedding")), k = nLists, iters = 3)
+      ._2.sortBy(_._1)
     // Assignment expression: argmax over centroid dot products (vectors
     // are ~unit-scale; production would normalize both sides).
     def assignExpr(v: Column): Column = {

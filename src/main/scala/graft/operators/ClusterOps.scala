@@ -117,7 +117,13 @@ object ClusterOps {
     * min squared euclidean; ‖v‖² is constant per row) in codegen'd
     * expressions; centroid recompute reuses the typed mean Aggregator. */
   def kmeansAssign(s: SparkSession, emb: DataFrame, k: Int, iters: Int)
-      : DataFrame = {
+      : DataFrame = kmeansFit(s, emb, k, iters)._1
+
+  /** k-means returning BOTH the assignment and the final k centroids —
+    * the centroid model is what an IVF index build consumes
+    * ([[graft.operators.AnnOps.ivfKnn]]). */
+  def kmeansFit(s: SparkSession, emb: DataFrame, k: Int, iters: Int)
+      : (DataFrame, Array[(Int, Seq[Double])]) = {
     VectorOps.registerFns(s)
     import s.implicits._
     val centroidAgg = udaf(Udx.centroidAgg)
@@ -140,11 +146,18 @@ object ClusterOps {
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       assigned = emb.withColumn("cluster_id", assignCol(cents)(col("embedding")))
-      cents = assigned.groupBy("cluster_id")
+      val recomputed = assigned.groupBy("cluster_id")
         .agg(centroidAgg(col("embedding")).as("c"))
-        .as[(Int, Seq[Double])].collect().sortBy(_._1)
+        .as[(Int, Seq[Double])].collect().toMap
+      // A cluster that received no points this iteration KEEPS its previous
+      // centroid instead of vanishing — otherwise k silently shrinks for
+      // all later iterations and for every downstream consumer (the IVF
+      // build sizes its inverted lists off this model).
+      cents = cents.map { case (cid, prev) =>
+        (cid, recomputed.getOrElse(cid, prev))
+      }
     }
-    assigned
+    (assigned, cents)
   }
 
   /** Within-cluster sum of squares for a (vec_id, embedding, cluster_id)

@@ -104,7 +104,7 @@ object DssOps {
     """SELECT c_custkey, c_name, n_name,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
       |           CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
-      |  CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+      |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
       |FROM customer
       |JOIN orders   ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -131,7 +131,7 @@ object DssOps {
       .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
         .cast("double").as("revenue"))
       .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"),
-        col("acctbal"))
+        col("acctbal").cast("double").as("acctbal"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
@@ -170,7 +170,7 @@ object DssOps {
   val q18LargeOrders = Q(
     "q18_large_orders",
     """SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_d,
-      |  CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
       |FROM customer
       |JOIN orders   ON c_custkey = o_custkey
@@ -198,6 +198,11 @@ object DssOps {
           dec2(col("o_totalprice")).as("totalprice"))
         .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
           .as("sum_qty"))
+        // DECIMAL(12,2) values are exact in double (scaled int < 2^53), so
+        // ordering on the double cast is identical to decimal ordering.
+        .withColumn("totalprice", col("totalprice").cast("double"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("order_d"), col("totalprice"), col("sum_qty"))
         .orderBy(col("totalprice").desc, col("o_orderkey"))
         .limit(100)
   }

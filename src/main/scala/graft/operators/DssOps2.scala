@@ -45,7 +45,7 @@ object DssOps2 {
       |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |                JOIN region ON n_regionkey = r_regionkey
       |  WHERE r_name = 'EUROPE')
-      |SELECT CAST(s_acctbal AS DECIMAL(12,2)) AS acctbal, s_name, n_name,
+      |SELECT CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal, s_name, n_name,
       |       p_partkey, p_type, unit_cost
       |FROM part
       |JOIN ps ON p_partkey = l_partkey
@@ -77,7 +77,7 @@ object DssOps2 {
       .join(minPerPart,
         col("l_partkey") === col("min_pk") &&
           col("unit_cost") === col("min_cost"))
-      .select(dec2(col("s_acctbal")).as("acctbal"), col("s_name"),
+      .select(dec2(col("s_acctbal")).cast("double").as("acctbal"), col("s_name"),
         col("n_name"), col("p_partkey"), col("p_type"), col("unit_cost"))
       .orderBy(col("acctbal").desc, col("n_name"), col("s_name"),
         col("p_partkey"), col("unit_cost"))

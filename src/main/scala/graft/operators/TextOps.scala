@@ -58,13 +58,24 @@ object TextOps {
   /** Shared word-3-gram Jaccard pair pipeline (docs with ≥ 3 tokens only;
     * shorter docs have no 3-gram shingles). Also feeds dedup_cluster.
     *
+    * Scale guard (mirrors [[graft.operators.VectorOps.similarityTopKPairs]]):
+    * the exact pass is an O(n²) theta join, so above `maxExactRows` the
+    * operator REROUTES to [[graft.operators.VectorOps.minhashPairs]] — the
+    * banded MinHash-LSH candidate equi-join with exact-Jaccard verify at the
+    * same threshold (approximate recall, identical output schema). TextSpec
+    * pins the reroute.
+    *
     * Shingle arrays are SORTED once per document (O(s log s), n of them) so
     * the per-pair intersection is the allocation-free merge scan
     * `sorted_intersect_count` (O(s), n² of them) instead of
     * `array_intersect`'s per-pair hash-set build — the dominant cost of
     * the exact pass at sf0.1 before this change. */
   def ngramJaccardPairs(documents: org.apache.spark.sql.DataFrame,
-      threshold: Double): org.apache.spark.sql.DataFrame = {
+      threshold: Double,
+      maxExactRows: Long = 200000L): org.apache.spark.sql.DataFrame = {
+    if (documents.count() > maxExactRows)
+      return VectorOps.minhashPairs(documents, numHashes = 32, bands = 8,
+        jaccardThreshold = threshold)
     val sh = array_sort(array_distinct(expr(
       """transform(sequence(1, size(split(text, ' ')) - 2),
         |  i -> concat(element_at(split(text, ' '), i), ' ',

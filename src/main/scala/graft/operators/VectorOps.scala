@@ -208,28 +208,43 @@ object VectorOps {
   }
 
   /** K2-adjacent — embedding near-duplicate pairs above a cosine threshold
-    * (exact; the SimHash variant below is the bucketed scale path). */
+    * (exact below the guard; SRP-LSH bucketed candidates above it). */
   val dedupEmbedding = Q(
     "dedup_embedding_cosine",
     s"""$pairOracle
        |SELECT a_id, b_id, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS sim
        |FROM sims WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.45
        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-    val e = t(s, dir, "embeddings")
-    // Streamed-side repartition: BNLJ parallelism = streamed partition
-    // count, and a single-file corpus would otherwise run O(n²) on 1 task.
-    // Explicit count — AQE would coalesce a bare repartition(col) of
-    // kilobyte partitions back to ~1 task (see TextOps.ngramJaccardPairs).
-    val a = e
-      .repartition(e.sparkSession.sparkContext.defaultParallelism,
-        col("vec_id"))
-      .select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
-    a.join(b, col("a_id") < col("b_id"))
-      .withColumn("sim_raw", cosine(s, col("ea"), col("eb")))
-      .filter(col("sim_raw") >= 0.45)
-      .select(col("a_id"), col("b_id"), round(col("sim_raw"), 6).as("sim"))
-      .orderBy("a_id", "b_id")
+    dedupEmbeddingPairs(s, t(s, dir, "embeddings"), threshold = 0.45)
+  }
+
+  /** Threshold-pair kernel with the same scale guard as
+    * [[similarityTopKPairs]]: the exact pass is an O(n²) theta join whose
+    * cost is quadratic in corpus size, so above `maxExactRows` the operator
+    * REROUTES to [[AnnOps.lshThresholdPairs]] (banded SRP equi-join +
+    * exact-cosine verify, approximate recall) instead of launching a
+    * quadratic job that cannot finish at 100 TB. VectorSpec pins the
+    * reroute the same way it pins similarityTopKPairs'. */
+  def dedupEmbeddingPairs(s: SparkSession, emb: DataFrame, threshold: Double,
+      maxExactRows: Long = 2000000L): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    if (e.count() > maxExactRows) AnnOps.lshThresholdPairs(s, e, threshold)
+    else {
+      // Streamed-side repartition: BNLJ parallelism = streamed partition
+      // count, and a single-file corpus would otherwise run O(n²) on 1 task.
+      // Explicit count — AQE would coalesce a bare repartition(col) of
+      // kilobyte partitions back to ~1 task (see TextOps.ngramJaccardPairs).
+      val a = e
+        .repartition(e.sparkSession.sparkContext.defaultParallelism,
+          col("vec_id"))
+        .select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("sim_raw", cosine(s, col("ea"), col("eb")))
+        .filter(col("sim_raw") >= threshold)
+        .select(col("a_id"), col("b_id"), round(col("sim_raw"), 6).as("sim"))
+        .orderBy("a_id", "b_id")
+    }
   }
 
   /** K2 — MinHash + banded LSH near-dup candidates over word-3-gram

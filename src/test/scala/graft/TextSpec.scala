@@ -7,6 +7,24 @@ import org.apache.spark.sql.functions.expr
 class TextSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ngramJaccardPairs reroutes to minhash LSH above the exact bound") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    // Bound below the corpus size → the exact O(n²) theta join must NOT
+    // run; the operator reroutes to the banded MinHash-LSH pipeline.
+    val rerouted = TextOps.ngramJaccardPairs(docs, 0.4, maxExactRows = 5)
+    val minhashDirect = graft.operators.VectorOps
+      .minhashPairs(docs, numHashes = 32, bands = 8, jaccardThreshold = 0.4)
+    assert(rerouted.collect().toSeq == minhashDirect.collect().toSeq,
+      "above the bound the operator must equal the minhash pipeline")
+    // Candidates carry exact Jaccard, so the rerouted set is a SUBSET of
+    // the exact pairs (recall loss only, never false positives).
+    val exact = TextOps.ngramJaccardPairs(docs, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rer = rerouted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rer.subsetOf(exact),
+      "rerouted pairs must be a verified subset of the exact pairs")
+  }
+
   test("rolling hash: deterministic, content-sensitive, matches reference fold") {
     val docs = Seq((0L, "abc"), (1L, "abd"), (2L, "abc")).toDF("doc_id", "text")
     val out = TextOps.rollingHash(docs).collect()

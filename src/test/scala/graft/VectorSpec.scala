@@ -126,6 +126,25 @@ class VectorSpec extends SparkSpec {
     assert(exact.collect().length == 20)
   }
 
+  test("dedupEmbeddingPairs reroutes to LSH-threshold above the exact bound") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // Bound below the corpus size → the exact O(n²) theta join must NOT
+    // run; the operator reroutes to the SRP-LSH threshold pipeline.
+    val rerouted = VectorOps
+      .dedupEmbeddingPairs(spark, emb, threshold = 0.45, maxExactRows = 5)
+    val lshDirect = graft.operators.AnnOps.lshThresholdPairs(spark,
+      emb.select($"vec_id", $"embedding"), 0.45)
+    assert(rerouted.collect().toSeq == lshDirect.collect().toSeq,
+      "above the bound the operator must equal the LSH-threshold pipeline")
+    // Candidates are exact-cosine verified, so the rerouted set is a
+    // SUBSET of the exact pairs (recall loss only, never false positives).
+    val exact = VectorOps.dedupEmbeddingPairs(spark, emb, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rer = rerouted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rer.subsetOf(exact),
+      "rerouted pairs must be a verified subset of the exact pairs")
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on sorted input") {
     val rnd = new scala.util.Random(42)
     val rows = (1 to 200).map { _ =>

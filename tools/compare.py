@@ -27,6 +27,16 @@ def is_nested(t: pa.DataType) -> bool:
             or pa.types.is_struct(t))
 
 
+def is_decimal(t: pa.DataType) -> bool:
+    # The driver's pandas hash renders Spark decimal128 (Python Decimal)
+    # and DuckDB DECIMAL (pandas float64) DIFFERENTLY — round-3's only 3
+    # hash failures (q2/q10/q18) were exactly the 3 queries with a raw
+    # decimal output column, while this script passed them at the Arrow
+    # layer. Policy: NO final output column may be decimal-typed; cast to
+    # DOUBLE on both sides (the Parity.dsum convention).
+    return pa.types.is_decimal(t)
+
+
 def norm_type(t: pa.DataType) -> str:
     """Driver-equivalent type identity. The driver hashes pandas-converted
     values, which collapses integer widths (int32 == int64: round-1
@@ -82,6 +92,11 @@ def main():
         nested = [f.name for f in spark_df.schema if is_nested(f.type)]
         if nested:
             print(f"FAIL {name}: nested output columns {nested} (driver comparator crashes on these)")
+            n_bad += 1; continue
+        dec = [f.name for f in spark_df.schema if is_decimal(f.type)]
+        if dec:
+            print(f"FAIL {name}: decimal output columns {dec} (driver pandas hash renders "
+                  f"Decimal vs float64 differently — cast to DOUBLE on both sides)")
             n_bad += 1; continue
         if name not in oracle:
             print(f"ok   {name} (no oracle; {spark_df.num_rows} rows, flat schema)")
