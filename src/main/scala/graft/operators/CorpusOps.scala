@@ -55,6 +55,11 @@ object CorpusOps {
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val term = idf * (col("tf") * (K1 + 1.0)) /
       (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl))
+    // df here is bounded by CONSTRUCTION, not by corpus size: the term
+    // filter lands before the (doc, token) shuffle, so df has at most
+    // |Bm25Terms| rows regardless of scale — always broadcastable. The
+    // full-vocabulary analog (TextOps.tokenizeTfidf) needs the
+    // TextOps.vocabJoin guard instead.
     tf.join(broadcast(df), "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))

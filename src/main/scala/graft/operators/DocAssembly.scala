@@ -367,15 +367,26 @@ object DocAssembly {
 
   /** K7-scale — image near-duplicate pairs via perceptual hash: render →
     * REAL codec dHash per doc (mapPartitions batch), then banded hamming
-    * LSH — the 64-bit fingerprint splits into 4×16-bit bands, candidates
-    * EQUI-join on (band index, band value) (pairs within hamming ≤ 6 on
-    * ≤ 3 corrupted bands always agree on one band — never a cross join),
-    * exact popcount(xor) verifies. The image twin of dedup_simhash;
-    * rows-only driver check (no codec in DuckDB), PhashSpec pins the
-    * exact-duplicate ⊆ output invariant. */
+    * LSH — the 64-bit fingerprint splits into SEVEN bands (6×9 bits +
+    * 1×10), candidates EQUI-join on (band index, band value), exact
+    * popcount(xor) verifies. With 7 bands, any pair within the declared
+    * hamming ≤ 6 threshold has at most 6 corrupted bands, so at least one
+    * band matches — FULL recall at the threshold by pigeonhole, never a
+    * cross join. The image twin of dedup_simhash; rows-only driver check
+    * (no codec in DuckDB), PhashSpec pins the exact-duplicate ⊆ output
+    * invariant and the clean-band guarantee. */
   val multimodalPhash = Q.noOracle("multimodal_phash") { (s, dir) =>
     phashPairs(s, t(s, dir, "documents").select(col("doc_id"), col("text")))
   }
+
+  /** 7-band split of a 64-bit fingerprint in column `phash`: bands 0-5
+    * take 9 bits each, band 6 the top 10 — exactly covering bits 0..63.
+    * ≤ 6 bit flips corrupt ≤ 6 bands, leaving ≥ 1 band equal. */
+  private[graft] val phashBandExpr =
+    """transform(sequence(0, 6),
+      |  b -> struct(b as band,
+      |    shiftright(phash, b * 9) & (case when b = 6 then 1023 else 511 end)
+      |      as bv))""".stripMargin
 
   /** Shared phash near-dup pipeline over a (doc_id, text) corpus. */
   def phashPairs(s: SparkSession, docs: DataFrame): DataFrame = {
@@ -384,10 +395,7 @@ object DocAssembly {
       rows.map { r => PhashRec(r.getLong(0), dHash(Png.render(r.getString(1)))) }
     }(enc).toDF()
     val banded = hashed.select(col("doc_id"), col("phash"),
-      explode(expr(
-        """transform(sequence(0, 3),
-          |  b -> struct(b as band, shiftright(phash, b * 16) & 65535 as bv))"""
-          .stripMargin)).as("bd"))
+      explode(expr(phashBandExpr)).as("bd"))
       .select(col("doc_id"), col("phash"),
         col("bd.band").as("band"), col("bd.bv").as("bv"))
     val a = banded.select(col("doc_id").as("a_id"), col("phash").as("a_hash"),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2-K text pipeline: dedup, tokenize/TF-IDF, stats, quality,
@@ -107,6 +107,24 @@ object TextOps {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Vocabulary-side join guard for TF-IDF-class pipelines. A natural-
+    * language vocabulary fits an executor's broadcast budget, but at
+    * 100 TB with noisy tokens (URLs, hashes, code identifiers) the
+    * distinct-token table can outgrow it. Below `maxBroadcastRows` the
+    * vocab is broadcast (map-side join — the fact side never reshuffles);
+    * above it the explicit hint is DROPPED and the join shuffles on the
+    * token key, where AQE may still locally broadcast if runtime stats
+    * allow — the decision moves from a blind hint to measured sizes. The
+    * vocab is persisted so the cardinality probe and the join share one
+    * materialization instead of re-tokenizing the corpus. TextSpec pins
+    * the fallback. */
+  def vocabJoin(fact: DataFrame, vocab: DataFrame, key: String,
+      maxBroadcastRows: Long = 10000000L): DataFrame = {
+    val v = vocab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (v.count() <= maxBroadcastRows) fact.join(broadcast(v), Seq(key))
+    else fact.join(v, Seq(key))
+  }
+
   /** K5/J3 — tokenize → TF → TF-IDF, fully SQL-native (window-free: tf via
     * (doc, token) groupBy; df via token groupBy; N broadcast-joined). */
   val tokenizeTfidf = Q(
@@ -126,7 +144,7 @@ object TextOps {
     // saves a second tokenize+expand pass over the corpus.
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(df), "token")
+    vocabJoin(tf, df, "token")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6)

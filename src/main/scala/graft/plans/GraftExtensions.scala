@@ -310,13 +310,21 @@ class DistinctBitmapRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       // with the rewrite's reserved internal names.
       val childNames = child.output.map(_.name)
       val reserved = Set("__bucket", "__bm", "__cnt")
+      // Name-syntax gate: the re-spelling goes through the string API
+      // (col / fexpr), where '.' parses as field access and a literal '`'
+      // breaks backtick quoting — bail out (keep the original Aggregate)
+      // rather than mis-resolve the spliced subtree.
+      val involved = groups.map(_.name) :+ c.name
       if (childNames.distinct.size != childNames.size ||
-        childNames.exists(reserved)) None
+        childNames.exists(reserved) ||
+        involved.exists(n => n.contains(".") || n.contains("`"))) None
       else if (statsUntrusted(child.stats.sizeInBytes) ||
         child.stats.sizeInBytes <= sizeThreshold) None
       else {
         val df = GraftSqlBridge.ofRows(session, child)
-        val gCols = groups.map(g => col(g.name))
+        // Backtick-quoted (the gate above rejects names containing '`' or
+        // '.'), so names with other special characters resolve literally.
+        val gCols = groups.map(g => col(s"`${g.name}`"))
         val bucketed = df
           .groupBy((gCols :+ fexpr(s"bitmap_bucket_number(`${c.name}`)")
             .as("__bucket")): _*)

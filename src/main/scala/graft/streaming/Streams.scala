@@ -130,68 +130,79 @@ object Streams {
       n_events: Long)
 
   /** I6 (timer API) — timer-driven sessionization on `transformWithState`:
-    * per-user session state (start, last-seen, count) plus an EVENT-TIME
-    * timer re-registered at last_ts + gap on every row; when the watermark
-    * passes the timer the session CLOSES and emits exactly once — the
-    * timeout-emission pattern `session_window` can't express (emit on
-    * inactivity, not on next-batch arrival). State is one small row + one
-    * timer per ACTIVE user, watermark-bounded — the 1000-executor shape.
-    * StreamingSpec proves emitted sessions equal the batch gap-split
-    * sessionization for every session whose timeout precedes the final
-    * watermark. */
+    * per-user PENDING sessions (start, end, count intervals) in ListState
+    * plus an EVENT-TIME timer at each session's end + gap; a session emits
+    * exactly once, from the timer handler, only after the watermark passes
+    * its end + gap — the timeout-emission pattern `session_window` can't
+    * express (emit on inactivity, not on next-batch arrival). Until then a
+    * late row (within the watermark delay, any later micro-batch) can still
+    * extend a pending session or bridge two of them, so emitted sessions
+    * are always a subset of the batch gap-split. State is a handful of
+    * interval rows + timers per ACTIVE user, watermark-bounded — the
+    * 1000-executor shape. StreamingSpec proves emitted ⊆ batch-split and
+    * closure for every session whose timeout precedes the final watermark,
+    * on both chronological and DISORDERED feeds. */
   def timedSessionsTws(spark: SparkSession, events: DataFrame,
       gapMs: Long = 30L * 60 * 1000,
       watermarkDelay: String = "10 minutes"): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
     import org.apache.spark.sql.Encoders
     class Sessionizer extends StatefulProcessor[Long, (Long, Long), ClosedSession] {
-      @transient private var state: ValueState[ClosedSession] = _
+      // ALL un-emitted sessions (open or gap-closed) stay in state until a
+      // timer confirms the watermark has passed end+gap. Nothing is emitted
+      // from handleInputRows: a session that looks closed inside a batch
+      // can still be extended — or BRIDGED to its neighbor — by a
+      // legitimately-late row (within the watermark delay) arriving in a
+      // later micro-batch, and an inline emit would have made that session
+      // a phantom the batch gap-split doesn't contain.
+      @transient private var state: ListState[ClosedSession] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-        state = getHandle.getValueState[ClosedSession]("session",
+        state = getHandle.getListState[ClosedSession]("sessions",
           Encoders.product[ClosedSession], TTLConfig.NONE)
       override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
           timerValues: TimerValues): Iterator[ClosedSession] = {
-        // Rows within a batch arrive unordered; sort by event time so the
-        // gap-split fold sees the true sequence (per-key per-batch rows
-        // are small — this is not a corpus sort).
-        val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-        var cur = Option(state.get())
-        rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
-          cur match {
-            case Some(s) if ts <= s.end_ms + gapMs =>
-              cur = Some(ClosedSession(key, math.min(s.start_ms, ts),
-                math.max(s.end_ms, ts), s.n_events + 1))
-            case Some(s) => // gap exceeded inside the batch: close inline
-              out += s
-              cur = Some(ClosedSession(key, ts, ts, 1L))
-            case None =>
-              cur = Some(ClosedSession(key, ts, ts, 1L))
+        // Interval-merge the pending sessions with the batch rows (as
+        // 1-event intervals): sort by start, fold, merge when the next
+        // interval starts within gap of the current end. This is exactly
+        // the batch gap-split over the union of all rows seen so far that
+        // the watermark has not yet finalized — per-key pending state is
+        // a handful of intervals, not the corpus.
+        val all = (state.get().toSeq ++
+          rows.map { case (_, ts) => ClosedSession(key, ts, ts, 1L) })
+          .sortBy(s => (s.start_ms, s.end_ms))
+        val merged = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+        all.foreach { s =>
+          merged.lastOption match {
+            case Some(p) if s.start_ms <= p.end_ms + gapMs =>
+              merged(merged.length - 1) = ClosedSession(key,
+                math.min(p.start_ms, s.start_ms),
+                math.max(p.end_ms, s.end_ms), p.n_events + s.n_events)
+            case _ => merged += s
           }
         }
-        cur.foreach { s =>
-          state.update(s)
-          // Earlier batches may have left stale timers (at old end+gap);
-          // handleExpiredTimer's expiry >= end+gap guard absorbs them, so
-          // no delete bookkeeping is needed — just register the current
-          // timeout.
-          getHandle.registerTimer(s.end_ms + gapMs)
-        }
-        out.iterator
+        state.put(merged.toArray)
+        // One timer per pending session. Stale timers (from sessions later
+        // extended or bridged) fire harmlessly: the expiry guard below
+        // only emits sessions whose CURRENT end+gap the watermark passed.
+        merged.foreach(s => getHandle.registerTimer(s.end_ms + gapMs))
+        Iterator.empty
       }
       override def handleExpiredTimer(key: Long, timerValues: TimerValues,
           expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
-        val s = state.get()
-        if (s != null && expiredTimerInfo.getExpiryTimeInMs() >= s.end_ms + gapMs) {
-          state.clear()
-          Iterator.single(s)
-        } else Iterator.empty
+        val expiry = expiredTimerInfo.getExpiryTimeInMs()
+        val (closed, open) = state.get().toSeq
+          .partition(s => s.end_ms + gapMs <= expiry)
+        if (open.isEmpty) state.clear() else state.put(open.toArray)
+        closed.sortBy(_.start_ms).iterator
       }
     }
     events
       // The delay is the caller's disorder tolerance: rows later than it
       // are dropped BEFORE the sessionizer (standard watermark contract);
-      // the in-batch sort + expiry guard absorb disorder within bounds.
+      // within it, disorder is fully absorbed — ACROSS micro-batches too —
+      // because sessions stay in state until the watermark passes end+gap
+      // and only the timer handler emits.
       .withWatermark("ts", watermarkDelay)
       .selectExpr("user_id", "unix_millis(ts) AS ts_ms")
       .as[(Long, Long)]

@@ -33,4 +33,26 @@ class PhashSpec extends SparkSpec {
     }
     assert(out.values.forall(_ <= 6))
   }
+
+  test("7-band split: any pair within hamming 6 shares at least one band") {
+    // Pigeonhole only holds if the band masks/offsets tile all 64 bits
+    // without gaps — pin the EXPRESSION, not the theorem: random base
+    // hashes, 1..6 random bit flips, every pair must share a band value.
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 300).map { _ =>
+      val x = rnd.nextLong()
+      val flips = rnd.shuffle((0 until 64).toList).take(1 + rnd.nextInt(6))
+      (x, flips.foldLeft(x)((h, b) => h ^ (1L << b)))
+    }
+    import spark.implicits._
+    val df = pairs.toDF("pa", "pb")
+    val bandsOf = (c: String) => expr(
+      operators.DocAssembly.phashBandExpr.replace("phash", c))
+    val noShared = df
+      .withColumn("shared",
+        size(array_intersect(bandsOf("pa"), bandsOf("pb"))))
+      .filter(col("shared") < 1)
+    assert(noShared.count() == 0,
+      "a hamming<=6 pair had no clean band — band tiling is broken")
+  }
 }

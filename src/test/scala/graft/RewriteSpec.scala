@@ -199,4 +199,26 @@ class RewriteSpec extends SparkSpec {
       spark.conf.unset("spark.graft.distinct.rewrite.enabled")
     }
   }
+
+  test("bitmap rewrite bails out on column names the string API can't resolve") {
+    // '.' parses as field access and '`' breaks backtick quoting in the
+    // col()/expr() re-spelling — the name-syntax gate must keep the
+    // ORIGINAL count(distinct) aggregate (correct, just not rewritten)
+    // instead of mis-resolving the spliced subtree.
+    val tmp = s"/tmp/graft_bmdot_${System.nanoTime()}"
+    spark.range(100)
+      .selectExpr("id % 3 AS `k.dotted`", "id % 7 AS `v``tick`")
+      .write.parquet(tmp)
+    val src = spark.read.parquet(tmp)
+    def q = src.groupBy(col("`k.dotted`"))
+      .agg(countDistinct(col("`v``tick`")).as("d"))
+      .orderBy(col("`k.dotted`"))
+    val expected = q.collect()
+    spark.conf.set(dThresholdKey, "1")
+    try {
+      val df = q
+      assert(hasDistinctAgg(df), "dotted/backticked names must not rewrite")
+      assert(df.collect().toSeq == expected.toSeq)
+    } finally spark.conf.unset(dThresholdKey)
+  }
 }

@@ -38,6 +38,43 @@ class StreamingSpec extends SparkSpec {
     flatten(dir)
   }
 
+  /** Cross-batch disorder within a bounded delay: chronological time
+    * slices, but a deterministic subset (event_id % 5 == 0) of each slice
+    * arrives ONE micro-batch late. Returns (dir, maxLatenessMs) so the
+    * caller can size the watermark delay to keep every late row alive —
+    * the disorder regime the sessionizer must absorb without emitting
+    * phantom sessions. */
+  private def feedDirDisordered(nFiles: Int): (String, Long) = {
+    val dir = Files.createTempDirectory("graft_stream_disord").toString
+    val raw = spark.read.schema(Tables.eventsRaw).parquet(s"$sfDir/events.parquet")
+    val bounds = raw.stat.approxQuantile("ts",
+      (1 until nFiles).map(_.toDouble / nFiles).toArray, 0.0)
+    val Array(tsMin, tsMax) = raw.agg(min(col("ts")), max(col("ts")))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val edges = Array(tsMin) ++ bounds.map(_.toLong) ++ Array(tsMax + 1)
+    val widthMs = (0 until nFiles)
+      .map(i => (edges(i + 1) - edges(i)) / 1000000L).max
+    def slice(i: Int) =
+      raw.filter(col("ts") >= edges(i) && col("ts") < edges(i + 1))
+    val lateMark = pmod(col("event_id"), lit(5)) === 0
+    (0 until nFiles).foreach { i =>
+      val onTime =
+        if (i == nFiles - 1) slice(i) // last slice: nothing left to delay to
+        else slice(i).filter(!lateMark)
+      val late =
+        if (i == 0) onTime.limit(0)
+        else slice(i - 1).filter(lateMark)
+      onTime.unionAll(late)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/f$i")
+    }
+    // A slice-(i−1) straggler in batch i must clear the watermark computed
+    // from batches 0..i−1 (≈ its own slice's upper edge): lateness is
+    // bounded by one slice width; double it for approxQuantile slack while
+    // keeping the final watermark inside the feed's time span so the
+    // closeable-session assertion still bites.
+    (flatten(dir), 2 * widthMs)
+  }
+
   /** Move part files up so the file source sees n top-level files, with
     * strictly increasing modification times matching slice order (the file
     * source processes oldest-modtime first; equal modtimes would make the
@@ -112,12 +149,26 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("timer-driven sessionizer closes sessions like the batch gap split") {
-    // transformWithState timers require multi-column-family state — the
-    // RocksDB provider (the production default at scale anyway).
+    withRocksDb { timerSessionCheck(feedDirChrono(5), delayMs = 0L) }
+  }
+
+  test("timer-driven sessionizer absorbs cross-batch disorder within the watermark") {
+    // Stragglers arrive one micro-batch late (within the watermark delay):
+    // a late row may fall inside — or bridge — sessions a batch-local view
+    // would already have closed. Emission must wait for the watermark, or
+    // these rows spawn phantom/fragmented sessions (the emitted ⊆ batch
+    // invariant below is exactly what inline emission violated).
+    val (dir, delayMs) = feedDirDisordered(5)
+    withRocksDb { timerSessionCheck(dir, delayMs) }
+  }
+
+  /** transformWithState timers require multi-column-family state — the
+    * RocksDB provider (the production default at scale anyway). */
+  private def withRocksDb(body: => Unit): Unit = {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try { timerSessionBody() }
+    try { body }
     finally prev match {
       case Some(p) =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
@@ -126,12 +177,12 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  private def timerSessionBody(): Unit = {
+  private def timerSessionCheck(dir: String, delayMs: Long): Unit = {
     val gapMs = 30L * 60 * 1000
-    val dir = feedDirChrono(5)
     val stream = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
     val emitted = runToCompletion(
-      Streams.timedSessionsTws(spark, stream, gapMs, watermarkDelay = "0 seconds"),
+      Streams.timedSessionsTws(spark, stream, gapMs,
+        watermarkDelay = s"$delayMs milliseconds"),
       OutputMode.Append())
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     // Batch expectation: per-user gap-split over the same ms timeline.
@@ -153,14 +204,14 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.subsetOf(sessions),
       s"phantom sessions: ${emitted.diff(sessions).take(3)}")
     // Every session whose timeout precedes the watermark reached by the
-    // last batch (= max event time of all slices but the final one) MUST
-    // have been closed by its timer.
+    // last batch (= max event time of all slices but the final one, minus
+    // the configured delay) MUST have been closed by its timer.
     val files = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     val wmMs = files.dropRight(1).map { f =>
       spark.read.schema(Tables.eventsRaw).parquet(f.toString)
         .agg(max($"ts")).head.getLong(0) / 1000000L
-    }.max
+    }.max - delayMs
     val guaranteed = sessions.filter(s => s._3 + gapMs <= wmMs)
     assert(guaranteed.nonEmpty, "feed produced no closeable sessions")
     assert(guaranteed.subsetOf(emitted),

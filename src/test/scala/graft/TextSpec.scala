@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{TextCluster, TextOps}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{count, explode, expr, lit, split}
 
 /** Rolling-hash fingerprint laws (no SQL oracle — TextOps scaladoc). */
 class TextSpec extends SparkSpec {
@@ -23,6 +23,26 @@ class TextSpec extends SparkSpec {
     val rer = rerouted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rer.subsetOf(exact),
       "rerouted pairs must be a verified subset of the exact pairs")
+  }
+
+  test("vocabJoin drops the broadcast hint above the vocab bound, same result") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tok = docs.select($"doc_id",
+      explode(split($"text", " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    def hinted(d: org.apache.spark.sql.DataFrame): Boolean =
+      d.queryExecution.analyzed.toString.contains("UnresolvedHint") ||
+        d.queryExecution.analyzed.toString.contains("ResolvedHint")
+    val guarded = TextOps.vocabJoin(tf, df, "token", maxBroadcastRows = 1)
+    assert(!hinted(guarded),
+      "above the bound the explicit broadcast hint must be dropped")
+    val bcast = TextOps.vocabJoin(tf, df, "token")
+    assert(hinted(bcast), "within the bound the vocab side is broadcast")
+    assert(guarded.orderBy("doc_id", "token").collect().toSeq ==
+      bcast.orderBy("doc_id", "token").collect().toSeq,
+      "join strategy must not change the result")
   }
 
   test("rolling hash: deterministic, content-sensitive, matches reference fold") {
