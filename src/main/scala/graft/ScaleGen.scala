@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-proof data generator: replicates an SF directory `factor` times
+  * with every key column shifted by a per-replica constant, preserving all
+  * referential relationships (a replica is a disjoint, internally
+  * consistent copy of the original universe). Non-key columns (names,
+  * text, dates, amounts) are left byte-identical, so replicated documents
+  * form planted exact-duplicate cliques — useful extra signal for the
+  * dedup family at scale.
+  *
+  * Usage: ScaleGen <srcDir> <outDir> <factor>
+  *
+  * The shift constant (1e8) exceeds every key in the shipped corpora by
+  * orders of magnitude, and factor×1e8 stays well inside Long (and the
+  * int32 range for factor ≤ 20, in case a key column is int-typed).
+  */
+object ScaleGen {
+  private val Shift = 100000000L
+
+  /** Key columns per table — every column that participates in a join or
+    * identifies a row. Everything else is carried through unchanged. */
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"),
+    "nation" -> Seq("n_nationkey", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_nationkey"),
+    "supplier" -> Seq("s_suppkey", "s_nationkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  def replicate(df: DataFrame, keys: Seq[String], factor: Int): DataFrame = {
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    (0 until factor).map { i =>
+      keys.foldLeft(df) { (d, k) =>
+        d.withColumn(k, (col(k) + lit(i * Shift)).cast(types(k)))
+      }
+    }.reduce(_ unionAll _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorStr) = args.take(3)
+    val factor = factorStr.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scalegen")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      keyCols.foreach { case (table, keys) =>
+        // events must round-trip RAW (Long-nanos ts): Tables.load converts
+        // to a µs timestamp, which would double-convert on re-read.
+        val df =
+          if (table == "events")
+            spark.read.schema(Tables.eventsRaw).parquet(s"$src/events.parquet")
+          else Tables.load(spark, src, table)
+        // Single file per table (coalesced write, part file moved up):
+        // the DuckDB oracle's read_parquet targets a file path, same
+        // layout as the driver-generated SF dirs.
+        val tmp = s"$out/_tmp_$table"
+        replicate(df, keys, factor)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(s"$out/$table.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        new java.io.File(tmp).listFiles().foreach(_.delete())
+        new java.io.File(tmp).delete()
+        println(s"[scalegen] $table x$factor done")
+      }
+    } finally spark.stop()
+  }
+}
