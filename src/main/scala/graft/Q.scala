@@ -46,20 +46,39 @@ object Q {
   * still a two-phase hash aggregate with map-side combine.
   */
 object Parity {
-  /** Exact, order-independent sum of a double column, as double. */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+  /** Exact, order-independent sum of a double column, as double.
+    *
+    * The sum is ROUNDED to scale 2 BEFORE the double cast: decimal→double
+    * is only engine-identical while the scaled integer stays below 2^53
+    * (DuckDB converts int128→double then divides — double-rounds above
+    * it; Spark's BigDecimal converts correctly rounded — the 1-ulp
+    * divergence the round-4 10× run caught on q1's scale-6 sum_charge).
+    * Scale 2 keeps money-valued sums exact through ~9·10¹³ — sf ≈ 1000
+    * for this corpus — versus ~9·10¹¹ at scale 4. ROUND, not a downscale
+    * CAST: DuckDB's decimal downscale cast TRUNCATES while Spark's
+    * rounds HALF_UP; both engines' ROUND(decimal, 2) is half-away-from-
+    * zero (verified empirically), so ROUND is the convention. */
+  def dsum(c: Column): Column = round(sum(c.cast(DecimalType(18, 4))), 2)
+    .cast(DoubleType)
   /** Cast a cent-valued double factor to exact decimal. Products of
     * computed doubles must NOT be cast after multiplying (the double
     * product's shortest-repr rounding differs between engines at .xxxx5
     * boundaries); cast each on-grid factor first, then multiply in exact
-    * decimal arithmetic. */
+    * decimal arithmetic.
+    *
+    * Validity domain note: a `CAST(SUM(dec2(x) * dec2(y)) AS DOUBLE)`
+    * (scale-4 sum) stays engine-identical while |sum| < 2^53 / 10⁴ ≈
+    * 9·10¹¹ — sf ≈ 100 for this corpus's revenue sums. Beyond that,
+    * apply the [[dsum]] ROUND(…, 2) convention to the sum before the
+    * double cast (see dsum's scaladoc for why ROUND, not CAST). */
   def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
   /** SQL twin of [[dec2]]. */
   def sqlDec2(expr: String): String = s"CAST($expr AS DECIMAL(12,2))"
   /** Deterministic-to-4-decimals average of a double column. */
   def ravg(c: Column): Column = round(avg(c), 4)
   /** SQL twin of [[dsum]]. */
-  def sqlDsum(expr: String): String = s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"
+  def sqlDsum(expr: String): String =
+    s"CAST(ROUND(SUM(CAST($expr AS DECIMAL(18,4))), 2) AS DOUBLE)"
   /** SQL twin of [[ravg]]. */
   def sqlRavg(expr: String): String = s"ROUND(AVG($expr), 4)"
 }

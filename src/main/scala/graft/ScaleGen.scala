@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
   * dedup family at scale.
   *
   * Usage: ScaleGen <srcDir> <outDir> <factor>
+  *        then: tools/scale_fix_ts.py <outDir>   (restores events.ts to
+  *        timestamp[ns] — Spark cannot write ns timestamps, and the DuckDB
+  *        oracle needs the logical type; the Spark side reads either form)
   *
   * The shift constant (1e8) exceeds every key in the shipped corpora by
   * orders of magnitude, and factor×1e8 stays well inside Long (and the

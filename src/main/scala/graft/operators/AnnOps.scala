@@ -61,23 +61,41 @@ object AnnOps {
     // near-orthogonal pairs collide at ~0.5^6 per band → ~12% candidate
     // volume. Tune bits/bands per corpus similarity profile.
     VectorOps.registerFns(s)
-    val keys = bandKeys(s, col("embedding"), nBits, bands, dims)
-    val banded = emb.select(
-      col("vec_id"), col("embedding"),
-      posexplode(array(keys: _*)))
-      .select(col("vec_id"), col("embedding"),
-        col("pos").as("band"), col("col").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"),
-      col("vec_id").as("a_id"), col("embedding").as("ea"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("vec_id").as("b_id"), col("embedding").as("eb"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
+    val cands = srpCandidatePairs(s, emb, nBits, bands, dims)
+    rejoinCosine(emb, cands)
       .select(col("a_id"), col("b_id"),
-        round(call_function("cosine_sim", col("ea"), col("eb")), 6).as("sim"))
+        round(col("sim_raw"), 6).as("sim"))
       .orderBy(col("sim").desc, col("a_id"), col("b_id"))
       .limit(k)
+  }
+
+  /** Banded SRP candidate generation carrying ONLY ids: the band equi-join
+    * and the (a_id, b_id) distinct shuffle 24-byte rows, never embedding
+    * payloads. The round-4 10× scale run caught the payload-carrying
+    * version shuffling ~27 GB of duplicated vectors through the candidate
+    * dedup (665 s on one stage at 20 k vecs with planted clone cliques);
+    * id-only candidates are the 100 TB shape — vectors re-join AFTER the
+    * dedup, touching each surviving pair once. */
+  private def srpCandidatePairs(s: SparkSession, emb: DataFrame,
+      nBits: Int, bands: Int, dims: Int): DataFrame = {
+    val keys = bandKeys(s, col("embedding"), nBits, bands, dims)
+    val banded = emb.select(col("vec_id"), posexplode(array(keys: _*)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
+    val b = banded.select(col("band"), col("bucket"), col("vec_id").as("b_id"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** Re-join the vector table to an (a_id, b_id) candidate set and attach
+    * the exact cosine as `sim_raw` — two equi-joins on id keys. */
+  private def rejoinCosine(emb: DataFrame, cands: DataFrame): DataFrame = {
+    val ea = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val eb = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    cands.join(ea, "a_id").join(eb, "b_id")
+      .withColumn("sim_raw", call_function("cosine_sim", col("ea"), col("eb")))
   }
 
   /** Threshold twin of [[lshTopKPairs]]: ALL candidate pairs whose exact
@@ -89,20 +107,8 @@ object AnnOps {
       nBits: Int = 48, bands: Int = 8, dims: Int = 64): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     VectorOps.registerFns(s)
-    val keys = bandKeys(s, col("embedding"), nBits, bands, dims)
-    val banded = emb.select(
-      col("vec_id"), col("embedding"),
-      posexplode(array(keys: _*)))
-      .select(col("vec_id"), col("embedding"),
-        col("pos").as("band"), col("col").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"),
-      col("vec_id").as("a_id"), col("embedding").as("ea"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("vec_id").as("b_id"), col("embedding").as("eb"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
-      .withColumn("sim_raw", call_function("cosine_sim", col("ea"), col("eb")))
+    val cands = srpCandidatePairs(s, emb, nBits, bands, dims)
+    rejoinCosine(emb, cands)
       .filter(col("sim_raw") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim_raw"), 6).as("sim"))
       .orderBy("a_id", "b_id")

@@ -24,7 +24,7 @@ object Relational {
        |  ${sqlDsum("l_quantity")} AS sum_qty,
        |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
        |  CAST(SUM(${sqlDec2("l_extendedprice")} * ${sqlDec2("1 - l_discount")}) AS DOUBLE) AS sum_disc_price,
-       |  CAST(SUM(${sqlDec2("l_extendedprice")} * ${sqlDec2("1 - l_discount")} * ${sqlDec2("1 + l_tax")}) AS DOUBLE) AS sum_charge,
+       |  CAST(ROUND(SUM(${sqlDec2("l_extendedprice")} * ${sqlDec2("1 - l_discount")} * ${sqlDec2("1 + l_tax")}), 2) AS DOUBLE) AS sum_charge,
        |  ${sqlRavg("l_quantity")} AS avg_qty,
        |  ${sqlRavg("l_extendedprice")} AS avg_price,
        |  ${sqlRavg("l_discount")} AS avg_disc,
@@ -41,8 +41,16 @@ object Relational {
         dsum(col("l_extendedprice")).as("sum_base_price"),
         sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
           .cast("double").as("sum_disc_price"),
-        sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")) *
-            dec2(lit(1) + col("l_tax"))).cast("double").as("sum_charge"),
+        // The scale-6 triple-product sum crosses 2^53 (scaled) near sf≈1,
+        // where DuckDB's decimal→double cast double-rounds (int128→double
+        // →divide) while Spark's BigDecimal converts correctly rounded —
+        // a 1-ulp divergence found by the round-4 10× run. ROUND to scale
+        // 2 first (half-away-from-zero in BOTH engines — a downscale CAST
+        // would truncate in DuckDB): the scaled integer stays exact in
+        // double through ~9e13, so both engines convert identically.
+        round(sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")) *
+            dec2(lit(1) + col("l_tax"))), 2)
+          .cast("double").as("sum_charge"),
         ravg(col("l_quantity")).as("avg_qty"),
         ravg(col("l_extendedprice")).as("avg_price"),
         ravg(col("l_discount")).as("avg_disc"),

@@ -65,6 +65,13 @@ object TextOps {
     * same threshold (approximate recall, identical output schema). TextSpec
     * pins the reroute.
     *
+    * The default bound SCALES WITH the session's parallelism: the exact
+    * pass costs n²/2 merge-scans at a measured ~3·10⁴ pairs/s/core (50 k
+    * docs ≈ 20 min on 32 cores — round-4 10× scale run), so a fixed
+    * budget of ~5 core-minutes/core gives n ≤ √(2·T·r·P) ≈ 4000·√P —
+    * ~23 k docs on local[32], ~360 k on a 8000-core cluster. Pass an
+    * explicit bound to override.
+    *
     * Shingle arrays are SORTED once per document (O(s log s), n of them) so
     * the per-pair intersection is the allocation-free merge scan
     * `sorted_intersect_count` (O(s), n² of them) instead of
@@ -72,8 +79,12 @@ object TextOps {
     * the exact pass at sf0.1 before this change. */
   def ngramJaccardPairs(documents: org.apache.spark.sql.DataFrame,
       threshold: Double,
-      maxExactRows: Long = 200000L): org.apache.spark.sql.DataFrame = {
-    if (documents.count() > maxExactRows)
+      maxExactRows: Long = -1L): org.apache.spark.sql.DataFrame = {
+    val bound =
+      if (maxExactRows >= 0) maxExactRows
+      else 4000L * math.sqrt(
+        documents.sparkSession.sparkContext.defaultParallelism).toLong
+    if (documents.count() > bound)
       return VectorOps.minhashPairs(documents, numHashes = 32, bands = 8,
         jaccardThreshold = threshold)
     val sh = array_sort(array_distinct(expr(

@@ -223,12 +223,18 @@ object VectorOps {
     * cost is quadratic in corpus size, so above `maxExactRows` the operator
     * REROUTES to [[AnnOps.lshThresholdPairs]] (banded SRP equi-join +
     * exact-cosine verify, approximate recall) instead of launching a
-    * quadratic job that cannot finish at 100 TB. VectorSpec pins the
-    * reroute the same way it pins similarityTopKPairs'. */
+    * quadratic job that cannot finish at 100 TB. The default bound scales
+    * with parallelism like [[graft.operators.TextOps.ngramJaccardPairs]]'s:
+    * 64-dim dots run ~10⁷ pairs/s/core, a ~5-min budget gives
+    * n ≤ √(2·T·r·P) ≈ 250 000·√P (~1.4 M vecs on local[32]). VectorSpec
+    * pins the reroute the same way it pins similarityTopKPairs'. */
   def dedupEmbeddingPairs(s: SparkSession, emb: DataFrame, threshold: Double,
-      maxExactRows: Long = 2000000L): DataFrame = {
+      maxExactRows: Long = -1L): DataFrame = {
+    val bound =
+      if (maxExactRows >= 0) maxExactRows
+      else 250000L * math.sqrt(s.sparkContext.defaultParallelism).toLong
     val e = emb.select(col("vec_id"), col("embedding"))
-    if (e.count() > maxExactRows) AnnOps.lshThresholdPairs(s, e, threshold)
+    if (e.count() > bound) AnnOps.lshThresholdPairs(s, e, threshold)
     else {
       // Streamed-side repartition: BNLJ parallelism = streamed partition
       // count, and a single-file corpus would otherwise run O(n²) on 1 task.
@@ -287,22 +293,33 @@ object VectorOps {
       .select(col("doc_id"), shingles.as("sh"))
       .withColumn("sig", array(sigCols: _*))
     val rowsPerBand = numHashes / bands
+    // Candidates carry ONLY ids through the band join and the distinct —
+    // the shingle arrays (KBs per doc, duplicated per colliding band) made
+    // the candidate-dedup shuffle the bottleneck in the round-4 10× scale
+    // run (the SRP pipeline had the same bug; see AnnOps.srpCandidatePairs).
+    // Shingles re-join AFTER the dedup, touching each surviving pair once.
     val banded = withSig.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(concat_ws("|",
           slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand))), bnd))))
-      .select(col("doc_id"), col("sh"), col("pos").as("band"),
+      .select(col("doc_id"), col("pos").as("band"),
         col("col").as("band_hash"))
     val a = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("a_id"), col("sh").as("sha"))
+      col("doc_id").as("a_id"))
     val b = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("b_id"), col("sh").as("shb"))
-    val candidates = a.join(b, Seq("band", "band_hash"))
+      col("doc_id").as("b_id"))
+    val idPairs = a.join(b, Seq("band", "band_hash"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "sha", "shb")
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+    val shingleSets = withSig.select(col("doc_id"), col("sh"))
+    val candidates = idPairs
+      .join(shingleSets.select(col("doc_id").as("a_id"), col("sh").as("sha")),
+        "a_id")
+      .join(shingleSets.select(col("doc_id").as("b_id"), col("sh").as("shb")),
+        "b_id")
     val inter = call_function("sorted_intersect_count",
       col("sha"), col("shb")).cast("double")
     val jac = inter / (size(col("sha")) + size(col("shb")) - inter)
