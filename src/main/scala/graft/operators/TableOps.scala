@@ -43,7 +43,7 @@ object TableOps {
       |    ORDER BY _src DESC) AS rn
       |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd))
       |SELECT o_orderstatus, COUNT(*) AS n_rows,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price,
       |  CAST(SUM(_src) AS BIGINT) AS n_updated
       |FROM merged WHERE rn = 1
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>

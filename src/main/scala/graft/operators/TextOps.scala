@@ -82,8 +82,8 @@ object TextOps {
       maxExactRows: Long = -1L): org.apache.spark.sql.DataFrame = {
     val bound =
       if (maxExactRows >= 0) maxExactRows
-      else 4000L * math.sqrt(
-        documents.sparkSession.sparkContext.defaultParallelism).toLong
+      else (4000.0 * math.sqrt(
+        documents.sparkSession.sparkContext.defaultParallelism)).toLong
     if (documents.count() > bound)
       return VectorOps.minhashPairs(documents, numHashes = 32, bands = 8,
         jaccardThreshold = threshold)
@@ -126,12 +126,15 @@ object TextOps {
     * above it the explicit hint is DROPPED and the join shuffles on the
     * token key, where AQE may still locally broadcast if runtime stats
     * allow — the decision moves from a blind hint to measured sizes. The
-    * vocab is persisted so the cardinality probe and the join share one
-    * materialization instead of re-tokenizing the corpus. TextSpec pins
-    * the fallback. */
+    * vocab is localCheckpoint-ed (eager) so the cardinality probe and the
+    * join share one materialization instead of re-tokenizing the corpus;
+    * unlike persist(), the checkpoint blocks are released by the
+    * ContextCleaner once the returned plan is unreferenced — no
+    * accumulating cache entries across repeated invocations. TextSpec
+    * pins the fallback. */
   def vocabJoin(fact: DataFrame, vocab: DataFrame, key: String,
       maxBroadcastRows: Long = 10000000L): DataFrame = {
-    val v = vocab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = vocab.localCheckpoint(true)
     if (v.count() <= maxBroadcastRows) fact.join(broadcast(v), Seq(key))
     else fact.join(v, Seq(key))
   }

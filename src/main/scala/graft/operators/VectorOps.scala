@@ -232,7 +232,7 @@ object VectorOps {
       maxExactRows: Long = -1L): DataFrame = {
     val bound =
       if (maxExactRows >= 0) maxExactRows
-      else 250000L * math.sqrt(s.sparkContext.defaultParallelism).toLong
+      else (250000.0 * math.sqrt(s.sparkContext.defaultParallelism)).toLong
     val e = emb.select(col("vec_id"), col("embedding"))
     if (e.count() > bound) AnnOps.lshThresholdPairs(s, e, threshold)
     else {
@@ -271,10 +271,17 @@ object VectorOps {
       jaccardThreshold = 0.4)
   }
 
-  /** Shared MinHash-LSH pipeline (also used by DedupSpec). */
-  def minhashPairs(docs: DataFrame, numHashes: Int, bands: Int,
+  /** Shared MinHash-LSH pipeline (also used by DedupSpec). Documents with
+    * fewer than 3 tokens have NO word-3-gram shingles and are excluded up
+    * front — the same universe as the exact
+    * [[graft.operators.TextOps.ngramJaccardPairs]] path (the padded
+    * pseudo-shingle the transform would otherwise emit for short docs
+    * produced pairs the exact path never emits, breaking the reroute's
+    * verified-subset contract on corpora with duplicated short docs). */
+  def minhashPairs(docs0: DataFrame, numHashes: Int, bands: Int,
       jaccardThreshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val docs = docs0.filter(size(split(col("text"), " ")) >= 3)
     registerFns(docs.sparkSession)
     // Sorted so the exact-Jaccard verify below is the merge-scan
     // sorted_intersect_count (array_min over the hashed transform is
@@ -324,9 +331,13 @@ object VectorOps {
       col("sha"), col("shb")).cast("double")
     val jac = inter / (size(col("sha")) + size(col("shb")) - inter)
     candidates
-      .withColumn("jaccard", round(jac, 6))
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select("a_id", "b_id", "jaccard")
+      // Filter on the RAW jaccard, round only for output — the exact
+      // ngramJaccardPairs path filters raw, and the reroute's verified-
+      // subset contract needs identical boundary semantics (a raw
+      // 0.3999996 must fail here exactly as it fails there).
+      .withColumn("jac_raw", jac)
+      .filter(col("jac_raw") >= jaccardThreshold)
+      .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
 
