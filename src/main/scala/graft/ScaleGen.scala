@@ -65,10 +65,17 @@ object ScaleGen {
           else Tables.load(spark, src, table)
         // Single file per table (coalesced write, part file moved up):
         // the DuckDB oracle's read_parquet targets a file path, same
-        // layout as the driver-generated SF dirs.
+        // layout as the driver-generated SF dirs. Row groups are capped
+        // at 8 MB — parquet splits at ROW-GROUP granularity, so a single
+        // coalesced file with one giant row group would serialize every
+        // scan onto one task no matter what maxPartitionBytes says (the
+        // round-4 10× sweep measured fn_try at 59 s single-threaded from
+        // exactly this).
         val tmp = s"$out/_tmp_$table"
         replicate(df, keys, factor)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
+          .coalesce(1).write.mode("overwrite")
+          .option("parquet.block.size", (8 * 1024 * 1024).toString)
+          .parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .find(_.getName.endsWith(".parquet")).get
         java.nio.file.Files.move(part.toPath,
