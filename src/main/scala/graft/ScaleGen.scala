@@ -49,6 +49,12 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorStr) = args.take(3)
     val factor = factorStr.toInt
+    // Enforce the int32 safety bound the scaladoc states (round-5 ADVICE
+    // fix): at factor ≥ 22, i*Shift exceeds Int.MaxValue and the non-ANSI
+    // cast back to IntegerType key columns (n_nationkey etc.) would wrap
+    // silently to negative keys.
+    require(factor >= 1 && factor <= 20,
+      s"factor must be in [1, 20] (int32 key-shift safety), got $factor")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scalegen")

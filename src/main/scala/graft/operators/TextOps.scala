@@ -84,7 +84,13 @@ object TextOps {
       if (maxExactRows >= 0) maxExactRows
       else (4000.0 * math.sqrt(
         documents.sparkSession.sparkContext.defaultParallelism)).toLong
-    if (documents.count() > bound)
+    // The guard counts the ≥3-token ELIGIBLE set — exactly the exact
+    // pass's input — not the raw corpus (round-5 ADVICE fix: a corpus of
+    // mostly-short docs was rerouted on a cardinality the quadratic pass
+    // never sees). One extra pruned-column scan of `text`; negligible next
+    // to either branch it gates.
+    val eligible = documents.filter(size(split(col("text"), " ")) >= 3)
+    if (eligible.count() > bound)
       return VectorOps.minhashPairs(documents, numHashes = 32, bands = 8,
         jaccardThreshold = threshold)
     val sh = array_sort(array_distinct(expr(
@@ -93,9 +99,7 @@ object TextOps {
         |              element_at(split(text, ' '), i + 1), ' ',
         |              element_at(split(text, ' '), i + 2)))""".stripMargin)))
     VectorOps.registerFns(documents.sparkSession)
-    val docs = documents
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), sh.as("sh"))
+    val docs = eligible.select(col("doc_id"), sh.as("sh"))
     // The theta join plans as BroadcastNestedLoopJoin whose parallelism is
     // the STREAMED side's partition count — a single-file corpus would run
     // the whole O(n²) pass on one task. Repartitioning the streamed side
@@ -121,7 +125,7 @@ object TextOps {
   /** Vocabulary-side join guard for TF-IDF-class pipelines. A natural-
     * language vocabulary fits an executor's broadcast budget, but at
     * 100 TB with noisy tokens (URLs, hashes, code identifiers) the
-    * distinct-token table can outgrow it. Below `maxBroadcastRows` the
+    * distinct-token table can outgrow it. Below `maxBroadcastBytes` the
     * vocab is broadcast (map-side join — the fact side never reshuffles);
     * above it the explicit hint is DROPPED and the join shuffles on the
     * token key, where AQE may still locally broadcast if runtime stats
@@ -133,9 +137,19 @@ object TextOps {
     * accumulating cache entries across repeated invocations. TextSpec
     * pins the fallback. */
   def vocabJoin(fact: DataFrame, vocab: DataFrame, key: String,
-      maxBroadcastRows: Long = 10000000L): DataFrame = {
+      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     val v = vocab.localCheckpoint(true)
-    if (v.count() <= maxBroadcastRows) fact.join(broadcast(v), Seq(key))
+    // Byte-aware probe (round-5 fix): a row-count bound is blind to token
+    // length — 10 M noisy tokens (URLs, hashes) can serialize into a
+    // multi-hundred-MB broadcast. One agg over the checkpointed vocab
+    // measures key bytes exactly; non-key columns and per-entry hash-map
+    // overhead are charged at a flat 32 B + 8 B/column. 256 MB default ≈
+    // a quarter of a typical executor's broadcast budget.
+    val probe = v.agg(count(lit(1)), sum(octet_length(col(key)))).head()
+    val rows = probe.getLong(0)
+    val keyBytes = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+    val estBytes = keyBytes + rows * (32L + 8L * (v.columns.length - 1))
+    if (estBytes <= maxBroadcastBytes) fact.join(broadcast(v), Seq(key))
     else fact.join(v, Seq(key))
   }
 

@@ -93,15 +93,26 @@ object VectorOps {
       similarityTopKPairs(s, t(s, dir, "embeddings"), k = 100)
   }
 
-  /** Exact top-k pair kernel with a scale guard: above `maxBroadcastRows`
-    * the operator reroutes to AnnOps.lshTopKPairs (bucketed equi-join,
-    * approximate) rather than broadcast a matrix that cannot fit — the
-    * VectorSpec reroute test pins this behavior. */
+  /** Exact top-k pair kernel with a BYTE-aware scale guard: above
+    * `maxBroadcastBytes` the operator reroutes to AnnOps.lshTopKPairs
+    * (bucketed equi-join, approximate) rather than broadcast a matrix that
+    * cannot fit — the VectorSpec reroute test pins this behavior.
+    *
+    * The bound is sized in BYTES, not rows (round-5 fix): the collected
+    * matrix costs ~rows × (dim × 8 + 16) — a 4 M-row bound that is ~2 GB
+    * at 64-d would be ~32 GB at 1024-d. The default budget (512 MB)
+    * mirrors the broadcast-join build-side contract the scaladoc invokes.
+    * The dim probe reads ONE row (limit-1 job); the row count on a parquet
+    * source is metadata-cheap. */
   def similarityTopKPairs(s: SparkSession, emb0: DataFrame, k: Int,
-      maxBroadcastRows: Long = 4000000L): DataFrame = {
+      maxBroadcastBytes: Long = 512L << 20): DataFrame = {
     val emb = emb0.select(col("vec_id"), col("embedding"))
     val nVecs = emb.count()
-    if (nVecs > maxBroadcastRows) AnnOps.lshTopKPairs(s, emb, k)
+    val dim: Long =
+      if (nVecs == 0L) 0L
+      else emb.select(size(col("embedding"))).head().getInt(0).toLong
+    val matrixBytes = nVecs * (dim * 8L + 16L)
+    if (matrixBytes > maxBroadcastBytes) AnnOps.lshTopKPairs(s, emb, k)
     else {
       import s.implicits._
       def unitNorm(v: Seq[Float]): Array[Double] = {

@@ -121,9 +121,33 @@ object Windows {
       .orderBy("o_orderkey").limit(2000)
   }
 
-  /** E4 — value-range frame (RANGE BETWEEN n PRECEDING): all orders within
-    * a price band below the current row, per status. Decimal accumulation
-    * for cross-engine sum parity. */
+  /** E4 — value-range frame (RANGE BETWEEN n PRECEDING AND CURRENT ROW),
+    * re-spelled as a cumulative-sum DIFFERENCE: band(v) = cum(≤v) − cum(<v−W).
+    *
+    * The naive `rangeBetween(-W, 0)` spelling is a named scale-killer
+    * (round-4 10× finding): Spark's WindowExec re-aggregates the sliding
+    * RANGE frame from scratch per row — O(n·w) — and PARTITION BY
+    * o_orderstatus (3 distinct values) caps parallelism at 3 tasks forever.
+    * This plan is O(n) with parallelism = statuses × price-bins:
+    *
+    *  1. collapse to distinct (status, price) — all RANGE peers share one
+    *     frame, so per-value (cnt, sum) is the working granularity;
+    *  2. bucket prices into W-wide bins; a tiny DENSE bin table (≤
+    *     price-range/W rows per status — value-domain-bounded, broadcast)
+    *     carries each bin's EXCLUSIVE prefix totals;
+    *  3. inclusive cum(≤v) = bin prefix + per-(status,bin) running sum —
+    *     a ROWS window over a composite key, no parallelism ceiling;
+    *  4. cum(<v−W) is an as-of lookup: probe rows keyed v−W tagged to sort
+    *     BEFORE data rows of equal key, `last(cum, ignoreNulls)` over a
+    *     ROWS frame → strictly-below semantics by construction; probes
+    *     landing in an empty/out-of-range bin fall back to that bin's
+    *     prefix (or 0 below the domain).
+    *
+    * Every window here is a ROWS frame; decimal accumulation makes both
+    * cums exact, so their difference is bit-identical to the oracle's
+    * in-frame sum. Same binning function (floor(x/W)) on values and probe
+    * keys keeps bin assignment consistent with the double arithmetic of
+    * v−W on both engines. */
   val rangeFrame = Q(
     "win_range_frame",
     """SELECT o_orderkey, o_orderstatus, o_totalprice,
@@ -133,14 +157,84 @@ object Windows {
       |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
       |             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey LIMIT 2000""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
-      .rangeBetween(-10000, Window.currentRow)
-    t(s, dir, "orders")
-      .select(
-        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        count(lit(1)).over(w).as("n_in_band"),
-        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
-          .cast("double").as("band_sum"))
+    val W = 10000.0d
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+    // 1. distinct-value granularity (peers share the frame)
+    val dv = orders.groupBy("o_orderstatus", "o_totalprice")
+      .agg(count(lit(1)).as("v_cnt"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("v_sum"))
+      .withColumn("bin", floor(col("o_totalprice") / W))
+
+    // 2. dense per-status bin table with EXCLUSIVE prefix totals
+    val binTotals = dv.groupBy("o_orderstatus", "bin")
+      .agg(sum("v_cnt").as("b_cnt"), sum("v_sum").as("b_sum"))
+    val wBin = Window.partitionBy("o_orderstatus").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = binTotals.groupBy("o_orderstatus")
+      .agg(min("bin").as("lo"), max("bin").as("hi"))
+      .select(col("o_orderstatus"),
+        explode(sequence(col("lo"), col("hi"))).as("bin"))
+      .join(binTotals, Seq("o_orderstatus", "bin"), "left")
+      .select(col("o_orderstatus"), col("bin"),
+        coalesce(sum("b_cnt").over(wBin), lit(0L)).as("p_cnt"),
+        coalesce(sum("b_sum").over(wBin),
+          lit(0).cast("decimal(38,4)")).as("p_sum"))
+
+    // 3. inclusive cumulative totals per distinct value
+    val wLoc = Window.partitionBy("o_orderstatus", "bin")
+      .orderBy("o_totalprice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dv.join(broadcast(prefix), Seq("o_orderstatus", "bin"))
+      .select(col("o_orderstatus"), col("bin"), col("o_totalprice"),
+        (col("p_cnt") + sum("v_cnt").over(wLoc)).as("cum_cnt"),
+        (col("p_sum") + sum("v_sum").over(wLoc)).as("cum_sum"))
+
+    // 4. as-of lookup of the strictly-below-lower-boundary cum. Each cum
+    // row explodes into its data row AND its probe row (keyed v−W, tagged
+    // to sort before equal-key data rows) in ONE pass; the probe carries
+    // its value's own cum, so the band is closed right at the window with
+    // no join back to cum. src_* feed last(); own_* close the band.
+    val exploded = cum.select(col("o_orderstatus"), explode(array(
+        struct(
+          floor((col("o_totalprice") - W) / W).as("bin"),
+          (col("o_totalprice") - W).as("key"),
+          lit(0).as("tag"),
+          col("o_totalprice").as("orig_v"),
+          lit(null).cast("long").as("src_cnt"),
+          lit(null).cast("decimal(38,4)").as("src_sum"),
+          col("cum_cnt").as("own_cnt"),
+          col("cum_sum").as("own_sum")),
+        struct(
+          col("bin").as("bin"),
+          col("o_totalprice").as("key"),
+          lit(1).as("tag"),
+          lit(null).cast("double").as("orig_v"),
+          col("cum_cnt").as("src_cnt"),
+          col("cum_sum").as("src_sum"),
+          lit(null).cast("long").as("own_cnt"),
+          lit(null).cast("decimal(38,4)").as("own_sum")))).as("r"))
+      .select(col("o_orderstatus"), col("r.*"))
+      .join(broadcast(prefix), Seq("o_orderstatus", "bin"), "left")
+    val wAsof = Window.partitionBy("o_orderstatus", "bin")
+      .orderBy(col("key"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bands = exploded
+      .withColumn("below_cnt",
+        coalesce(last(col("src_cnt"), ignoreNulls = true).over(wAsof),
+          col("p_cnt"), lit(0L)))
+      .withColumn("below_sum",
+        coalesce(last(col("src_sum"), ignoreNulls = true).over(wAsof),
+          col("p_sum"), lit(0).cast("decimal(38,4)")))
+      .filter(col("tag") === 0)
+      .select(col("o_orderstatus"), col("orig_v").as("o_totalprice"),
+        (col("own_cnt") - col("below_cnt")).as("n_in_band"),
+        (col("own_sum") - col("below_sum")).cast("double").as("band_sum"))
+
+    orders.join(bands, Seq("o_orderstatus", "o_totalprice"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("n_in_band"), col("band_sum"))
       .orderBy("o_orderkey").limit(2000)
   }
 

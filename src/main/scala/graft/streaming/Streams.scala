@@ -182,17 +182,23 @@ object Streams {
           }
         }
         state.put(merged.toArray)
-        // One timer per pending session. Stale timers (from sessions later
-        // extended or bridged) fire harmlessly: the expiry guard below
-        // only emits sessions whose CURRENT end+gap the watermark passed.
-        merged.foreach(s => getHandle.registerTimer(s.end_ms + gapMs))
+        // One timer per pending session, at end+gap+1: the merge above is
+        // INCLUSIVE (a row with ts == end+gap still merges) while a timer
+        // at end+gap would fire once the watermark merely REACHES that
+        // instant — when such a row is not yet late (ts >= watermark is
+        // admissible). +1 ms makes emission strictly postdate every
+        // mergeable timestamp (round-5 ADVICE fix). Stale timers (from
+        // sessions later extended or bridged) fire harmlessly: the expiry
+        // guard below only emits sessions whose CURRENT end+gap the
+        // watermark strictly passed.
+        merged.foreach(s => getHandle.registerTimer(s.end_ms + gapMs + 1))
         Iterator.empty
       }
       override def handleExpiredTimer(key: Long, timerValues: TimerValues,
           expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
         val expiry = expiredTimerInfo.getExpiryTimeInMs()
         val (closed, open) = state.get().toSeq
-          .partition(s => s.end_ms + gapMs <= expiry)
+          .partition(s => s.end_ms + gapMs < expiry)
         if (open.isEmpty) state.clear() else state.put(open.toArray)
         closed.sortBy(_.start_ms).iterator
       }

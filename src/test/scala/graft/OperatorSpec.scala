@@ -129,6 +129,24 @@ class OperatorSpec extends SparkSpec {
     assert(viaWindow == viaCollect)
   }
 
+  test("self-consistency: win_range_frame cumsum-difference ≡ native RANGE window") {
+    // The declared query re-spells RANGE BETWEEN 10000 PRECEDING AND
+    // CURRENT ROW as a cumulative-sum difference (scale path); the native
+    // WindowExec spelling is the semantic ground truth at test scale.
+    import org.apache.spark.sql.expressions.Window
+    val fast = SparkEntry.queries("win_range_frame")(spark, sfDir).collect()
+    val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+      .rangeBetween(-10000, Window.currentRow)
+    val slow = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_in_band"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+          .cast("double").as("band_sum"))
+      .orderBy("o_orderkey").limit(2000).collect()
+    assert(fast.length == slow.length && fast.length > 0)
+    fast.zip(slow).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
   test("self-consistency: dedup survivor count ≡ countDistinct") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     val dedupCount = docs.dropDuplicates("text").count()

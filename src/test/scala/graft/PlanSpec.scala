@@ -78,6 +78,17 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"keyless windows in: $offenders")
   }
 
+  test("win_range_frame: no sliding RANGE WindowExec survives (cumsum-difference plan)") {
+    // Spark's WindowExec re-aggregates a sliding RANGE frame from scratch
+    // per row — O(n·w) with a 3-value partition-key parallelism ceiling
+    // (round-4 10× run: 51 s at 1.5 M rows). The declared plan must spell
+    // it as ROWS-frame cumulative sums only.
+    val p = SparkEntry.queries("win_range_frame")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("RangeFrame"),
+      "RANGE frame must be re-spelled as ROWS cumsum difference:\n" + p.take(1200))
+  }
+
   test("cosine_sim participates in whole-stage codegen") {
     // Simple mode marks whole-stage-codegen operators with "*(n)"; the
     // expression must appear in a starred Project, not an interpreted one.

@@ -35,7 +35,7 @@ class TextSpec extends SparkSpec {
     def hinted(d: org.apache.spark.sql.DataFrame): Boolean =
       d.queryExecution.analyzed.toString.contains("UnresolvedHint") ||
         d.queryExecution.analyzed.toString.contains("ResolvedHint")
-    val guarded = TextOps.vocabJoin(tf, df, "token", maxBroadcastRows = 1)
+    val guarded = TextOps.vocabJoin(tf, df, "token", maxBroadcastBytes = 1)
     assert(!hinted(guarded),
       "above the bound the explicit broadcast hint must be dropped")
     val bcast = TextOps.vocabJoin(tf, df, "token")

@@ -111,12 +111,15 @@ class VectorSpec extends SparkSpec {
     assert(topk == expected)
   }
 
-  test("similarityTopKPairs reroutes to LSH above the broadcast bound") {
+  test("similarityTopKPairs reroutes to LSH above the broadcast BYTE budget") {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    // Bound below the corpus size → the exact broadcast kernel must NOT
-    // run; the operator reroutes to the SRP-LSH candidate pipeline.
+    // Byte budget below the matrix footprint (n × (64·8+16) ≈ 530 B/row —
+    // a 5 KB budget fits only ~9 rows) → the exact broadcast kernel must
+    // NOT run even though the row count is tiny vs the old 4 M-row bound;
+    // the operator reroutes to the SRP-LSH candidate pipeline. This is
+    // exactly the high-dim/low-budget case a row-count guard was blind to.
     val rerouted = VectorOps
-      .similarityTopKPairs(spark, emb, k = 20, maxBroadcastRows = 5)
+      .similarityTopKPairs(spark, emb, k = 20, maxBroadcastBytes = 5000L)
     val lshDirect = graft.operators.AnnOps.lshTopKPairs(spark,
       emb.select($"vec_id", $"embedding"), 20)
     assert(rerouted.collect().toSeq == lshDirect.collect().toSeq,
