@@ -119,39 +119,51 @@ object AnnOps {
     lshTopKPairs(s, t(s, dir, "embeddings"), k = 100)
   }
 
-  /** Shared IVF pipeline: k-means centroid build (ClusterOps.kmeansFit,
-    * no label column consumed), nearest-centroid assignment, nProbe-list
-    * probing, exact re-rank. */
+  /** IVF coarse-quantizer fit: k-means centroids (ClusterOps.kmeansFit —
+    * deterministic seeding, empty clusters keep their previous centroid).
+    * A real corpus has no label column, so the coarse quantizer must be
+    * LEARNED; the k×d model is a bounded driver-held index constant, the
+    * standard IVF build shape. */
+  def ivfFit(s: SparkSession, emb: DataFrame,
+      nLists: Int): Seq[(Int, Seq[Double])] =
+    ClusterOps.kmeansFit(s,
+      emb.select(col("vec_id"), col("embedding")), k = nLists, iters = 3)
+      ._2.sortBy(_._1)
+
+  /** Nearest-centroid assignment expression: argmax over centroid dot
+    * products (vectors are ~unit-scale; production would normalize both
+    * sides). */
+  private def assignExpr(centroids: Seq[(Int, Seq[Double])],
+      v: Column): Column = {
+    val scored = centroids.map { case (cid, c) =>
+      struct(call_function("dot_product", v, typedLit(c)).as("sim"),
+        lit(cid).as("cid"))
+    }
+    array_max(array(scored: _*)).getField("cid")
+  }
+
+  /** Rank the model's centroids against a collected query vector, keep the
+    * nProbe nearest list ids. */
+  private def probeListsFor(centroids: Seq[(Int, Seq[Double])],
+      qVec: Seq[Float], nProbe: Int): Seq[Int] =
+    centroids.map { case (cid, c) =>
+      (cid, c.zip(qVec).map { case (x, y) => x * y.toDouble }.sum)
+    }.sortBy(-_._2).take(nProbe).map(_._1)
+
+  /** Shared IVF pipeline: centroid fit, nearest-centroid assignment fused
+    * into the scan, nProbe-list probing, exact re-rank. The stored-index
+    * twin is [[ivfKnnFromIndex]]. */
   def ivfKnn(s: SparkSession, emb: DataFrame, queryId: Long, k: Int,
       nProbe: Int = 3, nLists: Int = 8): DataFrame = {
     VectorOps.registerFns(s)
     import s.implicits._
-    // Index build: k-means centroids (ClusterOps.kmeansFit — deterministic
-    // seeding, empty clusters keep their previous centroid). A real corpus
-    // has no label column, so the coarse quantizer must be LEARNED; the
-    // k×d model is a bounded driver-held index constant, the standard IVF
-    // build shape.
-    val centroids = ClusterOps.kmeansFit(s,
-      emb.select(col("vec_id"), col("embedding")), k = nLists, iters = 3)
-      ._2.sortBy(_._1)
-    // Assignment expression: argmax over centroid dot products (vectors
-    // are ~unit-scale; production would normalize both sides).
-    def assignExpr(v: Column): Column = {
-      val scored = centroids.map { case (cid, c) =>
-        struct(call_function("dot_product", v, typedLit(c)).as("sim"),
-          lit(cid).as("cid"))
-      }
-      array_max(array(scored: _*)).getField("cid")
-    }
-    val assigned = emb.withColumn("list_id", assignExpr(col("embedding")))
-    // Query probe: rank centroids against the query vector, take nProbe.
+    val centroids = ivfFit(s, emb, nLists)
+    val assigned = emb.withColumn("list_id",
+      assignExpr(centroids, col("embedding")))
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"))
     val qVec = q.as[Seq[Float]].head()
-    val probeLists = centroids.map { case (cid, c) =>
-      val dot = c.zip(qVec).map { case (x, y) => x * y.toDouble }.sum
-      (cid, dot)
-    }.sortBy(-_._2).take(nProbe).map(_._1)
+    val probeLists = probeListsFor(centroids, qVec, nProbe)
     assigned
       .filter(col("list_id").isin(probeLists: _*))
       .filter(col("vec_id") =!= queryId)
@@ -181,54 +193,74 @@ object AnnOps {
     * production layout the codes (m bytes/vector, 8 vs 256 bytes here)
     * are precomputed once at ingest — 32× less scan I/O than raw floats;
     * here encode+scan fuse into one pass for the declared query. */
-  def pqKnn(s: SparkSession, emb: DataFrame, queryId: Long, k: Int,
-      m: Int = 8, dsub: Int = 8, ksub: Int = 16,
-      nCandidates: Int = 100): DataFrame = {
+  private def subCol(mm: Int, dsub: Int): Column =
+    slice(col("embedding"), mm * dsub + 1, dsub)
+
+  /** PQ sub-code expression — argmin ||x-c||² == argmax (x·c − ||c||²/2);
+    * ties break to the higher code via the struct max — deterministic
+    * either way. */
+  private def codeCol(mm: Int, dsub: Int, ksub: Int,
+      cb: Array[Array[Seq[Double]]]): Column = {
+    val scored = (0 until ksub).map { j =>
+      val c = cb(mm)(j)
+      val half = c.map(x => x * x).sum / 2.0
+      struct((call_function("dot_product", subCol(mm, dsub), typedLit(c)) - half)
+        .as("s"), lit(j).as("code"))
+    }
+    array_max(array(scored: _*)).getField("code")
+  }
+
+  /** PQ codebook fit: deterministic md5-sampled seeds + one Lloyd
+    * refinement per subspace (the same centroid Aggregator as IVF). Empty
+    * clusters keep their seed centroid. */
+  def pqFit(s: SparkSession, emb: DataFrame, m: Int, dsub: Int,
+      ksub: Int): Array[Array[Seq[Double]]] = {
     VectorOps.registerFns(s)
     import s.implicits._
-    // --- index build (driver-side constants, as with the IVF centroids) ---
     val seedIds = emb.select(col("vec_id"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(ksub).as[Long].collect().sorted.toSeq
     val seeds = emb.filter(col("vec_id").isin(seedIds: _*))
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .collect().sortBy(_._1).map(_._2)
-    var codebooks: Array[Array[Seq[Double]]] =
+    val init: Array[Array[Seq[Double]]] =
       Array.tabulate(m)(mm => Array.tabulate(ksub)(j =>
         seeds(j).slice(mm * dsub, (mm + 1) * dsub).map(_.toDouble).toSeq))
-    def subCol(mm: Int): Column = slice(col("embedding"), mm * dsub + 1, dsub)
-    // argmin ||x-c||² == argmax (x·c − ||c||²/2); ties break to the higher
-    // code via the struct max — deterministic either way.
-    def codeCol(mm: Int, cb: Array[Array[Seq[Double]]]): Column = {
-      val scored = (0 until ksub).map { j =>
-        val c = cb(mm)(j)
-        val half = c.map(x => x * x).sum / 2.0
-        struct((call_function("dot_product", subCol(mm), typedLit(c)) - half)
-          .as("s"), lit(j).as("code"))
-      }
-      array_max(array(scored: _*)).getField("code")
-    }
     val centroid = udaf(Udx.centroidAgg)
-    codebooks = Array.tabulate(m) { mm =>
+    Array.tabulate(m) { mm =>
       val means = emb
-        .select(codeCol(mm, codebooks).as("code"), subCol(mm).as("sub"))
+        .select(codeCol(mm, dsub, ksub, init).as("code"),
+          subCol(mm, dsub).as("sub"))
         .groupBy("code").agg(centroid(col("sub")).as("c"))
         .as[(Int, Seq[Double])].collect().toMap
-      // Empty clusters keep their seed centroid.
-      Array.tabulate(ksub)(j => means.getOrElse(j, codebooks(mm)(j)))
+      Array.tabulate(ksub)(j => means.getOrElse(j, init(mm)(j)))
     }
-    // --- query: ADC lookup table + fused encode-and-score scan ---
-    val q = emb.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("qe"))
-    val qVec = q.as[Seq[Float]].head()
-    val lut: Array[Seq[Double]] = Array.tabulate(m) { mm =>
+  }
+
+  /** Query-side ADC lookup table: lut(mm)(j) = q_mm · codebook(mm)(j). */
+  private def adcLut(codebooks: Array[Array[Seq[Double]]], m: Int, dsub: Int,
+      ksub: Int, qVec: Seq[Float]): Array[Seq[Double]] =
+    Array.tabulate(m) { mm =>
       (0 until ksub).map { j =>
         codebooks(mm)(j).zipWithIndex
           .map { case (c, i) => c * qVec(mm * dsub + i) }.sum
       }
     }
+
+  def pqKnn(s: SparkSession, emb: DataFrame, queryId: Long, k: Int,
+      m: Int = 8, dsub: Int = 8, ksub: Int = 16,
+      nCandidates: Int = 100): DataFrame = {
+    VectorOps.registerFns(s)
+    import s.implicits._
+    // --- index build (driver-side constants, as with the IVF centroids) ---
+    val codebooks = pqFit(s, emb, m, dsub, ksub)
+    // --- query: ADC lookup table + fused encode-and-score scan ---
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    val qVec = q.as[Seq[Float]].head()
+    val lut = adcLut(codebooks, m, dsub, ksub, qVec)
     val adc = (0 until m).map { mm =>
-      element_at(typedLit(lut(mm)), codeCol(mm, codebooks) + 1)
+      element_at(typedLit(lut(mm)), codeCol(mm, dsub, ksub, codebooks) + 1)
     }.reduce(_ + _)
     emb.filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("embedding"), adc.as("adc"))
@@ -248,5 +280,104 @@ object AnnOps {
     pqKnn(s, t(s, dir, "embeddings"), queryId = 0L, k = 20)
   }
 
-  val all: Seq[Q] = Seq(annLshTopK, annIvfKnn, annPqKnn)
+  // ------------------------------------------------------------------
+  // Stored-index path (round 5): at 100 TB the build-per-query shape is
+  // the anti-pattern — a real user fits the model once at ingest, stores
+  // the per-vector index rows NEXT TO the vectors (list_id becomes the
+  // partition key, codes a byte column), and every query consumes the
+  // stored index: IVF probing = partition pruning, the ADC scan reads
+  // m bytes/vector instead of dim×4. The model itself (centroids +
+  // codebooks) is kilobytes — a metadata table / driver constant.
+  // ------------------------------------------------------------------
+
+  /** Fitted ANN index model: IVF coarse-quantizer centroids + per-subspace
+    * PQ codebooks. Kilobyte-scale driver-held constants. */
+  final case class AnnModel(
+      nLists: Int,
+      centroids: Seq[(Int, Seq[Double])],
+      m: Int, dsub: Int, ksub: Int,
+      codebooks: Array[Array[Seq[Double]]])
+
+  /** Fit both quantizers once (the ingest-time model build). */
+  def fitAnnModel(s: SparkSession, emb: DataFrame, nLists: Int = 8,
+      m: Int = 8, dsub: Int = 8, ksub: Int = 16): AnnModel =
+    AnnModel(nLists, ivfFit(s, emb, nLists), m, dsub, ksub,
+      pqFit(s, emb, m, dsub, ksub))
+
+  /** Materialized per-vector index rows: (vec_id, list_id, codes) — ONE
+    * scan of the corpus computing both quantizations; written as a table
+    * this is the ingest-time precompute [[pqKnn]]'s scaladoc describes. */
+  def annIndex(s: SparkSession, emb: DataFrame, model: AnnModel): DataFrame = {
+    VectorOps.registerFns(s)
+    val codes = array((0 until model.m).map(mm =>
+      codeCol(mm, model.dsub, model.ksub, model.codebooks)): _*)
+    emb.select(col("vec_id"),
+      assignExpr(model.centroids, col("embedding")).as("list_id"),
+      codes.as("codes"))
+  }
+
+  /** IVF kNN over a STORED index: probes prune on the stored list_id, the
+    * exact re-rank joins the vector table only for surviving candidates.
+    * Result ≡ [[ivfKnn]] with the same model (AnnSpec pins it). */
+  def ivfKnnFromIndex(s: SparkSession, emb: DataFrame, index: DataFrame,
+      model: AnnModel, queryId: Long, k: Int, nProbe: Int = 3): DataFrame = {
+    VectorOps.registerFns(s)
+    import s.implicits._
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    val qVec = q.as[Seq[Float]].head()
+    val probeLists = probeListsFor(model.centroids, qVec, nProbe)
+    index.filter(col("list_id").isin(probeLists: _*))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("list_id"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("list_id"),
+        round(call_function("cosine_sim", col("embedding"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** PQ kNN over a STORED index: the ADC scan touches only the m-byte code
+    * column (no embeddings until the nCandidates re-rank join). Result ≡
+    * [[pqKnn]] with the same model (AnnSpec pins it). */
+  def pqKnnFromIndex(s: SparkSession, emb: DataFrame, index: DataFrame,
+      model: AnnModel, queryId: Long, k: Int,
+      nCandidates: Int = 100): DataFrame = {
+    VectorOps.registerFns(s)
+    import s.implicits._
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    val qVec = q.as[Seq[Float]].head()
+    val lut = adcLut(model.codebooks, model.m, model.dsub, model.ksub, qVec)
+    val adc = (0 until model.m).map { mm =>
+      element_at(typedLit(lut(mm)), element_at(col("codes"), mm + 1) + 1)
+    }.reduce(_ + _)
+    index.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), adc.as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(nCandidates)
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(call_function("cosine_sim", col("embedding"), col("qe")), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** K-index — the declared ingest-time index build: per-vector IVF list
+    * assignment + comma-rendered PQ codes (flat schema for the driver's
+    * comparator; the array form feeds [[pqKnnFromIndex]] internally).
+    * No-oracle: quantizer internals aren't SQL-portable (K2 precedent). */
+  val annIndexBuild = Q.noOracle("ann_index_build") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val model = fitAnnModel(s, emb)
+    annIndex(s, emb, model)
+      .select(col("vec_id"), col("list_id"),
+        concat_ws(",", col("codes").cast("array<string>")).as("pq_codes"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(annLshTopK, annIvfKnn, annPqKnn, annIndexBuild)
 }

@@ -72,6 +72,32 @@ class AnnSpec extends SparkSpec {
       "re-ranking every vector exactly must equal the exact kNN")
   }
 
+  test("stored ANN index round-trips through parquet and reproduces build-per-query results") {
+    // The 100 TB shape is fit-once-at-ingest + query-the-stored-index;
+    // this pins that the materialized (vec_id, list_id, codes) table,
+    // written to and re-read from parquet, yields byte-identical IVF and
+    // PQ answers to the fused build-per-query pipelines.
+    val model = AnnOps.fitAnnModel(spark, emb)
+    val dir = "/tmp/graft_ann_index_spec"
+    AnnOps.annIndex(spark, emb, model)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val ivfStored = AnnOps.ivfKnnFromIndex(spark, emb, stored, model,
+      queryId = 0L, k = 20).collect().toSeq
+    val ivfDirect = AnnOps.ivfKnn(spark, emb, queryId = 0L, k = 20)
+      .collect().toSeq
+    assert(ivfStored == ivfDirect, "stored-index IVF must equal build-per-query")
+    val pqStored = AnnOps.pqKnnFromIndex(spark, emb, stored, model,
+      queryId = 0L, k = 20).collect().toSeq
+    val pqDirect = AnnOps.pqKnn(spark, emb, queryId = 0L, k = 20)
+      .collect().toSeq
+    assert(pqStored == pqDirect, "stored-index PQ must equal build-per-query")
+    // The declared query renders the same index flat + deterministic.
+    val declared = AnnOps.annIndexBuild.fn(spark, sfDir).collect()
+    assert(declared.length == emb.count() && declared.head.schema.fieldNames
+      .toSeq == Seq("vec_id", "list_id", "pq_codes"))
+  }
+
   test("IVF assignment partitions the corpus into the probe-able lists") {
     val full = AnnOps.ivfKnn(spark, emb, queryId = 0L, k = 20,
       nProbe = 10) // probing ALL lists must recover exact ranking
