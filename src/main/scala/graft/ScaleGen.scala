@@ -16,12 +16,17 @@ import org.apache.spark.sql.functions._
   *        timestamp[ns] — Spark cannot write ns timestamps, and the DuckDB
   *        oracle needs the logical type; the Spark side reads either form)
   *
-  * The shift constant (1e8) exceeds every key in the shipped corpora by
-  * orders of magnitude, and factor×1e8 stays well inside Long (and the
-  * int32 range for factor ≤ 20, in case a key column is int-typed).
+  * The shift constant is PER COLUMN TYPE (round-5 change, unlocking
+  * factor 100 for the 100× validation slice): long key columns shift by
+  * 1e8 (exceeds every long key in the shipped corpora; 100×1e8 = 1e10 is
+  * well inside Long), int key columns (the nation/region key families,
+  * values < 25) shift by 1e6 (100×1e6 + 24 is well inside Int). Shifts
+  * are consistent per replica across tables, so every join family stays
+  * referentially intact.
   */
 object ScaleGen {
   private val Shift = 100000000L
+  private val IntShift = 1000000L
 
   /** Key columns per table — every column that participates in a join or
     * identifies a row. Everything else is carried through unchanged. */
@@ -41,7 +46,10 @@ object ScaleGen {
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     (0 until factor).map { i =>
       keys.foldLeft(df) { (d, k) =>
-        d.withColumn(k, (col(k) + lit(i * Shift)).cast(types(k)))
+        val shift =
+          if (types(k) == org.apache.spark.sql.types.IntegerType) IntShift
+          else Shift
+        d.withColumn(k, (col(k) + lit(i * shift)).cast(types(k)))
       }
     }.reduce(_ unionAll _)
   }
@@ -49,12 +57,12 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorStr) = args.take(3)
     val factor = factorStr.toInt
-    // Enforce the int32 safety bound the scaladoc states (round-5 ADVICE
-    // fix): at factor ≥ 22, i*Shift exceeds Int.MaxValue and the non-ANSI
-    // cast back to IntegerType key columns (n_nationkey etc.) would wrap
-    // silently to negative keys.
-    require(factor >= 1 && factor <= 20,
-      s"factor must be in [1, 20] (int32 key-shift safety), got $factor")
+    // Enforce the type-range safety bound (round-5 ADVICE fix, then
+    // widened by per-type shifts): int key columns shift by IntShift, so
+    // factor × IntShift must stay inside Int — silently wrapped negative
+    // keys were the failure mode this replaces with a loud error.
+    require(factor >= 1 && factor * IntShift <= Int.MaxValue - IntShift,
+      s"factor too large for int32 key shifts, got $factor")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scalegen")

@@ -323,7 +323,90 @@ object TextOps {
       call_function("rolling_hash31", col("text")).as("rolling_hash"))
   }
 
+  /** Learn a subword vocabulary: frequency-ranked word-internal character
+    * n-grams (n ∈ [2, 8]) over the lowercased corpus, top `vocabSize` by
+    * (freq DESC, ngram ASC) — a deterministic rank table, the broadcast-
+    * able stand-in for a BPE merge-ranks file. Single characters are the
+    * implicit base alphabet (the apply falls back to them), so every word
+    * tokenizes. One corpus pass + one keyed agg + a TakeOrdered; the
+    * collected vocab is vocabSize strings — kilobytes, driver-held like
+    * the IVF centroids. */
+  def bpeFitVocab(documents: DataFrame, vocabSize: Int = 2000): Array[String] = {
+    val s = documents.sparkSession
+    import s.implicits._
+    // Collapse to DISTINCT words first (natural language is zipfian — the
+    // instance-level explode was ~100 M n-gram rows at sf0.01, 10× slower)
+    // and weight each word's n-grams by the word count: identical result,
+    // explode input shrinks from corpus tokens to corpus vocabulary.
+    documents
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(col("wc"), explode(expr(
+        """flatten(transform(sequence(2, 8), n ->
+          |  CASE WHEN length(w) >= n
+          |       THEN transform(sequence(1, length(w) - n + 1),
+          |                      i -> substring(w, i, n))
+          |       ELSE array() END))""".stripMargin)).as("g"))
+      .groupBy("g").agg(sum("wc").as("f"))
+      .orderBy(col("f").desc, col("g"))
+      .limit(vocabSize)
+      .select("g").as[String].collect()
+  }
+
+  /** Apply a learned subword vocabulary by GREEDY LONGEST MATCH (the
+    * WordPiece/BPE-apply staple): scan each word left-to-right, take the
+    * longest vocab n-gram at the cursor, fall back to one character.
+    * Deterministic given the vocab. mapPartitions because the per-word
+    * cursor loop has no Catalyst expression form (the DocAssembly codec
+    * precedent); the broadcast vocab set is the only state. */
+  def bpeApply(documents: DataFrame, vocab: Array[String]): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val maxLen = vocab.foldLeft(1)((m, v) => math.max(m, v.length))
+    val bc = s.sparkContext.broadcast(vocab.toSet)
+    documents
+      .select(col("doc_id"), lower(col("text")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val vset = bc.value
+        it.map { case (id, text) =>
+          var count = 0L
+          val preview = new StringBuilder
+          var nPreview = 0
+          text.split("\\s+").iterator.filter(_.nonEmpty).foreach { w =>
+            var i = 0
+            while (i < w.length) {
+              var m = 1
+              var l = math.min(maxLen, w.length - i)
+              while (l >= 2 && m == 1) {
+                if (vset.contains(w.substring(i, i + l))) m = l
+                l -= 1
+              }
+              if (nPreview < 8) {
+                if (nPreview > 0) preview.append(' ')
+                preview.append(w.substring(i, i + m))
+                nPreview += 1
+              }
+              count += 1
+              i += m
+            }
+          }
+          (id, count, preview.toString)
+        }
+      }.toDF("doc_id", "n_subword_tokens", "token_preview")
+  }
+
+  /** K5-adjacent — BPE-style subword tokenization: learn the vocab on the
+    * corpus, apply by greedy longest-match. No-oracle (vocab internals
+    * aren't SQL-portable — the K2 precedent); TextSpec pins planted-vocab
+    * splits, the single-char fallback, and determinism. */
+  val tokenBpe = Q.noOracle("text_token_bpe") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    bpeApply(docs, bpeFitVocab(docs)).orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, tokenizeTfidf,
     textStats, textQuality, textLangId, docFingerprint, tokenCount,
-    fingerprintRolling)
+    fingerprintRolling, tokenBpe)
 }

@@ -45,6 +45,27 @@ class TextSpec extends SparkSpec {
       "join strategy must not change the result")
   }
 
+  test("bpe apply: greedy longest-match with single-char fallback") {
+    val docs = Seq((0L, "helloworld xyz"), (1L, "hello")).toDF("doc_id", "text")
+    val vocab = Array("hello", "wor", "ld")
+    val out = TextOps.bpeApply(docs, vocab).orderBy("doc_id").collect()
+    // "helloworld" -> hello|wor|ld (longest match first), "xyz" -> x|y|z
+    assert(out(0).getLong(1) == 6L, out(0).toString)
+    assert(out(0).getString(2) == "hello wor ld x y z")
+    assert(out(1).getLong(1) == 1L && out(1).getString(2) == "hello")
+  }
+
+  test("bpe vocab: planted frequent subword is learned; apply is deterministic") {
+    val docs = (0L until 20L).map(i => (i, "foofoofoo bar"))
+      .toDF("doc_id", "text")
+    val vocab = TextOps.bpeFitVocab(docs, vocabSize = 50)
+    assert(vocab.contains("foo"), s"planted 'foo' missing from ${vocab.take(10).toSeq}")
+    val a = TextOps.bpeApply(docs, vocab).orderBy("doc_id").collect().toSeq
+    val b = TextOps.bpeApply(docs.repartition(7), vocab)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, "bpe apply must be deterministic across partitionings")
+  }
+
   test("rolling hash: deterministic, content-sensitive, matches reference fold") {
     val docs = Seq((0L, "abc"), (1L, "abd"), (2L, "abc")).toDF("doc_id", "text")
     val out = TextOps.rollingHash(docs).collect()
