@@ -332,7 +332,16 @@ object VectorOps {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
-    val shingleSets = withSig.select(col("doc_id"), col("sh"))
+    // Verify payloads are HASHED shingles (8 B/element vs ~20 B strings):
+    // at clone-clique density the pair × payload re-join is the dominant
+    // shuffle (the round-5 100× run measured 40+ GB of spill on the string
+    // form), and the merge scan compares longs instead of UTF8Strings.
+    // Distinct shingles keep distinct hashes w.h.p. (64-bit; ~1e-16
+    // per-pair collision odds), so the Jaccard is unchanged — this path is
+    // the approximate reroute/no-oracle contract, the string-exact form
+    // stays in ngramJaccardPairs' oracled exact pass.
+    val shingleSets = withSig.select(col("doc_id"),
+      array_sort(transform(col("sh"), x => xxhash64(x))).as("sh"))
     val candidates = idPairs
       .join(shingleSets.select(col("doc_id").as("a_id"), col("sh").as("sha")),
         "a_id")
