@@ -59,9 +59,10 @@ object AnnOps {
     // 6-bit bands: for a sim≈0.4 pair the per-bit collision prob is ~0.63
     // (1 - acos(s)/π), so P(candidate) ≈ 1-(1-0.63^6)^8 ≈ 0.4, while random
     // near-orthogonal pairs collide at ~0.5^6 per band → ~12% candidate
-    // volume. Tune bits/bands per corpus similarity profile.
+    // volume. nBits/bands are the FLOOR; srpCandidatePairs widens bands
+    // with corpus size (see its scaladoc).
     VectorOps.registerFns(s)
-    val cands = srpCandidatePairs(s, emb, nBits, bands, dims)
+    val cands = srpCandidatePairs(s, emb, nBits, bands, dims, emb.count())
     rejoinCosine(emb, cands)
       .select(col("a_id"), col("b_id"),
         round(col("sim_raw"), 6).as("sim"))
@@ -76,9 +77,27 @@ object AnnOps {
     * dedup (665 s on one stage at 20 k vecs with planted clone cliques);
     * id-only candidates are the 100 TB shape — vectors re-join AFTER the
     * dedup, touching each surviving pair once. */
+  /** Auto-sized band width (round-5 100× finding): with FIXED 6-bit bands
+    * the expected random-collision bucket occupancy is n/64, so per-band
+    * candidate volume Σ B²/2 grows QUADRATICALLY in corpus size — the
+    * 100× run (200 k vectors) generated ~2.5 B candidate rows and died on
+    * >46 GB of sort spill. Widening each band to
+    * ceil(log2(n / targetOccupancy)) bits pins expected occupancy at
+    * ~targetOccupancy, making candidate volume ≈ bands·n·occupancy/2 —
+    * LINEAR in n. High-sim pairs (the dedup/top-k signal) keep colliding:
+    * at sim 0.95 a 12-bit band still matches with p≈0.31, ≥1-of-8 ≈ 0.95.
+    * At spec scale (n = 2 k) the sizing floors at the declared
+    * nBits/bands, so the recall contracts are unchanged. */
+  private def bitsPerBandFor(n: Long, floorBits: Int,
+      targetOccupancy: Int = 64): Int =
+    math.max(floorBits, math.ceil(
+      math.log(math.max(n, 1L).toDouble / targetOccupancy) / math.log(2.0))
+      .toInt)
+
   private def srpCandidatePairs(s: SparkSession, emb: DataFrame,
-      nBits: Int, bands: Int, dims: Int): DataFrame = {
-    val keys = bandKeys(s, col("embedding"), nBits, bands, dims)
+      nBits: Int, bands: Int, dims: Int, n: Long): DataFrame = {
+    val bpb = bitsPerBandFor(n, nBits / bands)
+    val keys = bandKeys(s, col("embedding"), bpb * bands, bands, dims)
     val banded = emb.select(col("vec_id"), posexplode(array(keys: _*)))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
     val a = banded.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
@@ -107,7 +126,7 @@ object AnnOps {
       nBits: Int = 48, bands: Int = 8, dims: Int = 64): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     VectorOps.registerFns(s)
-    val cands = srpCandidatePairs(s, emb, nBits, bands, dims)
+    val cands = srpCandidatePairs(s, emb, nBits, bands, dims, emb.count())
     rejoinCosine(emb, cands)
       .filter(col("sim_raw") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim_raw"), 6).as("sim"))

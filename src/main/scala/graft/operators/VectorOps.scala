@@ -105,14 +105,24 @@ object VectorOps {
     * The dim probe reads ONE row (limit-1 job); the row count on a parquet
     * source is metadata-cheap. */
   def similarityTopKPairs(s: SparkSession, emb0: DataFrame, k: Int,
-      maxBroadcastBytes: Long = 512L << 20): DataFrame = {
+      maxBroadcastBytes: Long = 512L << 20,
+      maxExactRows: Long = -1L): DataFrame = {
     val emb = emb0.select(col("vec_id"), col("embedding"))
     val nVecs = emb.count()
     val dim: Long =
       if (nVecs == 0L) 0L
       else emb.select(size(col("embedding"))).head().getInt(0).toLong
     val matrixBytes = nVecs * (dim * 8L + 16L)
-    if (matrixBytes > maxBroadcastBytes) AnnOps.lshTopKPairs(s, emb, k)
+    // Two guards, either reroutes: the MEMORY bound above, and a COMPUTE
+    // bound — the kernel is O(n²/2) pair-dots; with the raw-dot prefilter
+    // it runs MAC-bound (~3·10⁷ pairs/s/core at 64-d), so a ~5-min budget
+    // gives n ≤ √(2·T·r·P) ≈ 130 000·√P (~735 k on local[32]). A byte
+    // guard alone would admit a 4 M-row corpus whose scan needs 70+ hours.
+    val computeBound =
+      if (maxExactRows >= 0) maxExactRows
+      else (130000.0 * math.sqrt(s.sparkContext.defaultParallelism)).toLong
+    if (matrixBytes > maxBroadcastBytes || nVecs > computeBound)
+      AnnOps.lshTopKPairs(s, emb, k)
     else {
       import s.implicits._
       def unitNorm(v: Seq[Float]): Array[Double] = {
@@ -171,11 +181,20 @@ object VectorOps {
               val b = bMat(j)
               var dot = 0.0; var i = 0
               while (i < a.length) { dot += a(i) * b(i); i += 1 }
-              val sim = BigDecimal.valueOf(dot)
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-              val cand = (sim, aId, bIds(j))
-              if (heap.size < k) heap.enqueue(cand)
-              else if (ord.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+              // Raw-dot prefilter (round-5 100× finding): the per-pair
+              // BigDecimal HALF_UP rounding dominated the loop (~7·10⁵
+              // pairs/s/core WITH it; MAC-bound without). A full heap's
+              // head sim is an exact 6-decimal value; a raw dot more than
+              // half an output ulp (5e-7) below it cannot round into
+              // contention, so ~all pairs skip the BigDecimal. Strict
+              // inequality ⇒ no tie with the head is ever skipped.
+              if (heap.size < k || dot >= heap.head._1 - 5e-7) {
+                val sim = BigDecimal.valueOf(dot)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                val cand = (sim, aId, bIds(j))
+                if (heap.size < k) heap.enqueue(cand)
+                else if (ord.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+              }
               j += 1
             }
           }
@@ -236,14 +255,16 @@ object VectorOps {
     * exact-cosine verify, approximate recall) instead of launching a
     * quadratic job that cannot finish at 100 TB. The default bound scales
     * with parallelism like [[graft.operators.TextOps.ngramJaccardPairs]]'s:
-    * 64-dim dots run ~10⁷ pairs/s/core, a ~5-min budget gives
-    * n ≤ √(2·T·r·P) ≈ 250 000·√P (~1.4 M vecs on local[32]). VectorSpec
-    * pins the reroute the same way it pins similarityTopKPairs'. */
+    * the BNLJ predicate kernel MEASURED ~7·10⁵ pairs/s/core at the 100×
+    * run (2·10¹⁰ pairs in 889 s on 32 threads — the round-4 10⁷ estimate
+    * was off 14×), so a ~5-min budget gives n ≤ √(2·T·r·P) ≈ 20 000·√P
+    * (~115 k vecs on local[32]). VectorSpec pins the reroute the same way
+    * it pins similarityTopKPairs'. */
   def dedupEmbeddingPairs(s: SparkSession, emb: DataFrame, threshold: Double,
       maxExactRows: Long = -1L): DataFrame = {
     val bound =
       if (maxExactRows >= 0) maxExactRows
-      else (250000.0 * math.sqrt(s.sparkContext.defaultParallelism)).toLong
+      else (20000.0 * math.sqrt(s.sparkContext.defaultParallelism)).toLong
     val e = emb.select(col("vec_id"), col("embedding"))
     if (e.count() > bound) AnnOps.lshThresholdPairs(s, e, threshold)
     else {
