@@ -287,6 +287,40 @@ object Windows {
           col("drnk"))
   }
 
+  /** E2-adjacent — RUNNING DISTINCT COUNT, a window Spark cannot express
+    * natively (`count(DISTINCT) OVER` is unsupported in Spark SQL and the
+    * naive `size(collect_set(...))` frame holds per-row set state — O(n·d)
+    * memory in the WindowExec buffer). Scale-safe two-pass spelling:
+    *
+    *  1. first-occurrence flag: row_number over (partition, VALUE) ordered
+    *     by the event-time key == 1 — one shuffle on (type, user);
+    *  2. running ROWS sum of the flags over (partition) — one shuffle on
+    *     type.
+    *
+    * A prefix in (ts, event_id) order contains exactly as many distinct
+    * users as first-occurrence flags, so the running flag sum IS the
+    * running distinct count. Both passes are plain windows — linear,
+    * constant state per row, no per-row set. Ordering is pinned unique by
+    * (ts, event_id) so ROWS frames agree across engines. */
+  val countDistinctRunning = Q(
+    "win_count_distinct",
+    """SELECT event_id, event_type,
+      |  COUNT(DISTINCT user_id) OVER (PARTITION BY event_type
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_users_seen
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val wFirst = Window.partitionBy("event_type", "user_id")
+      .orderBy("ts", "event_id")
+    val wRun = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("first_flag",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .select(col("event_id"), col("event_type"),
+        sum("first_flag").over(wRun).as("n_users_seen"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(rankTopN, runningSum, lagLead, slidingFrame, ntilePct,
-    rangeFrame, firstLast, denseRank)
+    rangeFrame, firstLast, denseRank, countDistinctRunning)
 }
