@@ -119,10 +119,61 @@ object ClusterOps {
   def kmeansAssign(s: SparkSession, emb: DataFrame, k: Int, iters: Int)
       : DataFrame = kmeansFit(s, emb, k, iters)._1
 
+  /** Above this k, cluster assignment switches from the k-way
+    * array_max-of-structs EXPRESSION to the broadcast-matrix KERNEL: the
+    * expression path materializes k struct literals + k dot_product calls
+    * in one projection, which blows past whole-stage-codegen method limits
+    * (and falls back to interpreted eval, ~k× slower) in the hundreds —
+    * while large-k k-means (SemDeDup wants k ≈ n/1024, i.e. thousands at
+    * millions of vectors) is exactly a dense k×d matrix-vector scoring
+    * pass, the broadcast-matrix mapPartitions shape the similarity block
+    * kernel already uses. Both paths share arithmetic (sequential
+    * float→double MAC, score = dot − ‖c‖²/2) and the lowest-cid tie-break,
+    * so the assignment is bit-identical (KmeansSpec pins it). */
+  private val ExprPathMaxK = 32
+
+  /** Broadcast-matrix nearest-centroid assignment for large k. */
+  private def assignKernel(s: SparkSession, emb: DataFrame,
+      cents: Array[(Int, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    val k = cents.length
+    val cids = cents.map(_._1)
+    val mat = cents.map(_._2.toArray)
+    val half = mat.map(c => { var h = 0.0; var i = 0
+      while (i < c.length) { h += c(i) * c(i); i += 1 }; h / 2.0 })
+    val bc = s.sparkContext.broadcast((cids, mat, half))
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val (ids, m, hf) = bc.value
+        it.map { case (id, v) =>
+          val vv = v.toArray
+          var best = Double.NegativeInfinity; var bestCid = Int.MaxValue
+          var j = 0
+          while (j < k) {
+            val c = m(j)
+            var dot = 0.0; var i = 0
+            while (i < c.length && i < vv.length) {
+              dot += vv(i).toDouble * c(i); i += 1
+            }
+            val sc = dot - hf(j)
+            // Strictly-greater update, centroids visited in ascending cid
+            // order == the expression path's max-(sc, -cid) tie-break.
+            if (sc > best || (sc == best && ids(j) < bestCid)) {
+              best = sc; bestCid = ids(j)
+            }
+            j += 1
+          }
+          (id, v, bestCid)
+        }
+      }.toDF("vec_id", "embedding", "cluster_id")
+  }
+
   /** k-means returning BOTH the assignment and the final k centroids —
     * the centroid model is what an IVF index build consumes
-    * ([[graft.operators.AnnOps.ivfKnn]]). */
-  def kmeansFit(s: SparkSession, emb: DataFrame, k: Int, iters: Int)
+    * ([[graft.operators.AnnOps.ivfKnn]]). `emb` must be exactly
+    * (vec_id, embedding). */
+  def kmeansFit(s: SparkSession, emb: DataFrame, k: Int, iters: Int,
+      exprPathMaxK: Int = ExprPathMaxK)
       : (DataFrame, Array[(Int, Seq[Double])]) = {
     VectorOps.registerFns(s)
     import s.implicits._
@@ -137,6 +188,10 @@ object ClusterOps {
       (-array_max(array(scored.toIndexedSeq: _*)).getField("negcid"))
         .as("cluster_id")
     }
+    def assignDf(cents: Array[(Int, Seq[Double])]): DataFrame =
+      if (cents.length <= exprPathMaxK)
+        emb.withColumn("cluster_id", assignCol(cents)(col("embedding")))
+      else assignKernel(s, emb, cents)
     var cents: Array[(Int, Seq[Double])] = emb
       .orderBy("vec_id").limit(k)
       .select(col("embedding"))
@@ -145,7 +200,7 @@ object ClusterOps {
       .map { case (v, i) => (i, v.map(_.toDouble)) }
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      assigned = emb.withColumn("cluster_id", assignCol(cents)(col("embedding")))
+      assigned = assignDf(cents)
       val recomputed = assigned.groupBy("cluster_id")
         .agg(centroidAgg(col("embedding")).as("c"))
         .as[(Int, Seq[Double])].collect().toMap

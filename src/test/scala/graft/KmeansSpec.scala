@@ -26,6 +26,24 @@ class KmeansSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("large-k broadcast-matrix assignment kernel is bit-identical to " +
+    "the expression path") {
+    // Same k, both paths forced explicitly: exprPathMaxK above k takes the
+    // array_max-of-structs expression, 0 takes the mapPartitions kernel.
+    // Assignments (and therefore the fitted centroids) must agree exactly —
+    // shared MAC order, shared lowest-cid tie-break.
+    val (aDf, aCents) =
+      operators.ClusterOps.kmeansFit(spark, emb, k = 12, iters = 3,
+        exprPathMaxK = 32)
+    val (bDf, bCents) =
+      operators.ClusterOps.kmeansFit(spark, emb, k = 12, iters = 3,
+        exprPathMaxK = 0)
+    val a = aDf.select("vec_id", "cluster_id").orderBy("vec_id").collect()
+    val b = bDf.select("vec_id", "cluster_id").orderBy("vec_id").collect()
+    assert(a.sameElements(b))
+    assert(aCents.toSeq == bCents.toSeq)
+  }
+
   test("all 8 clusters are non-empty on the synthetic embeddings") {
     val n = SparkEntry.queries("kmeans_embed")(spark, sfDir)
       .select("cluster_id").distinct().count()
