@@ -143,5 +143,46 @@ object CurationOps {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(corpusDomainCap, qualityLinear, dedupSemantic)
+  /** Temperature-scaled mixture resampling (the multilingual data-mixing
+    * staple): per-language token shares p_i are flattened to
+    * q_i ∝ p_i^τ (τ = 0.5), and `sample_factor` = q_i/p_i is the
+    * per-language up/down-sampling multiplier a pipeline applies at the
+    * write path. All counting is exact BIGINT; the few-row share/power
+    * arithmetic follows the corpus_mixture_stats parity precedent
+    * (identical expression structure both engines, ROUND(…, 6) absorbing
+    * last-ulp pow/sum drift). Two scans of group COUNTS only — the
+    * corpus-sized work is the one token-count agg. */
+  val temperatureResample = Q(
+    "corpus_temperature_resample",
+    """WITH g AS (
+      |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+      |    AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM g),
+      |p AS (SELECT lang, n_tokens,
+      |        n_tokens / CAST(total_tokens AS DOUBLE) AS p
+      |      FROM g CROSS JOIN tot),
+      |z AS (SELECT SUM(POW(p, 0.5)) AS z FROM p)
+      |SELECT lang, n_tokens, ROUND(p, 6) AS p_share,
+      |  ROUND(POW(p, 0.5) / z, 6) AS q_share,
+      |  ROUND(POW(p, 0.5) / z / p, 6) AS sample_factor
+      |FROM p CROSS JOIN z ORDER BY lang""".stripMargin) { (s, dir) =>
+    val g = t(s, dir, "documents").groupBy("lang")
+      .agg(sum(size(split(col("text"), " "))).as("n_tokens"))
+    val tot = g.agg(sum("n_tokens").as("total_tokens"))
+    val p = g.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_tokens"),
+        (col("n_tokens") / col("total_tokens").cast("double")).as("p"))
+    val z = p.agg(sum(pow(col("p"), 0.5)).as("z"))
+    p.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_tokens"),
+        round(col("p"), 6).as("p_share"),
+        round(pow(col("p"), 0.5) / col("z"), 6).as("q_share"),
+        round(pow(col("p"), 0.5) / col("z") / col("p"), 6)
+          .as("sample_factor"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(corpusDomainCap, qualityLinear, dedupSemantic,
+    temperatureResample)
 }

@@ -54,6 +54,27 @@ class CurationSpec extends SparkSpec {
     assert(two(0).getLong(2) != two(1).getLong(2))
   }
 
+  test("temperature resample: q sums to 1 and flattens toward the mean " +
+    "(down-samples dominant languages, up-samples rare ones)") {
+    val out = operators.CurationOps.temperatureResample
+      .fn(spark, sfDir).collect()
+    val qSum = out.map(_.getDouble(3)).sum
+    assert(math.abs(qSum - 1.0) < 1e-4, s"q_share sum=$qSum")
+    // Token-budget preservation: the p-weighted mean factor is exactly 1
+    // (Σ p·(q/p) = Σ q = 1) — resampling reshapes the mixture without
+    // changing the total token budget.
+    val budget = out.map(r => r.getDouble(2) * r.getDouble(4)).sum
+    assert(math.abs(budget - 1.0) < 1e-4, s"p-weighted factor sum=$budget")
+    // τ<1 flattening: the factor is strictly decreasing in p (rarer
+    // languages up-sample relative to dominant ones).
+    val byP = out.sortBy(_.getDouble(2)).toSeq
+    byP.sliding(2).foreach { w =>
+      if (w.length == 2 && w(0).getDouble(2) < w(1).getDouble(2))
+        assert(w(0).getDouble(4) > w(1).getDouble(4),
+          s"${w(0).getString(0)} vs ${w(1).getString(0)}")
+    }
+  }
+
   test("semanticDedup: planted clones drop, lowest id survives") {
     val base = Tables.load(spark, sfDir, "embeddings")
       .select("vec_id", "embedding").limit(40)
