@@ -311,8 +311,19 @@ object VectorOps {
     * produced pairs the exact path never emits, breaking the reroute's
     * verified-subset contract on corpora with duplicated short docs). */
   def minhashPairs(docs0: DataFrame, numHashes: Int, bands: Int,
-      jaccardThreshold: Double): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
+      jaccardThreshold: Double): DataFrame =
+    minhashPairsFromIndex(minhashIndex(docs0, numHashes), numHashes, bands,
+      jaccardThreshold)
+
+  /** Ingest-time MinHash dedup index: per eligible doc (≥ 3 tokens) the
+    * `numHashes`-long minhash signature PLUS the sorted 64-bit-hashed
+    * shingle set (the Jaccard-verify payload). Written as a table next to
+    * the corpus this is the text twin of [[graft.operators.AnnOps
+    * .annIndex]]: at 100 TB the shingling + `numHashes` hash passes over
+    * every document happen ONCE at ingest, and each dedup run reads only
+    * the compact index columns — band keys and the verify both consume
+    * stored arrays, never the text. */
+  def minhashIndex(docs0: DataFrame, numHashes: Int): DataFrame = {
     val docs = docs0.filter(size(split(col("text"), " ")) >= 3)
     registerFns(docs.sparkSession)
     // Sorted so the exact-Jaccard verify below is the merge-scan
@@ -328,9 +339,20 @@ object VectorOps {
     val sigCols = (0 until numHashes).map { i =>
       array_min(transform(col("sh"), x => xxhash64(x, lit(i))))
     }
-    val withSig = docs
+    docs
       .select(col("doc_id"), shingles.as("sh"))
-      .withColumn("sig", array(sigCols: _*))
+      .select(col("doc_id"), array(sigCols: _*).as("sig"),
+        array_sort(transform(col("sh"), x => xxhash64(x))).as("shh"))
+  }
+
+  /** Banded-LSH candidate join + exact-Jaccard verify over a STORED
+    * minhash index (≡ [[minhashPairs]] on the source docs — DedupSpec pins
+    * the parquet round-trip). */
+  def minhashPairsFromIndex(index: DataFrame, numHashes: Int, bands: Int,
+      jaccardThreshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    registerFns(index.sparkSession)
+    val withSig = index
     val rowsPerBand = numHashes / bands
     // Candidates carry ONLY ids through the band join and the distinct —
     // the shingle arrays (KBs per doc, duplicated per colliding band) made
@@ -353,16 +375,15 @@ object VectorOps {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
-    // Verify payloads are HASHED shingles (8 B/element vs ~20 B strings):
-    // at clone-clique density the pair × payload re-join is the dominant
-    // shuffle (the round-5 100× run measured 40+ GB of spill on the string
-    // form), and the merge scan compares longs instead of UTF8Strings.
-    // Distinct shingles keep distinct hashes w.h.p. (64-bit; ~1e-16
-    // per-pair collision odds), so the Jaccard is unchanged — this path is
-    // the approximate reroute/no-oracle contract, the string-exact form
-    // stays in ngramJaccardPairs' oracled exact pass.
-    val shingleSets = withSig.select(col("doc_id"),
-      array_sort(transform(col("sh"), x => xxhash64(x))).as("sh"))
+    // Verify payloads are the stored HASHED shingles (8 B/element vs ~20 B
+    // strings): at clone-clique density the pair × payload re-join is the
+    // dominant shuffle (the round-5 100× run measured 40+ GB of spill on
+    // the string form), and the merge scan compares longs instead of
+    // UTF8Strings. Distinct shingles keep distinct hashes w.h.p. (64-bit;
+    // ~1e-16 per-pair collision odds), so the Jaccard is unchanged — this
+    // path is the approximate reroute/no-oracle contract, the string-exact
+    // form stays in ngramJaccardPairs' oracled exact pass.
+    val shingleSets = withSig.select(col("doc_id"), col("shh").as("sh"))
     val candidates = idPairs
       .join(shingleSets.select(col("doc_id").as("a_id"), col("sh").as("sha")),
         "a_id")
@@ -409,6 +430,22 @@ object VectorOps {
         expr("shiftrightunsigned(simhash, 48)").as("bucket"))
   }
 
+  /** K2-adjacent — the declared ingest-time minhash index build (the
+    * ann_index_build precedent): per eligible doc the comma-rendered
+    * signature (flat schema for the driver's comparator; the array form
+    * feeds [[minhashPairsFromIndex]] internally), the stored-shingle count
+    * and an order-insensitive shingle-set checksum. No-oracle:
+    * hash-permutation internals (the minhash precedent). */
+  val minhashIndexBuild = Q.noOracle("minhash_index_build") { (s, dir) =>
+    minhashIndex(t(s, dir, "documents"), numHashes = 32)
+      .select(col("doc_id"),
+        concat_ws(",", col("sig").cast("array<string>")).as("sig_csv"),
+        size(col("shh")).as("n_shingles"),
+        xxhash64(concat_ws(",", col("shh").cast("array<string>")))
+          .as("shingle_checksum"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(similarityTopK, knnQuery, dedupEmbedding,
-    dedupNearMinhash, dedupSimhash)
+    dedupNearMinhash, dedupSimhash, minhashIndexBuild)
 }

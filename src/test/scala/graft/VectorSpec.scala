@@ -60,6 +60,18 @@ class VectorSpec extends SparkSpec {
     assert(run1 == run2)
   }
 
+  test("minhash stored index: parquet round-trip pairs == direct pairs") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val direct = VectorOps.minhashPairs(docs, 32, 8, 0.4).collect().toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mh_idx").toString
+    VectorOps.minhashIndex(docs, 32).write.mode("overwrite").parquet(dir)
+    val stored = VectorOps.minhashPairsFromIndex(
+      spark.read.parquet(dir), 32, 8, 0.4).collect().toSeq
+    assert(direct == stored)
+    assert(direct.nonEmpty)
+  }
+
   test("simhash: identical docs share fingerprints; near-dups are hamming-close") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val near = (1 to 60).map(i => if (i % 30 == 0) "swapped" else s"w$i").mkString(" ")
