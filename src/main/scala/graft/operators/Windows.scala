@@ -299,9 +299,20 @@ object Windows {
     *
     * A prefix in (ts, event_id) order contains exactly as many distinct
     * users as first-occurrence flags, so the running flag sum IS the
-    * running distinct count. Both passes are plain windows — linear,
-    * constant state per row, no per-row set. Ordering is pinned unique by
-    * (ts, event_id) so ROWS frames agree across engines. */
+    * running distinct count.
+    *
+    * The naive flag-sum window `PARTITION BY event_type ORDER BY ts` has a
+    * ~5-distinct-value partition key — the same hard parallelism ceiling
+    * win_range_frame's RANGE plan had (each type's full history sorts and
+    * sums on ONE task forever; the 1000× run measured 399 s at 100 M
+    * events). Same cure, day-bucketed cumulative sums: per-(type, day)
+    * flag totals → a tiny types × days EXCLUSIVE-prefix table (broadcast)
+    * → per-(type, day) ROWS running sum + prefix. day(ts) is monotone in
+    * ts, so bucket order is prefix order and the sum is exactly the
+    * global running count; parallelism = types × days, which GROWS with
+    * history length instead of capping at the type count.
+    * Ordering is pinned unique by (ts, event_id) so ROWS frames agree
+    * across engines. */
   val countDistinctRunning = Q(
     "win_count_distinct",
     """SELECT event_id, event_type,
@@ -311,13 +322,22 @@ object Windows {
       |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
     val wFirst = Window.partitionBy("event_type", "user_id")
       .orderBy("ts", "event_id")
-    val wRun = Window.partitionBy("event_type").orderBy("ts", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "events")
+    val flagged = t(s, dir, "events")
       .withColumn("first_flag",
         when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("bin", to_date(col("ts")))
+    val binTotals = flagged.groupBy("event_type", "bin")
+      .agg(sum("first_flag").as("b_flags"))
+    val wBin = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = binTotals.select(col("event_type"), col("bin"),
+      coalesce(sum("b_flags").over(wBin), lit(0L)).as("p_flags"))
+    val wLoc = Window.partitionBy("event_type", "bin")
+      .orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged.join(broadcast(prefix), Seq("event_type", "bin"))
       .select(col("event_id"), col("event_type"),
-        sum("first_flag").over(wRun).as("n_users_seen"))
+        (col("p_flags") + sum("first_flag").over(wLoc)).as("n_users_seen"))
       .orderBy("event_id")
   }
 
