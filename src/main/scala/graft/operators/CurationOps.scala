@@ -138,8 +138,10 @@ object CurationOps {
     * full-pairwise equivalence on a single cluster. */
   val dedupSemantic = Q.noOracle("dedup_semantic") { (s, dir) =>
     // 0.45 matches dedup_embedding_cosine's declared threshold (the
-    // corpus's near-dup band tops out at cosine ≈ 0.51).
-    semanticDedup(s, t(s, dir, "embeddings"), threshold = 0.45, k = 8)
+    // corpus's near-dup band tops out at cosine ≈ 0.51). k = auto
+    // (max(8, n/1024)): the floor of 8 at the shipped corpus sizes, the
+    // bounded-cluster scale shape beyond ~8 k vectors.
+    semanticDedup(s, t(s, dir, "embeddings"), threshold = 0.45)
       .orderBy("vec_id")
   }
 
