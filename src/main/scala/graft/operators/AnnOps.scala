@@ -62,7 +62,11 @@ object AnnOps {
     // volume. nBits/bands are the FLOOR; srpCandidatePairs widens bands
     // with corpus size (see its scaladoc).
     VectorOps.registerFns(s)
-    val cands = srpCandidatePairs(s, emb, nBits, bands, dims, emb.count())
+    // Top-k output is BOUNDED, so oversized buckets star-collapse
+    // (bucketCap): duplicate-heavy corpora stay linear (see
+    // srpCandidatePairs).
+    val cands = srpCandidatePairs(s, emb, nBits, bands, dims, emb.count(),
+      bucketCap = 256)
     rejoinCosine(emb, cands)
       .select(col("a_id"), col("b_id"),
         round(col("sim_raw"), 6).as("sim"))
@@ -94,15 +98,47 @@ object AnnOps {
       math.log(math.max(n, 1L).toDouble / targetOccupancy) / math.log(2.0))
       .toInt)
 
+  /** `bucketCap` (round-5 1000× finding): band-width auto-sizing pins
+    * RANDOM bucket occupancy, but EXACT-DUPLICATE cliques collide in
+    * every band no matter how many bits — at clone multiplicity m each
+    * clique contributes Ω(m²) candidates (the ×1000 corpus, where every
+    * vector is a 1000-clone, generated ~8·10⁹ id pairs and died on spill).
+    * With a cap, buckets larger than it STAR-COLLAPSE: every member pairs
+    * only with the bucket's min-id representative — candidate volume
+    * linear in bucket size, near-dup CONNECTIVITY preserved (every clone
+    * reaches its rep; sim-1.0 star pairs carry the same top-k signal as
+    * the all-pairs clique, and downstream dedup clustering is a
+    * transitive closure, where the star is sufficient). The standard
+    * production LSH treatment of degenerate buckets. cap < 0 disables
+    * (the threshold-pairs path keeps all-pairs: its CONTRACT is every
+    * pair ≥ t, an output already quadratic in clone multiplicity). */
   private def srpCandidatePairs(s: SparkSession, emb: DataFrame,
-      nBits: Int, bands: Int, dims: Int, n: Long): DataFrame = {
+      nBits: Int, bands: Int, dims: Int, n: Long,
+      bucketCap: Int = -1): DataFrame = {
     val bpb = bitsPerBandFor(n, nBits / bands)
     val keys = bandKeys(s, col("embedding"), bpb * bands, bands, dims)
     val banded = emb.select(col("vec_id"), posexplode(array(keys: _*)))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
     val a = banded.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
     val b = banded.select(col("band"), col("bucket"), col("vec_id").as("b_id"))
-    a.join(b, Seq("band", "bucket"))
+    val pairs =
+      if (bucketCap < 0) a.join(b, Seq("band", "bucket"))
+      else {
+        val stats = banded.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("bk_n"), min("vec_id").as("bk_rep"))
+        val withStats = banded.join(stats, Seq("band", "bucket"))
+        val small = withStats.filter(col("bk_n") <= bucketCap)
+        val allPairs = small
+          .select(col("band"), col("bucket"), col("vec_id").as("a_id"))
+          .join(small
+            .select(col("band"), col("bucket"), col("vec_id").as("b_id")),
+            Seq("band", "bucket"))
+        val starPairs = withStats.filter(col("bk_n") > bucketCap)
+          .select(col("band"), col("bucket"), col("bk_rep").as("a_id"),
+            col("vec_id").as("b_id"))
+        allPairs.unionByName(starPairs)
+      }
+    pairs
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")

@@ -32,6 +32,25 @@ class AnnSpec extends SparkSpec {
     assert(approx == again, "LSH result must be deterministic")
   }
 
+  test("oversized-bucket star collapse: a clone clique past the cap still " +
+    "tops the k list with sim-1.0 rep pairs, candidates stay linear") {
+    // 400 clones of vec 5 (cap is 256) + the base corpus: every clone
+    // collides with every other in EVERY band, the degenerate bucket the
+    // 1000x run died on. Star collapse must keep the clique's signal —
+    // top-k saturated with sim-1.0 pairs anchored at the clique's min id —
+    // without the quadratic all-pairs blowup.
+    val base = emb.select("vec_id", "embedding").limit(50)
+    val clones = (1 to 400).map(i => i * 10000L).toDF("vec_id")
+      .crossJoin(base.filter($"vec_id" === 5L).select($"embedding"))
+    val all = base.union(clones.select($"vec_id", $"embedding"))
+    val top = AnnOps.lshTopKPairs(spark, all, k = 50).collect()
+    assert(top.length == 50)
+    assert(top.forall(_.getDouble(2) >= 0.999999), "top-k must be clique pairs")
+    // Star anchor: the clique's min id (5) is one side of every capped pair.
+    val anchored = top.count(r => r.getLong(0) == 5L || r.getLong(1) == 5L)
+    assert(anchored == 50, s"expected all 50 star-anchored, got $anchored")
+  }
+
   test("IVF kNN: recall@20 vs exact knn >= 0.5") {
     val exact = emb.filter($"vec_id" =!= 0)
       .crossJoin(broadcast(emb.filter($"vec_id" === 0)
