@@ -24,11 +24,13 @@ object PlanAudit {
     "rank_fusion_rrf",   // 1-row query-vector + 1-row bm25-stats broadcasts
     "relevance_ndcg", "relevance_prk", // 3-row query-terms broadcast
     "corpus_mixture_stats", // 1-row token-total broadcast
+    "corpus_temperature_resample", // 1-row token-total + 1-row Z broadcasts
     "token_pmi_pairs",   // 1-row corpus-size broadcast
     "events_funnel",     // cross of three 1-row stage counts
     "q22_sales_opportunity", // 1-row avg-acctbal threshold broadcast
     "q11_important_stock",   // 1-row total-value threshold broadcast
-    "dedup_embedding_cosine", "dedup_ngram_jaccard") // exact quadratic baselines
+    "dedup_embedding_cosine", "dedup_ngram_jaccard", // exact quadratic baselines
+    "decontaminate_embedding") // bounded eval-set broadcast ANTI join
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -31,7 +31,7 @@ object SparkEntry {
       Analytics.all ++ SqlEntry.all ++ TextCluster.all ++ CorpusOps.all ++
       EventsOps.all ++ LayoutOps.all ++ TableOps.all ++ SketchOps.all ++
       DssOps.all ++ DssOps2.all ++ MiningOps.all ++ ClusterOps.all ++
-      RelevanceOps.all ++ CurationOps.all ++
+      RelevanceOps.all ++ CurationOps.all ++ CurationOps2.all ++
       aliases
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

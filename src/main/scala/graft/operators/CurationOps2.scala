@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators, fourth wave (round 5): deterministic
+  * split assignment, sharded shuffle ordering, and eval-set
+  * decontamination by embedding similarity — the steps between a curated
+  * corpus and the tokenizer's input manifest.
+  *
+  * Conventions as everywhere: content-hash determinism (never rand() — a
+  * re-run on recovered partitions must produce identical rows), exact
+  * portable arithmetic in every oracled output, flat uniquely-ordered
+  * schemas.
+  */
+object CurationOps2 {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Deterministic train/valid/test split by content hash: the md5 hex
+    * prefix of the doc id is a uniform 256-bucket draw both engines (and
+    * any future re-run, on any partitioning) reproduce bit-identically —
+    * the property rand() lacks and salted-hash splits exist for. Prefix
+    * thresholds: `< "f0"` → train (240/256 = 93.75%), `< "f8"` → valid
+    * (3.125%), rest → test. Pure map — no shuffle at any scale; at 100 TB
+    * this is a write-path partition column ( `partitionBy("split")` ). */
+  def splitHash(docs: DataFrame): DataFrame = {
+    val h = md5(concat(lit("split-v1:"), col("doc_id").cast("string")))
+    val bucket = substring(h, 1, 2)
+    docs.select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < "f0", "train")
+        .when(bucket < "f8", "valid")
+        .otherwise("test").as("split"))
+  }
+
+  val docSplitHash = Q(
+    "doc_split_hash",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 'f0' THEN 'train'
+      |       WHEN bucket < 'f8' THEN 'valid'
+      |       ELSE 'test' END AS split
+      |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    splitHash(t(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  /** Deterministic sharded shuffle (the pretraining data-order staple):
+    * every doc gets a shard and a position within it, both derived from a
+    * seeded content hash, so the global reading order
+    * (shard_id, pos_in_shard) is a reproducible uniform shuffle. The
+    * within-shard rank windows partition by shard — `shards` is the
+    * parallelism AND the unit of output (one file per shard at the write
+    * path), so it scales with the corpus (thousands of shards at 100 TB),
+    * never a global single-partition row_number. Hex-nibble arithmetic
+    * (`instr` of the hex alphabet) instead of conv()/from_hex keeps the
+    * bucket computation portable across engines. `shards` uses whole hex
+    * prefix nibbles (16 = 1 nibble, 256 = 2). */
+  def shardShuffle(docs: DataFrame, shards: Int = 256): DataFrame = {
+    require(shards == 16 || shards == 256,
+      "shards must use whole hex-prefix nibbles (16 or 256)")
+    val h = md5(concat(lit("shuffle-v1:"), col("doc_id").cast("string")))
+    val hexAlphabet = lit("0123456789abcdef")
+    def nibble(i: Int) =
+      call_function("instr", hexAlphabet, substring(h, i, 1)) - 1
+    val shard = (shards match {
+      case 16  => nibble(1)
+      case 256 => nibble(1) * 16 + nibble(2)
+    }).cast("long")
+    val w = Window.partitionBy("shard_id").orderBy(col("h"), col("doc_id"))
+    docs
+      .select(col("doc_id"), h.as("h"), shard.as("shard_id"))
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard_id"), col("pos_in_shard"))
+  }
+
+  val corpusShardShuffle = Q(
+    "corpus_shard_shuffle",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, h,
+      |    CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+      |       + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) AS BIGINT)
+      |      AS shard_id
+      |  FROM h)
+      |SELECT doc_id, shard_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY h, doc_id)
+      |    AS BIGINT) AS pos_in_shard
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    shardShuffle(t(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  /** Eval-set decontamination by embedding similarity (the semantic
+    * counterpart of decontaminate_ngram): drop any corpus vector whose
+    * cosine against ANY held-out eval vector reaches `threshold`. The
+    * eval set here is carved from the embeddings table (vec_id % 97 = 0)
+    * so the oracle sees the same inputs; in production it is the
+    * benchmark suite's embeddings — thousands to ~1 M rows, bounded by
+    * nature, so the plan is a broadcast nested-loop ANTI join: one
+    * map-side scan of the corpus, zero shuffles, no pair
+    * materialization. Above `maxBroadcastEval` rows the operator reroutes
+    * to the banded SRP-LSH threshold-pair kernel (candidates via
+    * equi-join, exact-cosine verify) and keeps only cross-set pairs —
+    * approximate recall, linear candidates, the 100 TB shape. */
+  def decontaminateEmbedding(s: SparkSession, emb: DataFrame,
+      threshold: Double, maxBroadcastEval: Long = 1000000L): DataFrame = {
+    VectorOps.registerFns(s)
+    val isEval = col("vec_id") % 97 === 0
+    val corp = emb.filter(!isEval).select(col("vec_id"), col("embedding"))
+    val eval = emb.filter(isEval)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ee"))
+    if (eval.count() <= maxBroadcastEval) {
+      corp.join(broadcast(eval),
+          call_function("cosine_sim", col("embedding"), col("ee"))
+            >= threshold,
+          "left_anti")
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    } else {
+      // Cross-set LSH: pairs ≥ t among the full table, keep those that
+      // cross the eval/corp boundary, anti-join the corp side out.
+      val pairs = AnnOps.lshThresholdPairs(s, emb, threshold)
+      val contaminated = pairs
+        .filter((col("a_id") % 97 === 0) =!= (col("b_id") % 97 === 0))
+        .select(when(col("a_id") % 97 === 0, col("b_id"))
+          .otherwise(col("a_id")).as("vec_id"))
+        .distinct()
+      corp.join(contaminated, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }
+  }
+
+  val decontaminateEmb = Q(
+    "decontaminate_embedding",
+    """WITH ev AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
+      |corp AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0),
+      |un AS (
+      |  SELECT c.vec_id AS cid, e.vec_id AS eid,
+      |         unnest(c.embedding) AS xc, unnest(e.embedding) AS xe
+      |  FROM corp c CROSS JOIN ev e),
+      |sims AS (
+      |  SELECT cid, eid,
+      |    SUM(CAST(xc AS DOUBLE) * CAST(xe AS DOUBLE)) AS dot,
+      |    SUM(CAST(xc AS DOUBLE) * CAST(xc AS DOUBLE)) AS nc,
+      |    SUM(CAST(xe AS DOUBLE) * CAST(xe AS DOUBLE)) AS ne
+      |  FROM un GROUP BY cid, eid),
+      |bad AS (
+      |  SELECT DISTINCT cid FROM sims
+      |  WHERE dot / (SQRT(nc) * SQRT(ne)) >= 0.45)
+      |SELECT vec_id FROM corp
+      |WHERE vec_id NOT IN (SELECT cid FROM bad)
+      |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    decontaminateEmbedding(s, t(s, dir, "embeddings"), threshold = 0.45)
+  }
+
+  val all: Seq[Q] = Seq(docSplitHash, corpusShardShuffle, decontaminateEmb)
+}
