@@ -169,6 +169,44 @@ object AnnOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Cross-set SRP-LSH contamination probe: ids from `corp` whose exact
+    * cosine against ANY `eval` vector clears `threshold` (approximate
+    * recall — a corp/eval near-pair that never shares a band bucket is
+    * missed, the standard LSH trade). Both sides are banded with the SAME
+    * deterministic hyperplanes, so near-duplicates collide; candidates
+    * are corp×eval bucket COLLISIONS only — corp×corp pairs are never
+    * formed, which is what makes this the 100 TB decontamination shape
+    * (the within-corpus threshold-pair kernel is output-quadratic in
+    * clone multiplicity; the cross-set probe stays linear in corp size
+    * for any bounded eval set). Band width auto-scales with the LARGER
+    * side's cardinality via [[bitsPerBandFor]]. */
+  def lshCrossContaminatedIds(s: SparkSession, corp: DataFrame,
+      eval: DataFrame, threshold: Double, nBits: Int = 48, bands: Int = 8,
+      dims: Int = 64): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    VectorOps.registerFns(s)
+    val n = math.max(corp.count(), eval.count())
+    val bpb = bitsPerBandFor(n, nBits / bands)
+    def banded(df: DataFrame, idAs: String) = {
+      val keys = bandKeys(s, col("embedding"), bpb * bands, bands, dims)
+      df.select(col("vec_id"), posexplode(array(keys: _*)))
+        .select(col("vec_id").as(idAs), col("pos").as("band"),
+          col("col").as("bucket"))
+    }
+    val cands = banded(corp, "corp_id")
+      .join(banded(eval, "eval_id"), Seq("band", "bucket"))
+      .select("corp_id", "eval_id")
+      .dropDuplicates("corp_id", "eval_id")
+    val ec = corp.select(col("vec_id").as("corp_id"),
+      col("embedding").as("ec"))
+    val ee = eval.select(col("vec_id").as("eval_id"),
+      col("embedding").as("ev"))
+    cands.join(ec, "corp_id").join(ee, "eval_id")
+      .filter(call_function("cosine_sim", col("ec"), col("ev")) >= threshold)
+      .select(col("corp_id").as("vec_id"))
+      .distinct()
+  }
+
   /** K3-scale — approximate top-k most-similar pairs via banded SRP-LSH. */
   val annLshTopK = Q.noOracle("ann_lsh_topk") { (s, dir) =>
     lshTopKPairs(s, t(s, dir, "embeddings"), k = 100)

@@ -106,37 +106,61 @@ object CurationOps2 {
     * benchmark suite's embeddings — thousands to ~1 M rows, bounded by
     * nature, so the plan is a broadcast nested-loop ANTI join: one
     * map-side scan of the corpus, zero shuffles, no pair
-    * materialization. Above `maxBroadcastEval` rows the operator reroutes
-    * to the banded SRP-LSH threshold-pair kernel (candidates via
-    * equi-join, exact-cosine verify) and keeps only cross-set pairs —
-    * approximate recall, linear candidates, the 100 TB shape. */
+    * materialization. The guard is COMPUTE-aware, not just memory-aware:
+    * the NLJ evaluates corp × eval cosines, so beyond
+    * `maxBroadcastEval` eval rows OR a corp×eval pair budget (the
+    * measured ~7·10⁵ dots/s/core kernel rate × a 5-min budget ×
+    * parallelism — the ngramJaccardPairs capacity formula) the operator
+    * reroutes to [[AnnOps.lshCrossContaminatedIds]]: banded SRP
+    * candidates from corp×eval bucket collisions only (never corp×corp —
+    * the within-corpus pair kernel is output-quadratic in clone
+    * multiplicity), exact-cosine verify — approximate recall, linear
+    * candidate volume, the 100 TB shape. */
   def decontaminateEmbedding(s: SparkSession, emb: DataFrame,
-      threshold: Double, maxBroadcastEval: Long = 1000000L): DataFrame = {
+      threshold: Double, maxBroadcastEval: Long = 1000000L,
+      maxExactPairs: Long = -1L): DataFrame = {
     VectorOps.registerFns(s)
+    val pairBudget =
+      if (maxExactPairs >= 0) maxExactPairs
+      else 210000000L * s.sparkContext.defaultParallelism
     val isEval = col("vec_id") % 97 === 0
     val corp = emb.filter(!isEval).select(col("vec_id"), col("embedding"))
-    val eval = emb.filter(isEval)
-      .select(col("vec_id").as("eval_id"), col("embedding").as("ee"))
-    if (eval.count() <= maxBroadcastEval) {
-      corp.join(broadcast(eval),
-          call_function("cosine_sim", col("embedding"), col("ee"))
-            >= threshold,
-          "left_anti")
-        .select(col("vec_id"))
-        .orderBy("vec_id")
-    } else {
-      // Cross-set LSH: pairs ≥ t among the full table, keep those that
-      // cross the eval/corp boundary, anti-join the corp side out.
-      val pairs = AnnOps.lshThresholdPairs(s, emb, threshold)
-      val contaminated = pairs
-        .filter((col("a_id") % 97 === 0) =!= (col("b_id") % 97 === 0))
-        .select(when(col("a_id") % 97 === 0, col("b_id"))
-          .otherwise(col("a_id")).as("vec_id"))
-        .distinct()
-      corp.join(contaminated, Seq("vec_id"), "left_anti")
-        .select(col("vec_id"))
-        .orderBy("vec_id")
-    }
+      .withColumn("vh", xxhash64(col("embedding")))
+    // Exact-duplicate collapse: the verdict is a function of the VECTOR
+    // VALUE, not the id, so the probe runs on DISTINCT vectors (keyed by
+    // xxhash64 of the array — the minhash verify-join precedent) and the
+    // verdict fans back out by hash key. A duplication-heavy crawl
+    // collapses to its distinct set (the 1000×-clone corpus: 2 M rows →
+    // 2 k probe rows, 1168 s → seconds); a dup-free corpus pays one
+    // hash-agg. The guard below sees the probe's TRUE input — the
+    // distinct counts — per the probe-what-you-run rule (ADVICE r4).
+    val corpReps = corp.groupBy("vh")
+      .agg(min("vec_id").as("vec_id"), first("embedding").as("embedding"))
+    val evalReps = emb.filter(isEval)
+      .withColumn("vh", xxhash64(col("embedding")))
+      .groupBy("vh")
+      .agg(min("vec_id").as("eval_id"), first("embedding").as("ee"))
+      .select(col("eval_id"), col("ee"))
+    val (nCorp, nEval) = (corpReps.count(), evalReps.count())
+    val contaminatedVh =
+      if (nEval <= maxBroadcastEval && nCorp * nEval <= pairBudget) {
+        corpReps.join(broadcast(evalReps),
+            call_function("cosine_sim", col("embedding"), col("ee"))
+              >= threshold,
+            "left_semi")
+          .select(col("vh"))
+      } else {
+        AnnOps.lshCrossContaminatedIds(s,
+            corpReps.select(col("vec_id"), col("embedding")),
+            evalReps.select(col("eval_id").as("vec_id"),
+              col("ee").as("embedding")),
+            threshold)
+          .join(corpReps, Seq("vec_id"))
+          .select(col("vh"))
+      }
+    corp.join(contaminatedVh, Seq("vh"), "left_anti")
+      .select(col("vec_id"))
+      .orderBy("vec_id")
   }
 
   val decontaminateEmb = Q(
