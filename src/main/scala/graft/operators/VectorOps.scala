@@ -353,20 +353,12 @@ object VectorOps {
     require(numHashes % bands == 0, "bands must divide numHashes")
     registerFns(index.sparkSession)
     val withSig = index
-    val rowsPerBand = numHashes / bands
     // Candidates carry ONLY ids through the band join and the distinct —
     // the shingle arrays (KBs per doc, duplicated per colliding band) made
     // the candidate-dedup shuffle the bottleneck in the round-4 10× scale
     // run (the SRP pipeline had the same bug; see AnnOps.srpCandidatePairs).
     // Shingles re-join AFTER the dedup, touching each surviving pair once.
-    val banded = withSig.select(
-      col("doc_id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        bnd => xxhash64(concat_ws("|",
-          slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand))), bnd))))
-      .select(col("doc_id"), col("pos").as("band"),
-        col("col").as("band_hash"))
+    val banded = bandKeys(withSig, numHashes, bands)
     val a = banded.select(col("band"), col("band_hash"),
       col("doc_id").as("a_id"))
     val b = banded.select(col("band"), col("band_hash"),
@@ -401,6 +393,67 @@ object VectorOps {
       .filter(col("jac_raw") >= jaccardThreshold)
       .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jaccard"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** Banded LSH keys for a minhash-index frame: one (doc_id, band,
+    * band_hash) row per band. Shared by the self-join pipeline above and
+    * the incremental cross-set dedup below. */
+  private def bandKeys(index: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    index.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(concat_ws("|",
+          slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand))), bnd))))
+      .select(col("doc_id"), col("pos").as("band"),
+        col("col").as("band_hash"))
+  }
+
+  /** Incremental (continuous-ingest) near-dup detection: a NEW batch of
+    * documents is checked against the STORED minhash index of the
+    * historical corpus — the production shape at 100 TB, where the
+    * history is never re-shingled: each daily batch computes its own
+    * signatures once, band-joins against the stored band keys, and
+    * verifies candidates against the stored hashed-shingle arrays.
+    *
+    * Cross-set only: candidates are batch×history band collisions — never
+    * history×history (whose clone cliques are output-quadratic; see the
+    * 1000× decontamination finding in SCALE.md). Returns the DROP LIST:
+    * one row per new doc that near-duplicates history, with the smallest
+    * matching historical id (deterministic), its match count and best
+    * Jaccard. Batch docs with no match are absent — they are the keepers.
+    */
+  def minhashIncrementalDups(newIdx: DataFrame, histIdx: DataFrame,
+      numHashes: Int, bands: Int, jaccardThreshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    registerFns(newIdx.sparkSession)
+    val a = bandKeys(newIdx, numHashes, bands)
+      .select(col("band"), col("band_hash"), col("doc_id").as("new_id"))
+    val b = bandKeys(histIdx, numHashes, bands)
+      .select(col("band"), col("band_hash"), col("doc_id").as("hist_id"))
+    // Id-only candidates through the join + distinct (the round-4 payload
+    // lesson); stored shingle hashes re-join once per surviving pair.
+    val idPairs = a.join(b, Seq("band", "band_hash"))
+      .select("new_id", "hist_id")
+      .dropDuplicates("new_id", "hist_id")
+    val candidates = idPairs
+      .join(newIdx.select(col("doc_id").as("new_id"), col("shh").as("sha")),
+        "new_id")
+      .join(histIdx.select(col("doc_id").as("hist_id"), col("shh").as("shb")),
+        "hist_id")
+    val inter = call_function("sorted_intersect_count",
+      col("sha"), col("shb")).cast("double")
+    val jac = inter / (size(col("sha")) + size(col("shb")) - inter)
+    candidates
+      .withColumn("jac_raw", jac)
+      .filter(col("jac_raw") >= jaccardThreshold)
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(min("hist_id").as("dup_of"),
+        count(lit(1)).as("n_matches"),
+        round(max("jac_raw"), 6).as("best_jaccard"))
+      .orderBy("doc_id")
   }
 
   /** K2-adjacent — 64-bit SimHash fingerprint per document (sign-sum of
