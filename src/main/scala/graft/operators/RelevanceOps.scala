@@ -295,6 +295,84 @@ object RelevanceOps {
       .orderBy("prefix", "rk")
   }
 
+  /** More-like-this (the Solr/Lucene MLT endpoint): the seed document's
+    * top-5 terms by (tf DESC, df ASC, token ASC) — high in the doc, rare
+    * in the corpus, the classic MLT term selection — retrieve every other
+    * document containing any of them, scored by how many seed terms it
+    * shares. Scoring is an INTEGER overlap count (not a float similarity)
+    * so the ranking is bit-portable across engines; ties break on doc_id.
+    * The 5-row seed-term set broadcasts; the only shuffles are the tf/df
+    * aggregations any index build already does — at 100 TB both come
+    * straight from the stored inverted index instead of a re-tokenize. */
+  val searchMoreLikeThis = Q(
+    "search_more_like_this",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY doc_id, token),
+      |df AS (
+      |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+      |seed AS (
+      |  SELECT tf.token FROM tf JOIN df USING (token)
+      |  WHERE tf.doc_id = 42
+      |  ORDER BY tf.tf DESC, df.df ASC, tf.token LIMIT 5)
+      |SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+      |  array_to_string(list_sort(list(tf.token)), ',') AS matched_terms
+      |FROM tf JOIN seed USING (token) WHERE tf.doc_id <> 42
+      |GROUP BY tf.doc_id
+      |ORDER BY n_matched DESC, tf.doc_id LIMIT 50""".stripMargin) { (s, dir) =>
+    val tf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val seed = tf.filter(col("doc_id") === 42).join(df, "token")
+      .orderBy(col("tf").desc, col("df").asc, col("token"))
+      .limit(5).select("token")
+    tf.filter(col("doc_id") =!= 42)
+      .join(broadcast(seed), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"),
+        array_join(array_sort(collect_list(col("token"))), ",")
+          .as("matched_terms"))
+      .orderBy(col("n_matched").desc, col("doc_id")).limit(50)
+  }
+
+  /** Faceting (the Solr facet response): documents matching a term query,
+    * counted per source AND per lang in ONE pass — GROUPING SETS expands
+    * each hit into its two facet rows and a single hash aggregate counts
+    * them, exactly how a search engine computes multi-field facets without
+    * re-scanning per field. The oracle spells the same semantics as a
+    * UNION ALL of per-field GROUP BYs (the different-plan/same-answer
+    * convention). The term predicate stays scan-side. */
+  val searchFacetCounts = Q(
+    "search_facet_counts",
+    """WITH hits AS (
+      |  SELECT source, lang FROM documents
+      |  WHERE len(list_filter(string_split(text, ' '),
+      |        x -> x = 'spark')) > 0)
+      |SELECT 'source' AS facet_field, source AS facet_value,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM hits GROUP BY source
+      |UNION ALL
+      |SELECT 'lang', lang, CAST(COUNT(*) AS BIGINT)
+      |FROM hits GROUP BY lang
+      |ORDER BY facet_field, facet_value""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .filter(array_contains(split(col("text"), " "), "spark"))
+      .select(col("source"), col("lang"))
+      .groupingSets(Seq(Seq(col("source")), Seq(col("lang"))),
+        col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        when(col("source").isNotNull, lit("source")).otherwise(lit("lang"))
+          .as("facet_field"),
+        coalesce(col("source"), col("lang")).as("facet_value"),
+        col("n"))
+      .orderBy("facet_field", "facet_value")
+  }
+
   val all: Seq[Q] = Seq(rankFusionRrf, relevanceNdcg, relevancePrk,
-    snippetExtract, suggestDictionary)
+    snippetExtract, suggestDictionary, searchMoreLikeThis, searchFacetCounts)
 }

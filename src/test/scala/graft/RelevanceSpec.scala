@@ -140,4 +140,44 @@ class RelevanceSpec extends SparkSpec {
     (0 until 5).foreach { i => assert(out(i.toLong)._2 < out(i.toLong)._1) }
     out.values.foreach { case (n, d, _) => assert(d <= n) }
   }
+
+  test("more_like_this: ranked by seed-term overlap, seed excluded, " +
+    "matched_terms are seed terms only") {
+    val out = RelevanceOps.searchMoreLikeThis.fn(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 50)
+    assert(out.forall(_.getLong(0) != 42L), "seed doc must be excluded")
+    val scores = out.map(_.getLong(1)).toSeq
+    assert(scores == scores.sorted.reverse, "descending by overlap")
+    assert(scores.forall(s => s >= 1 && s <= 5), "overlap counts 1..5")
+    // matched_terms lists exactly n_matched distinct tokens, and every
+    // one occurs in the seed document's text.
+    val seedText = Tables.load(spark, sfDir, "documents")
+      .filter($"doc_id" === 42).select("text").as[String].head()
+    val seedVocab = seedText.split(" ").toSet
+    out.foreach { r =>
+      val terms = r.getString(2).split(",")
+      assert(terms.length == r.getLong(1))
+      assert(terms.distinct.length == terms.length)
+      terms.foreach(tm => assert(seedVocab.contains(tm)))
+    }
+  }
+
+  test("facet_counts: per-field counts equal direct group-bys and each " +
+    "facet sums to the hit count") {
+    val out = RelevanceOps.searchFacetCounts.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val hits = Tables.load(spark, sfDir, "documents")
+      .filter(array_contains(split($"text", " "), "spark"))
+    val nHits = hits.count()
+    val bySource = hits.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val byLang = hits.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(out.filter(_._1._1 == "source")
+      .map { case ((_, v), n) => v -> n } == bySource)
+    assert(out.filter(_._1._1 == "lang")
+      .map { case ((_, v), n) => v -> n } == byLang)
+    assert(out.filter(_._1._1 == "source").values.sum == nHits)
+    assert(out.filter(_._1._1 == "lang").values.sum == nHits)
+  }
 }
