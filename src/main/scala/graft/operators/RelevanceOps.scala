@@ -373,6 +373,47 @@ object RelevanceOps {
       .orderBy("facet_field", "facet_value")
   }
 
+  /** Boolean retrieval — `("table" AND "scan") OR "vector", NOT "slow"` —
+    * evaluated the way an index engine does: per-term doc-id sets from the
+    * (distinct) token incidence, AND = semi join, OR = full outer union
+    * with a clause bitmask, NOT = anti join. Every join is an equi-join on
+    * doc_id between already-collapsed posting sets; the corpus text never
+    * enters a shuffle. match_mask bit 1 = AND-clause hit, bit 2 = term
+    * hit — the per-clause explain a search response carries. The oracle
+    * spells the same semantics scan-side (list_contains CASE arithmetic —
+    * the different-plan/same-answer convention). */
+  val searchBooleanQuery = Q(
+    "search_boolean_query",
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    list_contains(ts, 'table') AND list_contains(ts, 'scan') AS tabscan,
+      |    list_contains(ts, 'vector') AS vec,
+      |    list_contains(ts, 'slow') AS slow
+      |  FROM d)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN tabscan THEN 1 ELSE 0 END
+      |     + CASE WHEN vec THEN 2 ELSE 0 END AS BIGINT) AS match_mask
+      |FROM m WHERE (tabscan OR vec) AND NOT slow
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val inc = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+    def ids(w: String) = inc.filter(col("token") === w).select("doc_id")
+    val tabScan = ids("table")
+      .join(ids("scan"), Seq("doc_id"), "left_semi")
+      .withColumn("m1", lit(1L))
+    val vec = ids("vector").withColumn("m2", lit(2L))
+    tabScan.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(col("m1"), lit(0L)) + coalesce(col("m2"), lit(0L)))
+          .as("match_mask"))
+      .join(ids("slow"), Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(rankFusionRrf, relevanceNdcg, relevancePrk,
-    snippetExtract, suggestDictionary, searchMoreLikeThis, searchFacetCounts)
+    snippetExtract, suggestDictionary, searchMoreLikeThis, searchFacetCounts,
+    searchBooleanQuery)
 }

@@ -180,4 +180,24 @@ class RelevanceSpec extends SparkSpec {
     assert(out.filter(_._1._1 == "source").values.sum == nHits)
     assert(out.filter(_._1._1 == "lang").values.sum == nHits)
   }
+
+  test("boolean_query: mask encodes which clause hit; NOT excludes; " +
+    "equals the scan-side truth on the real corpus") {
+    val out = RelevanceOps.searchBooleanQuery.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .select($"doc_id",
+        (array_contains($"ts", "table") && array_contains($"ts", "scan"))
+          .as("tabscan"),
+        array_contains($"ts", "vector").as("vec"),
+        array_contains($"ts", "slow").as("slow"))
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+    val expected = truth.collect {
+      case (id, tabscan, vec, slow) if (tabscan || vec) && !slow =>
+        id -> ((if (tabscan) 1L else 0L) + (if (vec) 2L else 0L))
+    }.toMap
+    assert(out == expected)
+    assert(out.values.toSet.subsetOf(Set(1L, 2L, 3L)))
+  }
 }
