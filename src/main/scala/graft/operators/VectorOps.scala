@@ -429,30 +429,54 @@ object VectorOps {
       numHashes: Int, bands: Int, jaccardThreshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     registerFns(newIdx.sparkSession)
-    val a = bandKeys(newIdx, numHashes, bands)
+    // Exact-duplicate collapse on BOTH sides (the decontaminate_embedding
+    // lesson: the verdict is a function of the shingle-set VALUE, not the
+    // id). Each side probes one representative per distinct shingle set
+    // (keyed by xxhash64 of the sorted hash array); group stats fan the
+    // verdict back out. On a clone-heavy corpus this turns the verify
+    // join from (batch-clique × hist-clique)-quadratic per matching text
+    // pair into ONE rep pair — at ×1000 replication, 46 M candidate pairs
+    // × KB payloads (~70 GB shuffle) collapse to 46. Identical output:
+    // clones match identically, so dup_of = min over matched groups'
+    // mins, n_matches = Σ group sizes, best_jaccard is per-text anyway.
+    val newG = newIdx.withColumn("vh", xxhash64(col("shh")))
+    val histG = histIdx.withColumn("vh", xxhash64(col("shh")))
+    val newReps = newG.groupBy("vh")
+      .agg(min("doc_id").as("doc_id"), first("sig").as("sig"),
+        first("shh").as("shh"))
+    val histReps = histG.groupBy("vh")
+      .agg(min("doc_id").as("doc_id"), first("sig").as("sig"),
+        first("shh").as("shh"),
+        min("doc_id").as("grp_min"), count(lit(1)).as("grp_n"))
+    val a = bandKeys(newReps, numHashes, bands)
       .select(col("band"), col("band_hash"), col("doc_id").as("new_id"))
-    val b = bandKeys(histIdx, numHashes, bands)
+    val b = bandKeys(histReps.select(col("doc_id"), col("sig")),
+        numHashes, bands)
       .select(col("band"), col("band_hash"), col("doc_id").as("hist_id"))
     // Id-only candidates through the join + distinct (the round-4 payload
-    // lesson); stored shingle hashes re-join once per surviving pair.
+    // lesson); stored shingle hashes re-join once per surviving rep pair.
     val idPairs = a.join(b, Seq("band", "band_hash"))
       .select("new_id", "hist_id")
       .dropDuplicates("new_id", "hist_id")
     val candidates = idPairs
-      .join(newIdx.select(col("doc_id").as("new_id"), col("shh").as("sha")),
-        "new_id")
-      .join(histIdx.select(col("doc_id").as("hist_id"), col("shh").as("shb")),
-        "hist_id")
+      .join(newReps.select(col("doc_id").as("new_id"), col("shh").as("sha"),
+        col("vh").as("new_vh")), "new_id")
+      .join(histReps.select(col("doc_id").as("hist_id"), col("shh").as("shb"),
+        col("grp_min"), col("grp_n")), "hist_id")
     val inter = call_function("sorted_intersect_count",
       col("sha"), col("shb")).cast("double")
     val jac = inter / (size(col("sha")) + size(col("shb")) - inter)
-    candidates
+    // Rep-level verdict, then fan out to every member of the batch group.
+    val repVerdicts = candidates
       .withColumn("jac_raw", jac)
       .filter(col("jac_raw") >= jaccardThreshold)
-      .groupBy(col("new_id").as("doc_id"))
-      .agg(min("hist_id").as("dup_of"),
-        count(lit(1)).as("n_matches"),
+      .groupBy("new_vh")
+      .agg(min("grp_min").as("dup_of"),
+        sum("grp_n").as("n_matches"),
         round(max("jac_raw"), 6).as("best_jaccard"))
+    newG.select(col("doc_id"), col("vh").as("new_vh"))
+      .join(repVerdicts, "new_vh")
+      .select("doc_id", "dup_of", "n_matches", "best_jaccard")
       .orderBy("doc_id")
   }
 
