@@ -94,9 +94,16 @@ object CurationOps3 {
     * `size(acc)` after the fold is the exact occurrence count. At 100 TB
     * each join ships only the phrase words' postings (a filter on the
     * token key prunes the index scan), never the corpus text. */
-  def phraseMatch(docs: DataFrame, words: Seq[String]): DataFrame = {
+  def phraseMatch(docs: DataFrame, words: Seq[String]): DataFrame =
+    phraseMatchFromIndex(positionalPostings(docs), words)
+
+  /** Phrase query over a STORED positional index (parquet round-trip ≡
+    * inline build — Curation3Spec pins it): at 100 TB the tokenize +
+    * postings aggregation happens once at ingest and every phrase query
+    * reads only its words' index rows (the token filter prunes the index
+    * scan — verified pushed below the aggregate in the inline form too). */
+  def phraseMatchFromIndex(idx: DataFrame, words: Seq[String]): DataFrame = {
     require(words.nonEmpty, "phrase must have at least one word")
-    val idx = positionalPostings(docs)
     val head = idx.filter(col("token") === words.head)
       .select(col("doc_id"), col("positions").as("acc"))
     val matched = words.zipWithIndex.drop(1).foldLeft(head) {

@@ -77,6 +77,20 @@ class Curation3Spec extends SparkSpec {
     assert(out == Map(1L -> 1L, 3L -> 2L))
   }
 
+  test("phraseMatchFromIndex: parquet round-trip of the positional index " +
+    "answers identically to the inline build") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val path = "/tmp/graft_test_posidx"
+    CurationOps3.positionalPostings(docs)
+      .write.mode("overwrite").parquet(path)
+    val stored = CurationOps3.phraseMatchFromIndex(
+      spark.read.parquet(path), Seq("table", "scan"))
+      .as[(Long, Long)].collect().toSeq
+    val inline = CurationOps3.phraseMatch(docs, Seq("table", "scan"))
+      .as[(Long, Long)].collect().toSeq
+    assert(stored == inline && inline.nonEmpty)
+  }
+
   test("chunkScrub: first occurrence survives, later copies are removed, " +
     "clean text reassembles surviving chunks in order") {
     val c1 = (1 to 20).map(i => s"w$i").mkString(" ")   // 20-token chunk
