@@ -55,6 +55,14 @@ object VectorOps {
       org.apache.spark.sql.catalyst.FunctionIdentifier("topk_agg"),
       graft.functions.TopKAgg.info,
       graft.functions.TopKAgg.builder)
+    s.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+      graft.functions.MinHashSig.info,
+      graft.functions.MinHashSig.builder)
+    s.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("xxhash64_map"),
+      graft.functions.XxHash64Map.info,
+      graft.functions.XxHash64Map.builder)
   }
 
   private val pairOracle =
@@ -335,14 +343,17 @@ object VectorOps {
         |              coalesce(element_at(split(text, ' '), i + 1), ''), ' ',
         |              coalesce(element_at(split(text, ' '), i + 2), '')))""".stripMargin)))
     // Deterministic universal hashing: h_i(x) = xxhash64(x, i) — seed column
-    // index stands in for the random permutation family.
-    val sigCols = (0 until numHashes).map { i =>
-      array_min(transform(col("sh"), x => xxhash64(x, lit(i))))
-    }
+    // index stands in for the random permutation family. Computed by the
+    // native one-pass graft.functions.MinHashSig kernel — BIT-IDENTICAL to
+    // the HOF chain `array(array_min(transform(sh, x -> xxhash64(x, i))))`
+    // it replaces (VectorSpec pins the equivalence), but one element walk
+    // instead of numHashes interpreted lambda passes: the 1000× corpus
+    // measured the HOF index build at ~674 s for 5.5 M docs.
     docs
       .select(col("doc_id"), shingles.as("sh"))
-      .select(col("doc_id"), array(sigCols: _*).as("sig"),
-        array_sort(transform(col("sh"), x => xxhash64(x))).as("shh"))
+      .select(col("doc_id"),
+        call_function("minhash_sig", col("sh"), lit(numHashes)).as("sig"),
+        array_sort(call_function("xxhash64_map", col("sh"))).as("shh"))
   }
 
   /** Banded-LSH candidate join + exact-Jaccard verify over a STORED
@@ -439,15 +450,26 @@ object VectorOps {
     // × KB payloads (~70 GB shuffle) collapse to 46. Identical output:
     // clones match identically, so dup_of = min over matched groups'
     // mins, n_matches = Σ group sizes, best_jaccard is per-text anyway.
+    // Each rep frame feeds TWO consumers (band keys + the verify payload
+    // join), and newG a third (the fan-out). Without materialization every
+    // reference re-executes the upstream index build — at 1000× the 4.5 M-
+    // doc history was shingled+hashed TWICE (765 s vs 308 s for the same
+    // work off a stored index). Eager localCheckpoint runs each build once
+    // and truncates the lineage (the pcaPower / labelProp precedent);
+    // blocks are released by the ContextCleaner when the frames go out of
+    // scope, unlike persist().
     val newG = newIdx.withColumn("vh", xxhash64(col("shh")))
+      .localCheckpoint(true)
     val histG = histIdx.withColumn("vh", xxhash64(col("shh")))
     val newReps = newG.groupBy("vh")
       .agg(min("doc_id").as("doc_id"), first("sig").as("sig"),
         first("shh").as("shh"))
+      .localCheckpoint(true)
     val histReps = histG.groupBy("vh")
       .agg(min("doc_id").as("doc_id"), first("sig").as("sig"),
         first("shh").as("shh"),
         min("doc_id").as("grp_min"), count(lit(1)).as("grp_n"))
+      .localCheckpoint(true)
     val a = bandKeys(newReps, numHashes, bands)
       .select(col("band"), col("band_hash"), col("doc_id").as("new_id"))
     val b = bandKeys(histReps.select(col("doc_id"), col("sig")),

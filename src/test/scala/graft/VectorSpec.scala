@@ -188,4 +188,34 @@ class VectorSpec extends SparkSpec {
     val approx = orders.agg(approx_count_distinct($"o_custkey", 0.02)).head.getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 3 * 0.02)
   }
+
+  test("minhash_sig / xxhash64_map native kernels are bit-identical to " +
+    "the HOF chains they replaced") {
+    val k = 32
+    val sh = Tables.load(spark, sfDir, "documents")
+      .filter(size(split($"text", " ")) >= 3)
+      .select($"doc_id", array_sort(array_distinct(expr(
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+          |  i -> concat(element_at(split(text, ' '), i), ' ',
+          |              coalesce(element_at(split(text, ' '), i + 1), ''), ' ',
+          |              coalesce(element_at(split(text, ' '), i + 2), '')))"""
+          .stripMargin))).as("sh"))
+    val hofSig = (0 until k).map { i =>
+      array_min(transform($"sh", x => xxhash64(x, lit(i))))
+    }
+    val both = sh.select($"doc_id",
+      call_function("minhash_sig", $"sh", lit(k)).as("native_sig"),
+      array(hofSig: _*).as("hof_sig"),
+      array_sort(call_function("xxhash64_map", $"sh")).as("native_shh"),
+      array_sort(transform($"sh", x => xxhash64(x))).as("hof_shh"))
+    val bad = both.filter($"native_sig" =!= $"hof_sig" ||
+      $"native_shh" =!= $"hof_shh").count()
+    assert(bad == 0, "native kernels must match the HOF chain bit-for-bit")
+    assert(both.count() > 0)
+    // Empty-array edge: all-NULL signature (array_min of empty = NULL).
+    val empty = Seq(Seq.empty[String]).toDF("sh")
+      .select(call_function("minhash_sig", $"sh", lit(4)).as("sig"))
+      .head.getSeq[Any](0)
+    assert(empty == Seq(null, null, null, null))
+  }
 }
