@@ -27,6 +27,12 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Large-oracle safety: let DuckDB spill instead of OOM-ing (the 1000x
+    # inverted-index oracle materializes ~250M token rows).
+    os.makedirs("/tmp/duck_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
