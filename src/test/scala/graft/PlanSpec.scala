@@ -89,6 +89,43 @@ class PlanSpec extends SparkSpec {
       "RANGE frame must be re-spelled as ROWS cumsum difference:\n" + p.take(1200))
   }
 
+  test("index_inverted_build: two hash aggregations, no window") {
+    // Blocks are doc-id ranges, NOT per-token ranks — a rank window over a
+    // hot token (a stopword's postings are O(corpus)) would be the same
+    // parallelism ceiling win_range_frame had. The plan must be pure
+    // aggregation.
+    val p = plan("index_inverted_build")
+    assert(!p.contains("Window"), "inverted index build must not window")
+    assert(p.contains("Aggregate"), "expected hash aggregation")
+  }
+
+  test("search_boolean_query and search_phrase_match: postings joins are " +
+    "equi-joins, never cartesian/nested-loop") {
+    Seq("search_boolean_query", "search_phrase_match").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must evaluate as postings equi-joins")
+    }
+  }
+
+  test("search_phrase_match: the token filter is pushed below the " +
+    "postings aggregation") {
+    // Each phrase word's posting build must aggregate only that token's
+    // rows — at 100 TB the filter prunes the index scan instead of
+    // aggregating the whole corpus.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    val lp = SparkEntry.queries("search_phrase_match")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val aggsOverUnfiltered = lp.collect {
+      case a: Aggregate if !a.child.collect { case f: Filter => f }
+        .exists(f => Seq("table", "scan")
+          .exists(w => f.condition.toString.contains(s"= $w"))) => a
+    }
+    assert(aggsOverUnfiltered.isEmpty,
+      "every postings aggregate must sit above a phrase-word filter")
+  }
+
   test("cosine_sim participates in whole-stage codegen") {
     // Simple mode marks whole-stage-codegen operators with "*(n)"; the
     // expression must appear in a starred Project, not an interpreted one.
