@@ -30,7 +30,7 @@ object VectorOps {
 
   /** Idempotent direct registration: keeps these operators working even on
     * sessions built without GraftExtensions. */
-  private[operators] def registerFns(s: SparkSession): Unit = {
+  private[graft] def registerFns(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       graft.functions.CosineSimilarity.info,
