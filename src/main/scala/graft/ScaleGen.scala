@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * dedup family at scale.
   *
   * Usage: ScaleGen <srcDir> <outDir> <factor>
-  *        then: tools/scale_fix_ts.py <outDir>   (restores events.ts to
-  *        timestamp[ns] — Spark cannot write ns timestamps, and the DuckDB
-  *        oracle needs the logical type; the Spark side reads either form)
+  *        (events.ts is written as timestamp[us] — the driver's layout
+  *        since 2026-08-13 — so both the DuckDB oracle and the Spark side
+  *        read the output directly; tools/scale_fix_ts.py is only needed
+  *        for pre-regeneration ns corpora)
   *
   * The shift constant is PER COLUMN TYPE (round-5 change, unlocking
   * factor 100 for the 100× validation slice): long key columns shift by
@@ -67,16 +68,17 @@ object ScaleGen {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scalegen")
       .config("spark.sql.shuffle.partitions", "32")
+      // Write TimestampType as INT64 timestamp[us] (not INT96): matches
+      // the driver-generated layout, so the replica round-trips through
+      // both Tables.loadEvents' native path and the DuckDB oracle.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {
       keyCols.foreach { case (table, keys) =>
-        // events must round-trip RAW (Long-nanos ts): Tables.load converts
-        // to a µs timestamp, which would double-convert on re-read.
-        val df =
-          if (table == "events")
-            spark.read.schema(Tables.eventsRaw).parquet(s"$src/events.parquet")
-          else Tables.load(spark, src, table)
+        // Tables.load normalizes events.ts to TimestampType (µs) whatever
+        // the source layout; the write emits timestamp[us] (config above).
+        val df = Tables.load(spark, src, table)
         // Single file per table (coalesced write, part file moved up):
         // the DuckDB oracle's read_parquet targets a file path, same
         // layout as the driver-generated SF dirs. Row groups are capped

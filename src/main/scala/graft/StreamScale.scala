@@ -32,8 +32,7 @@ object StreamScale {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val feed = chronoFeed(spark, sfDir, nFiles)
-      val nIn = spark.read.schema(Tables.eventsRaw)
-        .parquet(s"$sfDir/events.parquet").count()
+      val nIn = Tables.load(spark, sfDir, "events").count()
       runOne(spark, "tws_sessions", nIn,
         Streams.timedSessionsTws(spark,
           Streams.eventsStream(spark, feed)), OutputMode.Append())
@@ -50,9 +49,12 @@ object StreamScale {
   private def chronoFeed(spark: SparkSession, sfDir: String,
       nFiles: Int): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_scale_feed").toString
-    val raw = spark.read.schema(Tables.eventsRaw)
-      .parquet(s"$sfDir/events.parquet")
-    val bounds = raw.stat.approxQuantile("ts",
+    // Slice on a µs-Long shadow of the normalized TimestampType ts
+    // (approxQuantile needs a numeric column); the written slices carry
+    // the timestamp ts, which eventsStream's layout sniff reads natively.
+    val raw = Tables.load(spark, sfDir, "events")
+      .withColumn("tsu", unix_micros(col("ts")))
+    val bounds = raw.stat.approxQuantile("tsu",
       (1 until nFiles).map(_.toDouble / nFiles).toArray, 0.0)
     val edges = Array(Long.MinValue) ++ bounds.map(_.toLong) ++ Array(Long.MaxValue)
     (0 until nFiles).foreach { i =>
@@ -60,7 +62,8 @@ object StreamScale {
       // modification times, and "f10" < "f2" lexicographically would feed
       // slices out of order — 17-slice disorder that the watermark then
       // "corrects" by dropping almost half the corpus as late.
-      raw.filter(col("ts") >= edges(i) && col("ts") < edges(i + 1))
+      raw.filter(col("tsu") >= edges(i) && col("tsu") < edges(i + 1))
+        .drop("tsu")
         .coalesce(1).write.mode("overwrite").parquet(f"$dir/f$i%03d")
     }
     val d = new java.io.File(dir)

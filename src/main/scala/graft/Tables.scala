@@ -67,9 +67,12 @@ object Tables {
     StructField("l_linestatus", StringType, nullable = false),
     StructField("l_shipdate", TimestampType, nullable = false)))
 
-  /** Physical schema of events.parquet: `ts` is INT64 timestamp[ns], which
-    * Spark's parquet reader does not map to TimestampType — it is read as
-    * Long and converted (floor ns→µs) in [[load]]. */
+  /** Legacy physical schema of events.parquet: `ts` as INT64 nanoseconds
+    * (either plain int64 or timestamp[ns], which Spark's parquet reader
+    * does not map to TimestampType) — read as Long and converted (floor
+    * ns→µs) in [[loadEvents]]. The driver regenerated the corpus on
+    * 2026-08-13 with `timestamp[us]`, which Spark maps natively; the
+    * loader sniffs the footer and picks the right path. */
   val eventsRaw: StructType = StructType(Seq(
     StructField("event_id", LongType, nullable = false),
     StructField("ts", LongType, nullable = false),
@@ -104,16 +107,61 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
     "embeddings" -> embeddings)
 
+  /** Physical-layout sniff for an events parquet path: the ts type Spark
+    * INFERS from the footer. The driver layout since 2026-08-13 is
+    * timestamp[us] without timezone → TimestampNTZType (pandas writes
+    * isAdjustedToUTC=false); a tz-adjusted µs layout → TimestampType; the
+    * two legacy nanosecond layouts — plain INT64, and TIMESTAMP(NANOS),
+    * which Spark's footer converter rejects (hence the catch) — → LongType.
+    * One driver-side footer read per distinct path, cached: at 100 TB this
+    * is one footer, not a scan, and it guards against the unit-confusion
+    * class of bug (a silent testdata regeneration flips the sniff, not the
+    * answers). */
+  private val tsLayout =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
+  def eventsTsType(spark: SparkSession, path: String): DataType =
+    tsLayout.computeIfAbsent(path, _ =>
+      try spark.read.parquet(path).schema
+        .find(_.name == "ts").map(_.dataType).getOrElse(LongType)
+      catch { case _: Exception => LongType })
+
+  def eventsTsIsTimestamp(spark: SparkSession, path: String): Boolean =
+    eventsTsType(spark, path) match {
+      case TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+
+  /** The events schema with `ts` swapped to the sniffed physical type. */
+  def eventsReadSchema(ts: DataType): StructType =
+    StructType(events.map {
+      case f if f.name == "ts" => f.copy(dataType = ts)
+      case f => f
+    })
+
+  /** Load events from a parquet file or directory, normalizing `ts` to
+    * TimestampType (µs) regardless of the physical layout. NTZ→LTZ cast
+    * is the identity on the stored micros because every Graft session
+    * pins spark.sql.session.timeZone=UTC — the same naive-UTC reading
+    * DuckDB's oracle applies. The legacy ns → µs floor division matches
+    * DuckDB's ns-parquet truncation, so raw ts values hash-compare equal
+    * across engines on any layout. */
+  def loadEvents(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    eventsTsType(spark, path) match {
+      case t @ (TimestampType | TimestampNTZType) =>
+        spark.read.schema(eventsReadSchema(t)).parquet(path)
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      case _ =>
+        spark.read.schema(eventsRaw).parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
+  }
+
   /** Load one table with its explicit schema from `dir/<name>.parquet`. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-      // ns → µs floor division matches DuckDB's ns-parquet truncation, so
-      // raw ts values hash-compare equal across engines.
-      spark.read.schema(eventsRaw).parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    } else {
-      spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
-    }
+    if (name == "events") loadEvents(spark, s"$dir/events.parquet")
+    else spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
 }

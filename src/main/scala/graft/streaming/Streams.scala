@@ -21,17 +21,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
-  /** File-source stream over an events-schema directory (ns-Long ts →
-    * timestamp, same conversion as the batch loader). */
+  /** File-source stream over an events-schema directory, normalized to the
+    * TimestampType `ts` the batch loader produces. The physical layout is
+    * sniffed once at stream definition (same footer check as
+    * [[Tables.loadEvents]]): timestamp-typed feeds read natively, legacy
+    * ns-Long feeds get the floor ns→µs conversion. Feed files must share
+    * one layout — the file source applies a single schema to the dir. */
   def eventsStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
-    val raw = Tables.eventsRaw
-    spark.readStream
-      .schema(raw)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    Tables.eventsTsType(spark, dir) match {
+      case t @ (TimestampType | TimestampNTZType) =>
+        spark.readStream
+          .schema(Tables.eventsReadSchema(t))
+          .option("maxFilesPerTrigger", maxFilesPerTrigger)
+          .parquet(dir)
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      case _ =>
+        spark.readStream
+          .schema(Tables.eventsRaw)
+          .option("maxFilesPerTrigger", maxFilesPerTrigger)
+          .parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
   }
 
   /** I1 — tumbling windows, incremental. */

@@ -123,7 +123,8 @@ class CorpusSpec extends SparkSpec {
   }
 
   test("funnel: stage order is enforced (click before first view ignored)") {
-    // events.parquet stores ts as raw INT64 nanoseconds (Tables.eventsRaw).
+    // This synthetic events.parquet stores ts as raw INT64 nanoseconds —
+    // the legacy layout Tables.loadEvents' sniff routes through eventsRaw.
     def ts(m: Int): Long =
       (java.time.LocalDateTime.of(2024, 1, 1, 0, m)
         .toEpochSecond(java.time.ZoneOffset.UTC)) * 1000000000L

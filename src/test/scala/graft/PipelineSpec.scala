@@ -66,7 +66,7 @@ class PipelineSpec extends SparkSpec {
 
   test("streaming migration: events stream -> transform -> per-batch sink") {
     val feed = Files.createTempDirectory("graft_migr_feed").toString
-    spark.read.schema(Tables.eventsRaw).parquet(s"$sfDir/events.parquet")
+    Tables.load(spark, sfDir, "events")
       .limit(500).coalesce(1).write.parquet(s"$feed/f0")
     val d = new java.io.File(feed)
     d.listFiles().filter(_.isDirectory).foreach { sub =>

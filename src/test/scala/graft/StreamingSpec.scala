@@ -12,10 +12,12 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   /** Split sf0.001 events into n parquet files in a temp dir (micro-batch
-    * feed), preserving the raw Long-nanos ts the file source expects. */
+    * feed). Slices carry the loader-normalized TimestampType ts; the
+    * stream source's layout sniff reads them natively. (The synthetic
+    * Long-ns feeds further down exercise the legacy-layout path.) */
   private def feedDir(nFiles: Int): String = {
     val dir = Files.createTempDirectory("graft_stream_feed").toString
-    val raw = spark.read.schema(Tables.eventsRaw).parquet(s"$sfDir/events.parquet")
+    val raw = Tables.load(spark, sfDir, "events")
     (0 until nFiles).foreach { i =>
       raw.filter(pmod(col("event_id"), lit(nFiles)) === i)
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/f$i")
@@ -24,15 +26,19 @@ class StreamingSpec extends SparkSpec {
   }
 
   /** Chronological micro-batch feed: file i holds the i-th time-slice, so
-    * watermarks advance monotonically (required for append-mode tests). */
+    * watermarks advance monotonically (required for append-mode tests).
+    * Slicing runs on a µs-Long shadow column (approxQuantile needs a
+    * numeric column); the written slices carry the timestamp ts. */
   private def feedDirChrono(nFiles: Int): String = {
     val dir = Files.createTempDirectory("graft_stream_chrono").toString
-    val raw = spark.read.schema(Tables.eventsRaw).parquet(s"$sfDir/events.parquet")
-    val bounds = raw.stat.approxQuantile("ts",
+    val raw = Tables.load(spark, sfDir, "events")
+      .withColumn("tsu", unix_micros(col("ts")))
+    val bounds = raw.stat.approxQuantile("tsu",
       (1 until nFiles).map(_.toDouble / nFiles).toArray, 0.0)
     val edges = Array(Long.MinValue) ++ bounds.map(_.toLong) ++ Array(Long.MaxValue)
     (0 until nFiles).foreach { i =>
-      raw.filter(col("ts") >= edges(i) && col("ts") < edges(i + 1))
+      raw.filter(col("tsu") >= edges(i) && col("tsu") < edges(i + 1))
+        .drop("tsu")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/f$i")
     }
     flatten(dir)
@@ -46,16 +52,18 @@ class StreamingSpec extends SparkSpec {
     * phantom sessions. */
   private def feedDirDisordered(nFiles: Int): (String, Long) = {
     val dir = Files.createTempDirectory("graft_stream_disord").toString
-    val raw = spark.read.schema(Tables.eventsRaw).parquet(s"$sfDir/events.parquet")
-    val bounds = raw.stat.approxQuantile("ts",
+    val raw = Tables.load(spark, sfDir, "events")
+      .withColumn("tsu", unix_micros(col("ts")))
+    val bounds = raw.stat.approxQuantile("tsu",
       (1 until nFiles).map(_.toDouble / nFiles).toArray, 0.0)
-    val Array(tsMin, tsMax) = raw.agg(min(col("ts")), max(col("ts")))
+    val Array(tsMin, tsMax) = raw.agg(min(col("tsu")), max(col("tsu")))
       .head.toSeq.map(_.asInstanceOf[Long]).toArray
     val edges = Array(tsMin) ++ bounds.map(_.toLong) ++ Array(tsMax + 1)
     val widthMs = (0 until nFiles)
-      .map(i => (edges(i + 1) - edges(i)) / 1000000L).max
+      .map(i => (edges(i + 1) - edges(i)) / 1000L).max
     def slice(i: Int) =
-      raw.filter(col("ts") >= edges(i) && col("ts") < edges(i + 1))
+      raw.filter(col("tsu") >= edges(i) && col("tsu") < edges(i + 1))
+        .drop("tsu")
     val lateMark = pmod(col("event_id"), lit(5)) === 0
     (0 until nFiles).foreach { i =>
       val onTime =
@@ -209,8 +217,8 @@ class StreamingSpec extends SparkSpec {
     val files = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     val wmMs = files.dropRight(1).map { f =>
-      spark.read.schema(Tables.eventsRaw).parquet(f.toString)
-        .agg(max($"ts")).head.getLong(0) / 1000000L
+      spark.read.schema(Tables.events).parquet(f.toString)
+        .agg(max(unix_millis($"ts"))).head.getLong(0)
     }.max - delayMs
     val guaranteed = sessions.filter(s => s._3 + gapMs <= wmMs)
     assert(guaranteed.nonEmpty, "feed produced no closeable sessions")
@@ -384,9 +392,10 @@ class StreamingSpec extends SparkSpec {
     // Sessions ending within the gap of the stream's max event time never
     // close in append mode; a far-future sentinel event flushes them.
     val sentinelUser = 999999L
-    val maxTs = spark.read.schema(Tables.eventsRaw).parquet(s"$dir")
-      .agg(max("ts")).head.getLong(0)
-    Seq((999999L, maxTs + 86400L * 1000000000L, sentinelUser, "click", 0.0, "{}"))
+    val maxUs = spark.read.schema(Tables.events).parquet(s"$dir")
+      .agg(max(unix_micros(col("ts")))).head.getLong(0)
+    Seq((999999L, new java.sql.Timestamp((maxUs + 86400L * 1000000L) / 1000L),
+        sentinelUser, "click", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.parquet(s"$dir/zz_sentinel")
     val d = new java.io.File(dir)
