@@ -25,6 +25,21 @@ object Verify {
       .config("spark.sql.files.maxPartitionBytes", "8388608")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Layout contract (round-6 post-mortem): the loader's ts-unit handling
+    // must land events inside the corpus's documented era. A testdata
+    // regeneration that changes the physical layout now fails HERE with a
+    // named error instead of as 12 silent wrong-answer oracle rows (the
+    // round-5 failure mode: int64-ns assumption applied to timestamp[us]
+    // collapsed the 30-day corpus to ~43 minutes of 1970).
+    locally {
+      val maxTs = Tables.load(spark, sfDir, "events")
+        .agg(org.apache.spark.sql.functions.max("ts")).head.getTimestamp(0)
+      val yr = maxTs.toInstant.atZone(java.time.ZoneOffset.UTC).getYear
+      require(yr >= 2020 && yr <= 2035,
+        s"events ts-unit contract violated: max(ts)=$maxTs (year $yr) is " +
+          s"outside 2020..2035 — the parquet layout of $sfDir/events.parquet " +
+          "and Tables.loadEvents' sniff disagree")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
