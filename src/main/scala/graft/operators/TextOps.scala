@@ -128,29 +128,23 @@ object TextOps {
     * distinct-token table can outgrow it. Below `maxBroadcastBytes` the
     * vocab is broadcast (map-side join — the fact side never reshuffles);
     * above it the explicit hint is DROPPED and the join shuffles on the
-    * token key, where AQE may still locally broadcast if runtime stats
-    * allow — the decision moves from a blind hint to measured sizes. The
-    * vocab is localCheckpoint-ed (eager) so the cardinality probe and the
-    * join share one materialization instead of re-tokenizing the corpus;
-    * unlike persist(), the checkpoint blocks are released by the
-    * ContextCleaner once the returned plan is unreferenced — no
-    * accumulating cache entries across repeated invocations. TextSpec
-    * pins the fallback. */
+    * token key, where AQE converts back to broadcast at runtime if the
+    * measured shuffle stats allow.
+    *
+    * The estimate is Catalyst's own `optimizedPlan.stats.sizeInBytes`
+    * (round-6 change): zero driver-side actions at construction time. The
+    * round-5 probe ran an eager localCheckpoint plus a blocking agg per
+    * invocation — a fixed multi-hundred-ms constant, and a fault-tolerance
+    * hole at cluster scale (localCheckpoint state dies with an executor).
+    * Catalyst's estimate is input-derived and conservative in exactly the
+    * right direction: a 100 TB corpus estimates huge → shuffle join + AQE
+    * runtime decision; a bench-scale corpus estimates small → static
+    * broadcast. TextSpec pins the fallback. */
   def vocabJoin(fact: DataFrame, vocab: DataFrame, key: String,
       maxBroadcastBytes: Long = 256L << 20): DataFrame = {
-    val v = vocab.localCheckpoint(true)
-    // Byte-aware probe (round-5 fix): a row-count bound is blind to token
-    // length — 10 M noisy tokens (URLs, hashes) can serialize into a
-    // multi-hundred-MB broadcast. One agg over the checkpointed vocab
-    // measures key bytes exactly; non-key columns and per-entry hash-map
-    // overhead are charged at a flat 32 B + 8 B/column. 256 MB default ≈
-    // a quarter of a typical executor's broadcast budget.
-    val probe = v.agg(count(lit(1)), sum(octet_length(col(key)))).head()
-    val rows = probe.getLong(0)
-    val keyBytes = if (probe.isNullAt(1)) 0L else probe.getLong(1)
-    val estBytes = keyBytes + rows * (32L + 8L * (v.columns.length - 1))
-    if (estBytes <= maxBroadcastBytes) fact.join(broadcast(v), Seq(key))
-    else fact.join(v, Seq(key))
+    val estBytes = vocab.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes <= maxBroadcastBytes) fact.join(broadcast(vocab), Seq(key))
+    else fact.join(vocab, Seq(key))
   }
 
   /** K5/J3 — tokenize → TF → TF-IDF, fully SQL-native (window-free: tf via
