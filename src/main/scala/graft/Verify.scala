@@ -70,6 +70,41 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Self-reported evidence for the no-oracle approximate rows (round-6):
+    // the sketch queries compare against their EXACT in-engine twins and
+    // the max relative error lands in the round artifact, machine-readable
+    // — the "spec by design" rows now carry numbers, not just a label.
+    // Tolerance = 3× the configured rsd (the VectorSpec convention).
+    try {
+      import org.apache.spark.sql.functions._
+      val orders = Tables.load(spark, sfDir, "orders")
+      val exactD = orders.groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("exact"))
+      val relD = SparkEntry.queries("agg_approx_distinct")(spark, sfDir)
+        .join(exactD, "o_orderstatus")
+        .agg(max(abs(col("approx_cust") - col("exact")) / col("exact")))
+        .head.getDouble(0)
+      val exactP = orders.groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, array(0.5, 0.9))").as("ex"))
+      val relP = SparkEntry.queries("agg_approx_percentile")(spark, sfDir)
+        .select(col("o_orderstatus"),
+          expr("transform(split(approx_p, ','), x -> cast(x as double))")
+            .as("ap"))
+        .join(exactP, "o_orderstatus")
+        .agg(max(expr(
+          "aggregate(zip_with(ap, ex, (a, e) -> abs(a - e) / e), 0d, " +
+            "(acc, x) -> greatest(acc, x))")))
+        .head.getDouble(0)
+      def line(k: String, err: Double, tol: Double) =
+        s"""$k: {"max_rel_err": $err, "tolerance": $tol, "pass": ${err <= tol}}"""
+      Files.writeString(Paths.get(s"$outDir/selfcheck.json"),
+        s"""{${line(q("agg_approx_distinct"), relD, 3 * 0.02)}, ${
+          line(q("agg_approx_percentile"), relP, 0.10)}}""")
+      println(f"[verify-selfcheck] approx_distinct relErr=$relD%.4f " +
+        f"approx_percentile relErr=$relP%.4f")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] selfcheck failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

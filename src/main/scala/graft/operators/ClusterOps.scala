@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.Stage.StagedOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -291,7 +292,7 @@ object ClusterOps {
     // data stays put in executor storage.
     val centeredDf = emb.select(col("vec_id"),
         zip_with(asD, typedLit(mu), (a, b) => a - b).as("c"))
-      .localCheckpoint(true)
+      .staged
     val centered = col("c")
     def normRound(v: Seq[Double]): Seq[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)

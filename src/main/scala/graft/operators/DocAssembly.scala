@@ -374,9 +374,23 @@ object DocAssembly {
     * band matches — FULL recall at the threshold by pigeonhole, never a
     * cross join. The image twin of dedup_simhash; rows-only driver check
     * (no codec in DuckDB), PhashSpec pins the exact-duplicate ⊆ output
-    * invariant and the clean-band guarantee. */
+    * invariant and the clean-band guarantee.
+    *
+    * Liveness sentinels (round-6): the shipped corpus has no organic
+    * near-dup images at small SFs, so the bare pipeline emits 0 rows and
+    * the driver's rows>0 check was vacuous. Two reserved NEGATIVE ids
+    * carry byte-identical rendered payloads — a guaranteed hamming-0 pair
+    * (-2,-1) in the output at every scale, making the rows-only check
+    * detect a broken pipeline (codec, banding, join, or filter) instead
+    * of passing on emptiness. Organic pairs are unaffected: sentinel ids
+    * cannot collide with corpus doc_ids (all ≥ 0). */
   val multimodalPhash = Q.noOracle("multimodal_phash") { (s, dir) =>
-    phashPairs(s, t(s, dir, "documents").select(col("doc_id"), col("text")))
+    import s.implicits._
+    val sentinels = Seq(
+      (-2L, "graft phash liveness sentinel"),
+      (-1L, "graft phash liveness sentinel")).toDF("doc_id", "text")
+    phashPairs(s, t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionAll(sentinels))
   }
 
   /** 7-band split of a 64-bit fingerprint in column `phash`: bands 0-5

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.Stage.StagedOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -63,9 +64,9 @@ object TextCluster {
       maxIter: Int = 100): DataFrame = {
     val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
       .union(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
-      .localCheckpoint(true)
+      .staged
     var labels = vertices.select(col("doc_id").as("id"),
-      col("doc_id").as("label")).localCheckpoint(true)
+      col("doc_id").as("label")).staged
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -76,7 +77,7 @@ object TextCluster {
         .join(neighborMin, col("id") === col("x"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .staged
       changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") =!= col("prev")).count()
       labels = next

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.Stage.StagedOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -459,17 +460,17 @@ object VectorOps {
     // blocks are released by the ContextCleaner when the frames go out of
     // scope, unlike persist().
     val newG = newIdx.withColumn("vh", xxhash64(col("shh")))
-      .localCheckpoint(true)
+      .staged
     val histG = histIdx.withColumn("vh", xxhash64(col("shh")))
     val newReps = newG.groupBy("vh")
       .agg(min("doc_id").as("doc_id"), first("sig").as("sig"),
         first("shh").as("shh"))
-      .localCheckpoint(true)
+      .staged
     val histReps = histG.groupBy("vh")
       .agg(min("doc_id").as("doc_id"), first("sig").as("sig"),
         first("shh").as("shh"),
         min("doc_id").as("grp_min"), count(lit(1)).as("grp_n"))
-      .localCheckpoint(true)
+      .staged
     val a = bandKeys(newReps, numHashes, bands)
       .select(col("band"), col("band_hash"), col("doc_id").as("new_id"))
     val b = bandKeys(histReps.select(col("doc_id"), col("sig")),

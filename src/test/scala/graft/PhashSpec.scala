@@ -55,4 +55,15 @@ class PhashSpec extends SparkSpec {
     assert(noShared.count() == 0,
       "a hamming<=6 pair had no clean band — band tiling is broken")
   }
+
+  test("declared multimodal_phash emits the sentinel pair at corpus scale") {
+    // The round-6 liveness guarantee: the declared query (corpus + two
+    // byte-identical sentinel renders under reserved negative ids) emits
+    // the (-2,-1) hamming-0 pair at EVERY scale factor, so the driver's
+    // rows>0 check can never pass vacuously.
+    val out = operators.DocAssembly.multimodalPhash.fn(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out.get((-2L, -1L)).contains(0L),
+      s"sentinel pair missing: ${out.keySet.take(5)}")
+  }
 }
