@@ -30,7 +30,10 @@ object PlanAudit {
     "q22_sales_opportunity", // 1-row avg-acctbal threshold broadcast
     "q11_important_stock",   // 1-row total-value threshold broadcast
     "dedup_embedding_cosine", "dedup_ngram_jaccard", // exact quadratic baselines
-    "decontaminate_embedding") // bounded eval-set broadcast ANTI join
+    "decontaminate_embedding", // bounded eval-set broadcast ANTI join
+    "relevance_map", "search_query_expansion", // 1-row bm25-stats broadcast
+    "search_wand_topk",   // 1-row stats + 1-row θ-threshold broadcasts
+    "mine_hard_negatives") // 5-row anchor broadcast (label<>label join)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
