@@ -33,7 +33,8 @@ object PlanAudit {
     "decontaminate_embedding", // bounded eval-set broadcast ANTI join
     "relevance_map", "search_query_expansion", // 1-row bm25-stats broadcast
     "search_wand_topk",   // 1-row stats + 1-row θ-threshold broadcasts
-    "mine_hard_negatives") // 5-row anchor broadcast (label<>label join)
+    "mine_hard_negatives", // 5-row anchor broadcast (label<>label join)
+    "graph_triangle_count", "graph_degree_stats") // 1-row doc-count broadcast
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -32,7 +32,8 @@ object SparkEntry {
       EventsOps.all ++ LayoutOps.all ++ TableOps.all ++ SketchOps.all ++
       DssOps.all ++ DssOps2.all ++ MiningOps.all ++ ClusterOps.all ++
       RelevanceOps.all ++ CurationOps.all ++ CurationOps2.all ++
-      CurationOps3.all ++ RelevanceOps2.all ++ PipelineOps.all ++ aliases
+      CurationOps3.all ++ RelevanceOps2.all ++ PipelineOps.all ++
+      EventsOps2.all ++ GraphOps.all ++ TextOps2.all ++ aliases
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

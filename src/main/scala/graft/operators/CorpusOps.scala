@@ -114,7 +114,7 @@ object CorpusOps {
   /** Shingle expression shared by decontamination: word-8-grams, md5'd to
     * fixed-width join keys. Callers filter to docs with ≥ 8 tokens first
     * (Spark's `sequence(1, n)` descends for n < 1 — the short-doc trap). */
-  private def shingles8(textCol: String): org.apache.spark.sql.Column =
+  private[operators] def shingles8(textCol: String): org.apache.spark.sql.Column =
     expr(
       s"""transform(sequence(1, size(split($textCol, ' ')) - 7),
          |  i -> md5(concat_ws(' ',

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the token co-occurrence graph, wave 8 (round 6):
+  * triangle participation and the degree histogram — the two classic
+  * graph-shape summaries — computed on the top-50-token co-occurrence
+  * graph (nodes = highest-df tokens, edges = pairs co-occurring in ≥ 4%
+  * of documents — corpus-RELATIVE, so the graph keeps its shape as the
+  * corpus grows instead of densifying into a clique).
+  *
+  * Scale notes: the node restriction is the point — corpus-wide work is
+  * ONE distinct-incidence aggregation; everything after (pair counts,
+  * edge table, triangle joins) operates on data bounded by k² for k = 50
+  * nodes, independent of corpus size. The a<b<c orientation means each
+  * triangle is produced exactly once (the node-iterator bound); at 100 TB
+  * the incidence comes from the stored inverted index, and k scales to
+  * 10⁵ nodes with the same plan because the edge table, not the corpus,
+  * drives the joins. graph_pagerank (Analytics) covers the iterative
+  * family; these are the one-shot shape statistics.
+  */
+object GraphOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** DuckDB CTE block building the shared co-occurrence edge set
+    * (terminal CTE `edges`: t1 < t2, both in the top-50 df tokens,
+    * co-occurring in ≥ 4% of docs). */
+  private val EdgeOracleCtes =
+    """dt AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |nodes AS (
+      |  SELECT token FROM (
+      |    SELECT token, COUNT(*) AS df FROM dt GROUP BY token
+      |    ORDER BY df DESC, token LIMIT 50)),
+      |edges AS (
+      |  SELECT a.token AS t1, b.token AS t2
+      |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+      |  WHERE a.token IN (SELECT token FROM nodes)
+      |    AND b.token IN (SELECT token FROM nodes)
+      |  GROUP BY t1, t2
+      |  HAVING COUNT(*) >= CEIL(0.04 * (SELECT COUNT(*) FROM documents)))"""
+      .stripMargin
+
+  /** Spark twin of [[EdgeOracleCtes]]: the co-occurrence edge table. The
+    * doc count rides as a lazy 1-row broadcast (the oracle's scalar
+    * subquery), keeping plan construction job-free. */
+  private def edges(docs: DataFrame): DataFrame = {
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    val dt = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val nodes = dt.groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(50).select("token")
+    val restricted = dt.join(broadcast(nodes), "token")
+    val a = restricted.select(col("doc_id"), col("token").as("t1"))
+    val b = restricted.select(col("doc_id").as("d2"), col("token").as("t2"))
+    a.join(b, col("doc_id") === col("d2") && col("t1") < col("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(nDf))
+      .filter(col("c") >= ceil(col("n_docs") * 0.04))
+      .select("t1", "t2")
+  }
+
+  /** Per-node triangle participation in the co-occurrence graph, top-20:
+    * triangles enumerated once each via the a<b<c orientation (e1=(a,b),
+    * e2=(b,c), e3=(a,c) — two equi-joins over the EDGE table), then each
+    * triangle credits its three corners. The clustering signal a
+    * taxonomy/topic miner reads off a term graph. */
+  val graphTriangleCount = Q(
+    "graph_triangle_count",
+    s"""WITH $EdgeOracleCtes,
+       |tri AS (
+       |  SELECT e1.t1 AS a, e1.t2 AS b, e2.t2 AS c
+       |  FROM edges e1
+       |  JOIN edges e2 ON e1.t2 = e2.t1
+       |  JOIN edges e3 ON e1.t1 = e3.t1 AND e2.t2 = e3.t2),
+       |pernode AS (
+       |  SELECT u.token, CAST(COUNT(*) AS BIGINT) AS n_tri
+       |  FROM tri, unnest([a, b, c]) AS u(token)
+       |  GROUP BY u.token)
+       |SELECT token, n_tri FROM pernode
+       |ORDER BY n_tri DESC, token LIMIT 20""".stripMargin) { (s, dir) =>
+    val e = edges(t(s, dir, "documents"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.t2") === col("e2.t1"))
+      .join(e.as("e3"),
+        col("e1.t1") === col("e3.t1") && col("e2.t2") === col("e3.t2"))
+      .select(col("e1.t1").as("a"), col("e1.t2").as("b"), col("e2.t2").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("token"))
+      .limit(20)
+  }
+
+  /** Degree histogram of the co-occurrence graph: how many nodes have
+    * each edge count — the one-line shape summary (hubby vs flat) a graph
+    * profiler emits before committing to an algorithm. */
+  val graphDegreeStats = Q(
+    "graph_degree_stats",
+    s"""WITH $EdgeOracleCtes,
+       |deg AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+       |    SELECT t1 AS token FROM edges
+       |    UNION ALL SELECT t2 FROM edges)
+       |  GROUP BY token)
+       |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM deg GROUP BY degree
+       |ORDER BY degree""".stripMargin) { (s, dir) =>
+    val e = edges(t(s, dir, "documents"))
+    e.select(col("t1").as("token"))
+      .unionAll(e.select(col("t2").as("token")))
+      .groupBy("token").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  val all: Seq[Q] = Seq(graphTriangleCount, graphDegreeStats)
+}

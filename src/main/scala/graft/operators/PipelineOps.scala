@@ -163,11 +163,18 @@ object PipelineOps {
 
   // ------------------------------------------------------------ skew join
 
-  /** Salted skew join: lineitem ⋈ orders with the build side replicated
-    * across 8 salt buckets and the probe side salted by a hash of its
-    * non-key columns — the manual mitigation when one join key dominates a
-    * reducer. The oracle is the PLAIN join: salting must be answer-
-    * invariant, and this query proves it on every run. */
+  /** Salted skew join, SELECTIVE form: only join keys whose probe-side
+    * row count clears a hotness threshold are split across 8 salt buckets
+    * (probe rows salt by a hash of their non-key columns; the matching
+    * dim rows replicate 8×); every cold key joins unsalted (salt 0, one
+    * dim copy). This is the production shape — the blanket-salt variant
+    * replicates the ENTIRE dim side 8×, which at 10× already cost ~7× the
+    * plain join here. The hot-key set is an aggregate of the probe side,
+    * bounded by construction (few keys clear the threshold), and
+    * broadcasts to both sides. AQE's skew split is the first resort; the
+    * manual salt is for the known-hot-key case where a single key
+    * overflows one task. The oracle is the PLAIN join: salting must be
+    * answer-invariant, and this query proves it on every run. */
   val joinSkewSalted = Q(
     "join_skew_salted",
     s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
@@ -176,12 +183,25 @@ object PipelineOps {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
     val salt = 8
-    val li = t(s, dir, "lineitem")
+    val liRaw = t(s, dir, "lineitem")
+    // Hot keys: > 4 probe rows (TPC-H tops out at 7 lineitems/order, so
+    // this exercises BOTH paths; production sets it from the key
+    // histogram, e.g. rows-per-task overflow). Bounded + broadcast.
+    val hot = liRaw.groupBy(col("l_orderkey").as("hot_key"))
+      .agg(count(lit(1)).as("kc")).filter(col("kc") > 4)
+      .select("hot_key")
+    val li = liRaw
+      .join(broadcast(hot), col("l_orderkey") === col("hot_key"), "left")
       .withColumn("salt",
-        pmod(xxhash64(col("l_linenumber"), col("l_partkey")), lit(salt))
-          .cast("int"))
+        when(col("hot_key").isNotNull,
+          pmod(xxhash64(col("l_linenumber"), col("l_partkey")), lit(salt)))
+          .otherwise(lit(0)).cast("int"))
+      .drop("hot_key")
     val ord = t(s, dir, "orders")
-      .withColumn("salt", explode(expr(s"sequence(0, ${salt - 1})")))
+      .join(broadcast(hot), col("o_orderkey") === col("hot_key"), "left")
+      .withColumn("salt", explode(expr(
+        s"sequence(0, if(hot_key is not null, ${salt - 1}, 0))")))
+      .drop("hot_key")
     li.join(ord,
         li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
       .groupBy("o_orderpriority")
@@ -190,6 +210,23 @@ object PipelineOps {
   }
 
   // -------------------------------------------------------- sessionization
+
+  /** Gaps-and-islands session assignment: appends `session_id` (1-based
+    * per user, ordered by ts then event_id) to the given event rows; a new
+    * session starts after a > 30 min silence. Both windows share the
+    * (user_id) partitioning, so Catalyst plans exactly one exchange.
+    * Shared by events_session_gaps and the path-analysis ops. */
+  private[operators] def withSessionIds(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("pts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("pts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("pts")) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(w).cast("long"))
+      .drop("pts", "new_s")
+  }
 
   /** Gaps-and-islands sessionization: a new session starts after a > 30 min
     * silence per user (ties broken by event_id so the lag frame is total).
@@ -220,15 +257,8 @@ object PipelineOps {
       |    AS duration_us
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    t(s, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"))
-      .withColumn("pts", lag(col("ts"), 1).over(w))
-      .withColumn("new_s",
-        when(col("pts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("pts")) > 1800000000L, 1)
-          .otherwise(0))
-      .withColumn("session_id", sum(col("new_s")).over(w).cast("long"))
+    withSessionIds(t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id")))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),

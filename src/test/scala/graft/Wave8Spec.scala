@@ -1,0 +1,157 @@
+package graft
+
+import graft.operators.{EventsOps2, GraphOps, TextOps2}
+import java.security.MessageDigest
+import org.apache.spark.sql.functions._
+
+/** Behavior laws for the wave-8 analytics pack (Markov transitions,
+  * session paths, trailing EWMA, co-occurrence graph stats, n-gram
+  * containment) — driver-side recomputations pin the semantics the
+  * DuckDB oracle can't express as a law. */
+class Wave8Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("markov: rows per from_type sum to probability 1; counts conserve") {
+    val out = EventsOps2.eventsMarkovTransitions.fn(spark, sfDir).collect()
+    out.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val pSum = rs.map(_.getDouble(4)).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"from=$from probs sum $pSum")
+      val nFrom = rs.head.getLong(3)
+      assert(rs.map(_.getLong(2)).sum == nFrom)
+    }
+    val ev = Tables.load(spark, sfDir, "events")
+    val totalTransitions = ev.count() -
+      ev.select("user_id").distinct().count()
+    assert(out.map(_.getLong(2)).sum == totalTransitions)
+  }
+
+  test("session paths: <= 3 segments, counts descend, paths are event types") {
+    val out = EventsOps2.sessionPathsTopn.fn(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val types = Set("click", "error", "purchase", "signup", "view")
+    out.foreach { r =>
+      val segs = r.getString(0).split(">")
+      assert(segs.length >= 1 && segs.length <= 3)
+      segs.foreach(t => assert(types(t)))
+    }
+    val ns = out.map(_.getLong(1)).toSeq
+    assert(ns == ns.sorted.reverse)
+  }
+
+  test("ewma: matches a driver-side recomputation of the trailing-8 formula") {
+    val out = EventsOps2.eventsEwmaTrailing.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    val purchases = Tables.load(spark, sfDir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"value")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (u, rows) =>
+        u -> rows.sortBy(r => (r._3, r._2)).map(_._4)
+      }
+    val w = (0 to 7).map(d => 0.25 * math.pow(0.75, d))
+    val expected = purchases.flatMap { case (u, xs) =>
+      xs.indices.map { i =>
+        val terms = (0 to math.min(7, i)).map(d => w(d) * xs(i - d))
+        val den = (0 to math.min(7, i)).map(w).sum
+        (u, i, math.rint(terms.sum / den * 1e6) / 1e6)
+      }
+    }
+    // Index by (user, order) — event ids differ; compare sorted sequences.
+    val gotByUser = out.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.sortBy(_._2).map(_._3).toSeq
+    }
+    expected.groupBy(_._1).foreach { case (u, exp) =>
+      val es = exp.toSeq.sortBy(_._2).map(_._3)
+      val gs = gotByUser(u)
+      assert(es.size == gs.size)
+      es.zip(gs).foreach { case (e, g) =>
+        assert(math.abs(e - g) <= 1e-6, s"user $u")
+      }
+    }
+    // The first purchase of every user is its own EWMA (weights normalize).
+    val firstVals = purchases.map { case (u, xs) => u -> xs.head }
+    firstVals.foreach { case (u, v) =>
+      assert(math.abs(gotByUser(u).head - math.rint(v * 1e6) / 1e6) <= 1e-6)
+    }
+  }
+
+  /** Driver-side rebuild of the co-occurrence graph (same definition as
+    * GraphOps.edges): top-50 df tokens, pairs in >= 4% of docs. */
+  private def rebuildGraph(): (Set[(String, String)], Map[String, Int]) = {
+    val texts = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val docTokens = texts.map(_._2.split(" ").toSet)
+    val df = docTokens.flatten.groupBy(identity).view.mapValues(_.length)
+    val nodes = df.toSeq.sortBy { case (t, c) => (-c, t) }.take(50)
+      .map(_._1).toSet
+    val minCo = math.ceil(0.04 * texts.length).toInt
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Int]
+    docTokens.foreach { ts =>
+      val in = ts.intersect(nodes).toSeq.sorted
+      for (i <- in.indices; j <- i + 1 until in.size)
+        pairCounts((in(i), in(j))) =
+          pairCounts.getOrElse((in(i), in(j)), 0) + 1
+    }
+    val edges = pairCounts.filter(_._2 >= minCo).keySet.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    (edges, deg)
+  }
+
+  test("triangles: per-node counts match a driver-side graph rebuild") {
+    val (edges, _) = rebuildGraph()
+    val es = edges
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val triPerNode = scala.collection.mutable.Map.empty[String, Long]
+    for {
+      (a, b) <- es; c <- nodes if b < c
+      if es((b, c)) && es((a, c))
+    } Seq(a, b, c).foreach(n =>
+      triPerNode(n) = triPerNode.getOrElse(n, 0L) + 1)
+    val expectedTop = triPerNode.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(20)
+    val got = GraphOps.graphTriangleCount.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expectedTop)
+  }
+
+  test("degree histogram: sum(degree * n_nodes) = 2 * |edges|") {
+    val (edges, deg) = rebuildGraph()
+    val out = GraphOps.graphDegreeStats.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map { case (d, n) => d * n }.sum == 2L * edges.size)
+    assert(out.map(_._2).sum == deg.size)
+  }
+
+  test("containment: pairs verified against a driver-side shingle rebuild") {
+    val out = TextOps2.textContainmentNgram.fn(spark, sfDir).collect()
+    assert(out.nonEmpty) // the clone-bearing corpus must surface pairs
+    val md = MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // Same pipeline: >=8 tokens, exact-dup collapse to min doc_id.
+    val reps = texts.filter(_._2.split(" ").length >= 8)
+      .groupBy(t => md5hex(t._2)).map(_._2.minBy(_._1)).toSeq
+    val shingles = reps.map { case (id, text) =>
+      val toks = text.split(" ")
+      id -> toks.sliding(8).map(w => md5hex(w.mkString(" "))).toSet
+    }.toMap
+    val dfh = shingles.values.flatten.groupBy(identity).view
+      .mapValues(_.size).toMap
+    val kept = shingles.map { case (id, hs) =>
+      id -> hs.filter(h => dfh(h) <= 50)
+    }
+    out.foreach { r =>
+      val (a, b, nShared, cont) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(a < b)
+      val inter = kept(a).intersect(kept(b)).size.toLong
+      assert(inter == nShared, s"pair ($a,$b)")
+      val expCont = math.rint(
+        inter.toDouble / math.min(kept(a).size, kept(b).size) * 1e6) / 1e6
+      assert(math.abs(cont - expCont) <= 1e-9 && cont >= 0.5)
+    }
+  }
+}
