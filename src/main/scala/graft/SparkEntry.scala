@@ -33,7 +33,8 @@ object SparkEntry {
       DssOps.all ++ DssOps2.all ++ MiningOps.all ++ ClusterOps.all ++
       RelevanceOps.all ++ CurationOps.all ++ CurationOps2.all ++
       CurationOps3.all ++ RelevanceOps2.all ++ PipelineOps.all ++
-      EventsOps2.all ++ GraphOps.all ++ TextOps2.all ++ aliases
+      EventsOps2.all ++ GraphOps.all ++ TextOps2.all ++ IndexOps.all ++
+      aliases
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

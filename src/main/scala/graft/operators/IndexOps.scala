@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Index lifecycle + serving operability, wave 9 (round 6): segment merge
+  * for the inverted index (the Lucene merge step, proven ≡ a full
+  * rebuild), min-max hybrid score blending (the other standard fusion
+  * next to RRF), and an ANN recall report (the index-quality monitor a
+  * production vector platform exposes).
+  *
+  * Scale notes:
+  *  - index_segment_merge: merging is a hash aggregate over the two
+  *    segments' INDEX ROWS (≪ corpus); postings concatenate inside a
+  *    codegen HOF per (token, block) and re-sort only within one block's
+  *    ≤ 4096 entries. This is the operation that makes per-batch ingest
+  *    indexes (index_inverted_build's design) compose into one logical
+  *    index without re-tokenizing anything.
+  *  - search_hybrid_blend: both retrievers end in TakeOrderedAndProject(50)
+  *    before any fusion math; min/max normalizers are 1-row broadcasts
+  *    computed over those 50-row frames.
+  *  - ann_recall_report: each branch intersects two bounded top-k pair
+  *    frames (left-semi on the pair key) — the whole report costs two
+  *    retrievals regardless of corpus size.
+  */
+object IndexOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  // -------------------------------------------------------- segment merge
+
+  /** Merge two inverted-index segments into one (same schema as
+    * [[CurationOps3.invertedIndex]]): per (token, block) the block df/tf
+    * SUM and the postings CSVs re-sort-merged by doc_id. */
+  def mergeSegments(segA: DataFrame, segB: DataFrame): DataFrame = {
+    def arr(c: String, as: String): Column =
+      transform(split(col(c), ","), x => x.cast("long")).as(as)
+    val both = segA.unionByName(segB)
+      .select(col("token"), col("block_id"), col("df_block"), col("tf_block"),
+        arr("doc_ids", "ids"), arr("tfs", "tfv"))
+      .withColumn("pairs", zip_with(col("ids"), col("tfv"),
+        (i, f) => struct(i.as("doc_id"), f.as("tf"))))
+    def csv(field: String): Column = array_join(
+      transform(sort_array(flatten(collect_list(col("pairs")))),
+        x => x.getField(field).cast("string")), ",")
+    both.groupBy("token", "block_id")
+      .agg(sum(col("df_block")).as("df_block"),
+        sum(col("tf_block")).as("tf_block"),
+        csv("doc_id").as("doc_ids"),
+        csv("tf").as("tfs"))
+      .orderBy("token", "block_id")
+  }
+
+  /** Segment merge ≡ full rebuild, proven by the oracle: the corpus splits
+    * into two interleaved segments (doc_id parity — both segments hit the
+    * SAME blocks, forcing real postings merges, not block concatenation),
+    * each is indexed independently (the ingest-batch shape), and the
+    * merged result must equal the full-corpus index — the oracle IS
+    * index_inverted_build's full-build SQL. */
+  val indexSegmentMerge = Q(
+    "index_segment_merge",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tf AS (
+      |  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY token, doc_id),
+      |b AS (
+      |  SELECT token, doc_id, tf,
+      |    CAST(FLOOR(doc_id / 4096.0) AS BIGINT) AS block_id
+      |  FROM tf)
+      |SELECT token, block_id,
+      |  CAST(COUNT(*) AS BIGINT) AS df_block,
+      |  CAST(SUM(tf) AS BIGINT) AS tf_block,
+      |  array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')
+      |    AS doc_ids,
+      |  array_to_string(list(CAST(tf AS VARCHAR) ORDER BY doc_id), ',')
+      |    AS tfs
+      |FROM b GROUP BY token, block_id
+      |ORDER BY token, block_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val segA = CurationOps3.invertedIndex(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+    val segB = CurationOps3.invertedIndex(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    mergeSegments(segA, segB)
+  }
+
+  // -------------------------------------------------------- hybrid blend
+
+  /** Hybrid retrieval, weighted-blend form (the standard alternative to
+    * rank_fusion_rrf): min-max-normalize each retriever's top-50 scores
+    * to [0, 1], then blend 0.6·lexical + 0.4·vector; docs on one list
+    * only contribute their one normalized term. All divisions/products
+    * operate on already-ROUNDED scores, so both engines do identical IEEE
+    * arithmetic; the blend re-rounds to 6. */
+  val searchHybridBlend = Q(
+    "search_hybrid_blend",
+    s"""WITH ${CorpusOps.Bm25OracleCtes},
+       |${RelevanceOps.VecOracleCtes},
+       |bmtop AS (
+       |  SELECT doc_id, bm25 AS score FROM bm
+       |  ORDER BY bm25 DESC, doc_id LIMIT 50),
+       |vtop AS (
+       |  SELECT doc_id, score FROM vsim
+       |  ORDER BY score DESC, doc_id LIMIT 50),
+       |bmn AS (
+       |  SELECT doc_id, ROUND((score - mn) / (mx - mn), 6) AS nbm FROM bmtop,
+       |    (SELECT MIN(score) AS mn, MAX(score) AS mx FROM bmtop)),
+       |vn AS (
+       |  SELECT doc_id, ROUND((score - mn) / (mx - mn), 6) AS nvec FROM vtop,
+       |    (SELECT MIN(score) AS mn, MAX(score) AS mx FROM vtop))
+       |SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+       |  ROUND(0.6 * COALESCE(nbm, 0.0) + 0.4 * COALESCE(nvec, 0.0), 6)
+       |    AS blend,
+       |  ROUND(COALESCE(nbm, -1.0), 6) AS nbm,
+       |  ROUND(COALESCE(nvec, -1.0), 6) AS nvec
+       |FROM bmn b FULL OUTER JOIN vn v ON b.doc_id = v.doc_id
+       |ORDER BY blend DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    VectorOps.registerFns(s)
+    val bmTop = CorpusOps.bm25Scores(docs)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+      .select(col("doc_id"), col("bm25").as("score"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val vTop = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(call_function("cosine_sim", col("embedding"), col("qe")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+    def normed(top: DataFrame, as: String): DataFrame = {
+      val mm = top.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+      top.crossJoin(broadcast(mm))
+        .select(col("doc_id"),
+          round((col("score") - col("mn")) / (col("mx") - col("mn")), 6)
+            .as(as))
+    }
+    normed(bmTop, "nbm").join(normed(vTop, "nvec"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(lit(0.6) * coalesce(col("nbm"), lit(0.0)) +
+          lit(0.4) * coalesce(col("nvec"), lit(0.0)), 6).as("blend"),
+        round(coalesce(col("nbm"), lit(-1.0)), 6).as("nbm"),
+        round(coalesce(col("nvec"), lit(-1.0)), 6).as("nvec"))
+      .orderBy(col("blend").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  // -------------------------------------------------------- recall report
+
+  /** ANN index-quality monitor: recall@k of the SRP-LSH top-k pair
+    * retrieval against the exact cosine kernel, at k = 10/50/100 — the
+    * number a vector platform dashboards to decide when an index needs
+    * re-tuning. No SQL oracle (the LSH side isn't SQL-expressible);
+    * IndexOpsSpec pins the recall floor and the exact-side agreement. */
+  val annRecallReport = Q.noOracle("ann_recall_report") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val exact = VectorOps.similarityTopKPairs(s, emb, k = 100)
+      .select(col("a_id"), col("b_id"))
+    val approx = AnnOps.lshTopKPairs(s, emb, k = 100)
+      .select(col("a_id"), col("b_id"))
+    val reports = Seq(10, 50, 100).map { k =>
+      exact.limit(k).join(approx.limit(k), Seq("a_id", "b_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(k).as("k"), col("n_overlap"),
+          round(col("n_overlap") / k.toDouble, 6).as("recall"))
+    }
+    reports.reduce(_ unionByName _).orderBy("k")
+  }
+
+  val all: Seq[Q] = Seq(indexSegmentMerge, searchHybridBlend, annRecallReport)
+}

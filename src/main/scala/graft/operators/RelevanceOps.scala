@@ -33,7 +33,7 @@ object RelevanceOps {
   /** DuckDB CTEs for the vector retriever: rounded cosine of every
     * embedding against the query vector (vec_id = 0), terminal CTE `vsim`
     * with (doc_id, score). Mirrors VectorOps.knnQuery's oracle. */
-  private val VecOracleCtes =
+  private[operators] val VecOracleCtes =
     """q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
       |un AS (
       |  SELECT e.vec_id, unnest(e.embedding) AS xe, unnest((SELECT qe FROM q)) AS xq
