@@ -103,10 +103,12 @@ object IndexOps {
        |  SELECT doc_id, score FROM vsim
        |  ORDER BY score DESC, doc_id LIMIT 50),
        |bmn AS (
-       |  SELECT doc_id, ROUND((score - mn) / (mx - mn), 6) AS nbm FROM bmtop,
+       |  SELECT doc_id, ROUND(CASE WHEN mx = mn THEN 1.0
+       |    ELSE (score - mn) / (mx - mn) END, 6) AS nbm FROM bmtop,
        |    (SELECT MIN(score) AS mn, MAX(score) AS mx FROM bmtop)),
        |vn AS (
-       |  SELECT doc_id, ROUND((score - mn) / (mx - mn), 6) AS nvec FROM vtop,
+       |  SELECT doc_id, ROUND(CASE WHEN mx = mn THEN 1.0
+       |    ELSE (score - mn) / (mx - mn) END, 6) AS nvec FROM vtop,
        |    (SELECT MIN(score) AS mn, MAX(score) AS mx FROM vtop))
        |SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
        |  ROUND(0.6 * COALESCE(nbm, 0.0) + 0.4 * COALESCE(nvec, 0.0), 6)
@@ -128,12 +130,16 @@ object IndexOps {
         round(call_function("cosine_sim", col("embedding"), col("qe")), 6)
           .as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(50)
+    // Degenerate-range guard (100×-replica finding): a clone-heavy corpus
+    // can tie ALL top-50 scores (mx = mn) — every doc then normalizes to
+    // 1.0 instead of dividing by zero.
     def normed(top: DataFrame, as: String): DataFrame = {
       val mm = top.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
       top.crossJoin(broadcast(mm))
         .select(col("doc_id"),
-          round((col("score") - col("mn")) / (col("mx") - col("mn")), 6)
-            .as(as))
+          round(when(col("mx") === col("mn"), lit(1.0))
+            .otherwise((col("score") - col("mn")) /
+              (col("mx") - col("mn"))), 6).as(as))
     }
     normed(bmTop, "nbm").join(normed(vTop, "nvec"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
@@ -153,11 +159,16 @@ object IndexOps {
     * re-tuning. No SQL oracle (the LSH side isn't SQL-expressible);
     * IndexOpsSpec pins the recall floor and the exact-side agreement. */
   val annRecallReport = Q.noOracle("ann_recall_report") { (s, dir) =>
+    import graft.Stage.StagedOps
     val emb = t(s, dir, "embeddings")
+    // Both retrievals are consumed by THREE @k branches each — Stage()
+    // materializes the two 100-row pair frames once so the branches read
+    // blocks instead of re-running the kernel/LSH pipelines (3× the
+    // retrieval cost without it; reliable checkpoint when a dir is set).
     val exact = VectorOps.similarityTopKPairs(s, emb, k = 100)
-      .select(col("a_id"), col("b_id"))
+      .select(col("a_id"), col("b_id")).staged
     val approx = AnnOps.lshTopKPairs(s, emb, k = 100)
-      .select(col("a_id"), col("b_id"))
+      .select(col("a_id"), col("b_id")).staged
     val reports = Seq(10, 50, 100).map { k =>
       exact.limit(k).join(approx.limit(k), Seq("a_id", "b_id"), "left_semi")
         .agg(count(lit(1)).as("n_overlap"))
@@ -167,5 +178,144 @@ object IndexOps {
     reports.reduce(_ unionByName _).orderBy("k")
   }
 
-  val all: Seq[Q] = Seq(indexSegmentMerge, searchHybridBlend, annRecallReport)
+  // ----------------------------------------------------------- percolate
+
+  /** Reverse search (the Solr/ES percolator): STORED queries — each a set
+    * of required terms (AND semantics) — matched against an incoming
+    * document batch (deterministic md5-prefix sample, the house batch
+    * convention). A doc matches a query when it contains every term; the
+    * response aggregates per query. The stored-query table is small by
+    * nature and broadcasts into an equi-join on the term — alerting /
+    * saved-search evaluation without ever scanning queries per doc. */
+  val searchPercolate = Q(
+    "search_percolate",
+    """WITH queries AS (
+      |  SELECT * FROM (VALUES
+      |    ('alert_tables', 'table,scan'),
+      |    ('alert_vectors', 'vector'),
+      |    ('alert_joins', 'hash,join'),
+      |    ('alert_streaming', 'spark,stream'),
+      |    ('alert_errors', 'slow,error')) AS v(query_id, terms)),
+      |qterms AS (
+      |  SELECT query_id, unnest(string_split(terms, ',')) AS term,
+      |    len(string_split(terms, ',')) AS n_terms
+      |  FROM queries),
+      |batch AS (
+      |  SELECT doc_id, text FROM documents WHERE md5(text) LIKE '1%'),
+      |inc AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM batch),
+      |matches AS (
+      |  SELECT query_id, doc_id
+      |  FROM inc JOIN qterms ON token = term
+      |  GROUP BY query_id, doc_id, n_terms
+      |  HAVING COUNT(*) = n_terms),
+      |agg AS (
+      |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+      |    CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+      |    CAST(MAX(doc_id) AS BIGINT) AS last_doc
+      |  FROM matches GROUP BY query_id)
+      |SELECT q.query_id, COALESCE(n_matched, 0) AS n_matched,
+      |  first_doc, last_doc
+      |FROM queries q LEFT JOIN agg USING (query_id)
+      |ORDER BY q.query_id""".stripMargin) { (s, dir) =>
+    val queries = {
+      import s.implicits._
+      Seq("alert_tables" -> "table,scan", "alert_vectors" -> "vector",
+        "alert_joins" -> "hash,join", "alert_streaming" -> "spark,stream",
+        "alert_errors" -> "slow,error").toDF("query_id", "terms")
+    }
+    val qterms = queries
+      .select(col("query_id"),
+        explode(split(col("terms"), ",")).as("term"),
+        size(split(col("terms"), ",")).as("n_terms"))
+    val inc = t(s, dir, "documents")
+      .filter(md5(col("text")).startsWith("1"))
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+    val agg = inc.join(broadcast(qterms), col("token") === col("term"))
+      .groupBy("query_id", "doc_id", "n_terms")
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === col("n_terms"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_matched"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+    // Zero-match queries still report (a percolator response is per
+    // stored query, not per hit).
+    queries.select("query_id").join(agg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        col("first_doc"), col("last_doc"))
+      .orderBy("query_id")
+  }
+
+  // ------------------------------------------------------------ deletion
+
+  /** Apply a delete set to a STORED inverted index (tombstone merge): the
+    * deleted doc ids group per block and LEFT-join the index, so ONLY
+    * blocks containing deletions rewrite their postings (a codegen HOF
+    * filter over ≤ 4096 entries); untouched blocks pass through, emptied
+    * rows drop. */
+  def deleteFromIndex(idx: DataFrame, deleted: DataFrame): DataFrame = {
+    val delByBlock = deleted
+      .withColumn("block_id", floor(col("doc_id") / lit(4096)).cast("long"))
+      .groupBy("block_id")
+      .agg(collect_set(col("doc_id")).as("del_ids"))
+    def arr(c: String): Column =
+      transform(split(col(c), ","), x => x.cast("long"))
+    idx.join(broadcast(delByBlock), Seq("block_id"), "left")
+      .withColumn("pairs", zip_with(arr("doc_ids"), arr("tfs"),
+        (i, f) => struct(i.as("doc_id"), f.as("tf"))))
+      .withColumn("kept", when(col("del_ids").isNull, col("pairs"))
+        .otherwise(filter(col("pairs"),
+          x => !array_contains(col("del_ids"), x.getField("doc_id")))))
+      .filter(size(col("kept")) > 0)
+      .select(col("token"), col("block_id"),
+        size(col("kept")).cast("long").as("df_block"),
+        aggregate(col("kept"), lit(0L), (acc, x) =>
+          acc + x.getField("tf")).as("tf_block"),
+        array_join(transform(col("kept"),
+          x => x.getField("doc_id").cast("string")), ",").as("doc_ids"),
+        array_join(transform(col("kept"),
+          x => x.getField("tf").cast("string")), ",").as("tfs"))
+      .orderBy("token", "block_id")
+  }
+
+  /** Delete-equals-rebuild, proven by the oracle: the full index minus a
+    * deterministic delete set (md5-prefix '0' docs) must equal the index
+    * rebuilt from the surviving corpus — the oracle IS the rebuild SQL.
+    * Deletion touches only index rows; the surviving corpus is never
+    * re-tokenized. */
+  val indexDeleteDocs = Q(
+    "index_delete_docs",
+    """WITH keep AS (
+      |  SELECT doc_id, text FROM documents WHERE md5(text) NOT LIKE '0%'),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM keep),
+      |tf AS (
+      |  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY token, doc_id),
+      |b AS (
+      |  SELECT token, doc_id, tf,
+      |    CAST(FLOOR(doc_id / 4096.0) AS BIGINT) AS block_id
+      |  FROM tf)
+      |SELECT token, block_id,
+      |  CAST(COUNT(*) AS BIGINT) AS df_block,
+      |  CAST(SUM(tf) AS BIGINT) AS tf_block,
+      |  array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')
+      |    AS doc_ids,
+      |  array_to_string(list(CAST(tf AS VARCHAR) ORDER BY doc_id), ',')
+      |    AS tfs
+      |FROM b GROUP BY token, block_id
+      |ORDER BY token, block_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val idx = CurationOps3.invertedIndex(docs)
+    val deleted = docs.filter(md5(col("text")).startsWith("0"))
+      .select("doc_id")
+    deleteFromIndex(idx, deleted)
+  }
+
+  val all: Seq[Q] = Seq(indexSegmentMerge, searchHybridBlend, annRecallReport,
+    searchPercolate, indexDeleteDocs)
 }

@@ -42,6 +42,47 @@ class IndexOpsSpec extends SparkSpec {
     assert(out.exists(_.getDouble(3) == 1.0))
   }
 
+  test("percolate: agrees with a driver-side match of every stored query") {
+    import spark.implicits._
+    val out = IndexOps.searchPercolate.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    val queries = Map(
+      "alert_tables" -> Seq("table", "scan"),
+      "alert_vectors" -> Seq("vector"),
+      "alert_joins" -> Seq("hash", "join"),
+      "alert_streaming" -> Seq("spark", "stream"),
+      "alert_errors" -> Seq("slow", "error"))
+    assert(out.keySet == queries.keySet) // zero-match queries still report
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val batch = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .filter(t => md5hex(t._2).startsWith("1"))
+      .map(t => t._1 -> t._2.split(" ").toSet)
+    queries.foreach { case (qid, terms) =>
+      val matched = batch.filter(d => terms.forall(d._2)).map(_._1)
+      val (n, first, last) = out(qid)
+      assert(n == matched.length, s"$qid count")
+      if (matched.nonEmpty) {
+        assert(first.contains(matched.min) && last.contains(matched.max))
+      } else assert(first.isEmpty && last.isEmpty)
+    }
+  }
+
+  test("index delete: empty set is identity; delete-all empties the index") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val idx = CurationOps3.invertedIndex(docs)
+    val noneDeleted = IndexOps.deleteFromIndex(idx,
+      Seq.empty[Long].toDF("doc_id"))
+    assert(noneDeleted.collect().map(_.toSeq).toSeq ==
+      idx.collect().map(_.toSeq).toSeq)
+    val allIds = docs.select($"doc_id")
+    assert(IndexOps.deleteFromIndex(idx, allIds).count() == 0L)
+  }
+
   test("recall report: internally consistent, nonvacuous recall floor") {
     val out = IndexOps.annRecallReport.fn(spark, sfDir).collect()
     assert(out.map(_.getInt(0)).toSeq == Seq(10, 50, 100))
