@@ -85,5 +85,123 @@ object TextOps2 {
         .limit(50)
   }
 
-  val all: Seq[Q] = Seq(textContainmentNgram)
+  /** Portable hex-nibble value of the md5 prefix (the corpus_shard_shuffle
+    * convention): both engines evaluate the identical `instr` arithmetic,
+    * so the bucket assignment is engine-exact with no native-hash
+    * dependence. */
+  private def hexNibble(h: String, i: Int): String =
+    s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)"
+
+  /** Feature hashing (the HashingTF / hashing-trick embedder): every token
+    * maps to one of 64 buckets by its md5 prefix, with a ±1 sign from the
+    * third nibble (the signed hashing variant that keeps collisions
+    * unbiased), and each document becomes the sparse integer vector of
+    * signed term-frequency sums. The deterministic, vocabulary-free way to
+    * embed text for similarity/dedup when no model is available — ALL
+    * arithmetic is integer, so cross-engine parity is exact by
+    * construction. Pure map + one (doc, bucket) aggregate; at 100 TB this
+    * is a single two-phase hash agg over the tokenize stream. */
+  val textHashingFeatures = Q(
+    "text_hashing_features", {
+      val b = s"(${hexNibble("h", 1)} * 16 + ${hexNibble("h", 2)}) % 64"
+      val sign = s"CASE WHEN ${hexNibble("h", 3)} < 8 THEN 1 ELSE -1 END"
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |h AS (SELECT doc_id, token, md5(token) AS h FROM tok),
+         |m AS (
+         |  SELECT doc_id, CAST($b AS BIGINT) AS bucket,
+         |    CAST($sign AS BIGINT) AS sign
+         |  FROM h)
+         |SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS weight
+         |FROM m GROUP BY doc_id, bucket
+         |HAVING SUM(sign) <> 0
+         |ORDER BY doc_id, bucket""".stripMargin
+    }) { (s, dir) =>
+    val b = s"(${hexNibble("h", 1)} * 16 + ${hexNibble("h", 2)}) % 64"
+    val sign = s"CASE WHEN ${hexNibble("h", 3)} < 8 THEN 1 ELSE -1 END"
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .withColumn("h", md5(col("token")))
+      .select(col("doc_id"),
+        expr(s"CAST($b AS BIGINT)").as("bucket"),
+        expr(s"CAST($sign AS BIGINT)").as("sign"))
+      .groupBy("doc_id", "bucket")
+      .agg(sum(col("sign")).as("weight"))
+      .filter(col("weight") =!= 0)
+      .orderBy("doc_id", "bucket")
+  }
+
+  /** Tf-idf cosine retrieval: rank the corpus against ONE query document's
+    * tf-idf vector (doc 42) — the real-valued upgrade of
+    * search_more_like_this's integer overlap, and the linear-scale shape
+    * (the join ships only the query's terms' postings; at 100 TB tf/df
+    * come from the stored inverted index).
+    *
+    * Parity engineering: weights ROUND to 6 decimals and cast to
+    * DECIMAL(12,6) — EXACT, since a 6-rounded double is on the scale-6
+    * grid — so every product/sum runs in exact decimal arithmetic
+    * (order-independent); sums ROUND to 6 again BEFORE the double cast
+    * (the int128 double-rounding rule); ln() on identical doubles is
+    * empirically engine-identical (the bm25 convention, oracle-proven at
+    * every scale tier). */
+  val searchTfidfCosine = Q(
+    "search_tfidf_cosine",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY doc_id, token),
+      |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      |w AS (
+      |  SELECT doc_id, token,
+      |    CAST(ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6)
+      |      AS DECIMAL(12,6)) AS w
+      |  FROM tf JOIN df USING (token) CROSS JOIN n),
+      |nrm AS (
+      |  SELECT doc_id,
+      |    SQRT(CAST(ROUND(SUM(w * w), 6) AS DOUBLE)) AS nrm
+      |  FROM w GROUP BY doc_id),
+      |q AS (SELECT token, w AS wq FROM w WHERE doc_id = 42),
+      |dots AS (
+      |  SELECT w.doc_id,
+      |    CAST(ROUND(SUM(w.w * q.wq), 6) AS DOUBLE) AS dot
+      |  FROM w JOIN q USING (token)
+      |  WHERE w.doc_id <> 42 GROUP BY w.doc_id)
+      |SELECT d.doc_id,
+      |  ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+      |FROM dots d
+      |JOIN nrm na ON na.doc_id = 42
+      |JOIN nrm nb ON nb.doc_id = d.doc_id
+      |ORDER BY cosine DESC, d.doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = tf.join(broadcast(df), "token").crossJoin(broadcast(nDf))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(12, 6)).as("w"))
+    val nrm = w.groupBy("doc_id")
+      .agg(sqrt(round(sum(col("w") * col("w")), 6).cast("double")).as("nrm"))
+    val q = w.filter(col("doc_id") === 42)
+      .select(col("token"), col("w").as("wq"))
+    val dots = w.filter(col("doc_id") =!= 42)
+      .join(broadcast(q), "token")
+      .groupBy("doc_id")
+      .agg(round(sum(col("w") * col("wq")), 6).cast("double").as("dot"))
+    val qn = nrm.filter(col("doc_id") === 42).select(col("nrm").as("qnrm"))
+    dots.join(nrm, "doc_id").crossJoin(broadcast(qn))
+      .select(col("doc_id"),
+        round(col("dot") / (col("qnrm") * col("nrm")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(textContainmentNgram, textHashingFeatures,
+    searchTfidfCosine)
 }

@@ -271,6 +271,27 @@ object Streams {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
 
+  /** I10 — streaming percolator: stored AND-semantics term queries
+    * evaluated against a DOCUMENT STREAM (the alerting/saved-search
+    * shape; operators.IndexOps.searchPercolate is the batch twin). Each
+    * query compiles to a STATELESS scan-side predicate — "tokens contain
+    * every term" — so the whole operator is select/filter/union with no
+    * aggregation state, runs in append mode, and needs no watermark: a
+    * matched (query_id, doc_id) emits in the micro-batch the doc arrives
+    * in. The stored-query set is bounded by nature (it parameterizes the
+    * PLAN, the way a percolator compiles queries into its match network);
+    * query-set changes redeploy the stream, which is how saved-search
+    * topologies actually roll out. */
+  def percolateStream(docs: DataFrame,
+      queries: Seq[(String, Seq[String])]): DataFrame = {
+    val toks = split(col("text"), " ")
+    queries.map { case (qid, terms) =>
+      docs.filter(terms.map(tm => array_contains(toks, tm))
+          .reduce(_ && _))
+        .select(lit(qid).as("query_id"), col("doc_id"))
+    }.reduce(_ unionByName _)
+  }
+
   /** I7 — micro-batch sink: per-batch bulk write through a DocumentSink
     * (the Solr-indexing shape: one bulk commit per micro-batch). */
   def foreachBatchSink(df: DataFrame, checkpointDir: String)(

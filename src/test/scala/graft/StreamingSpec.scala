@@ -429,4 +429,33 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty, "corpus must contain attributable purchases")
     assert(rows.map(_.toSeq).toSet == batch.toSet)
   }
+
+  test("streaming percolator matches the batch evaluation, append mode") {
+    // Document feed: 4 micro-batch slices of the documents table.
+    val dir = Files.createTempDirectory("graft_doc_feed").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    (0 until 4).foreach { i =>
+      docs.filter(pmod($"doc_id", lit(4)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/f$i")
+    }
+    val feed = flatten(dir)
+    val queries = Seq(
+      "alert_tables" -> Seq("table", "scan"),
+      "alert_vectors" -> Seq("vector"),
+      "alert_errors" -> Seq("slow", "error"))
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    val rows = runToCompletion(
+      Streams.percolateStream(stream, queries), OutputMode.Append())
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = Streams.percolateStream(docs, queries).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "corpus must match at least one stored query")
+    assert(rows == batch)
+    // Stateless contract: every match emits exactly once across batches.
+    assert(rows.size == Streams.percolateStream(docs, queries).count())
+  }
 }

@@ -123,6 +123,61 @@ class Wave8Spec extends SparkSpec {
     assert(out.map(_._2).sum == deg.size)
   }
 
+  test("hashing features: exact driver-side recompute of the signed buckets") {
+    val out = TextOps2.textHashingFeatures.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val expected = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    texts.foreach { case (id, text) =>
+      text.split(" ").foreach { tok =>
+        val h = md5hex(tok)
+        def nib(i: Int) = "0123456789abcdef".indexOf(h(i)).toLong
+        val bucket = (nib(0) * 16 + nib(1)) % 64
+        val sign = if (nib(2) < 8) 1L else -1L
+        val k = (id, bucket)
+        expected(k) = expected.getOrElse(k, 0L) + sign
+      }
+    }
+    assert(out == expected.filter(_._2 != 0L).toMap)
+  }
+
+  test("tfidf cosine: values agree with a driver-side recompute, 42 excluded") {
+    val out = TextOps2.searchTfidfCosine.fn(spark, sfDir).collect()
+    assert(out.nonEmpty && out.forall(_.getLong(0) != 42L))
+    val cosines = out.map(_.getDouble(1)).toSeq
+    assert(cosines == cosines.sorted.reverse)
+    val texts = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // split(" ", -1): Spark/DuckDB string_split KEEP trailing empty
+    // tokens; Java's 1-arg split drops them, silently changing df/weights.
+    val tf = texts.map { case (id, t) =>
+      id -> t.split(" ", -1).groupBy(identity).view.mapValues(_.length).toMap
+    }.toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity).view
+      .mapValues(_.size).toMap
+    val n = texts.length.toDouble
+    def w(id: Long): Map[String, Double] = tf(id).map { case (t, f) =>
+      t -> math.rint(f * math.log(n / df(t)) * 1e6) / 1e6
+    }
+    val wq = w(42L)
+    val qn = math.sqrt(wq.values.map(x => x * x).sum)
+    out.foreach { r =>
+      val (id, cos) = (r.getLong(0), r.getDouble(1))
+      val wd = w(id)
+      // .toSeq first: wq.keys is a Set and Set.map would collapse equal
+      // products before the sum.
+      val dot = wq.keys.toSeq.filter(wd.contains).map(t => wq(t) * wd(t)).sum
+      val dn = math.sqrt(wd.values.map(x => x * x).sum)
+      val exp = dot / (qn * dn)
+      assert(math.abs(cos - exp) <= 2e-4, s"doc $id: $cos vs $exp")
+      assert(cos > 0.0 && cos <= 1.0 + 1e-6)
+    }
+  }
+
   test("containment: pairs verified against a driver-side shingle rebuild") {
     val out = TextOps2.textContainmentNgram.fn(spark, sfDir).collect()
     assert(out.nonEmpty) // the clone-bearing corpus must surface pairs
