@@ -36,7 +36,8 @@ object PlanAudit {
     "mine_hard_negatives", // 5-row anchor broadcast (label<>label join)
     "graph_triangle_count", "graph_degree_stats", // 1-row doc-count broadcast
     "search_hybrid_blend", // 1-row query-vector + 1-row min/max broadcasts
-    "search_tfidf_cosine") // 1-row N + 1-row query-norm broadcasts
+    "search_tfidf_cosine", // 1-row N + 1-row query-norm broadcasts
+    "search_ltr_features") // 3-row terms + 1-row stats broadcasts
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
