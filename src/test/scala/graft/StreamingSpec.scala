@@ -430,6 +430,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSet == batch.toSet)
   }
 
+  test("incremental index maintenance: per-batch segments merge to the full build") {
+    // The ingest-time lifecycle end-to-end: a document STREAM arrives in
+    // micro-batches, each batch builds its own inverted-index segment
+    // (CurationOps3.invertedIndex — the mergeable per-batch shape), and
+    // the segments fold through IndexOps.mergeSegments. The result must
+    // equal the one-shot batch build over the whole corpus.
+    import graft.operators.{CurationOps3, IndexOps}
+    val dir = Files.createTempDirectory("graft_idx_feed").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    (0 until 3).foreach { i =>
+      docs.filter(pmod($"doc_id", lit(3)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/f$i")
+    }
+    val feed = flatten(dir)
+    val segDir = Files.createTempDirectory("graft_idx_segs").toString
+    val ckpt = Files.createTempDirectory("graft_idx_ckpt").toString
+    val q = Streams.foreachBatchSink(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed),
+      ckpt) { (batch, id) =>
+      CurationOps3.invertedIndex(batch)
+        .write.mode("overwrite").parquet(s"$segDir/seg$id")
+    }
+    q.awaitTermination()
+    val segs = new java.io.File(segDir).listFiles().filter(_.isDirectory)
+      .sortBy(_.getName).map(f => spark.read.parquet(f.toString))
+    assert(segs.length == 3, "one segment per micro-batch")
+    val merged = segs.reduce(IndexOps.mergeSegments).collect().map(_.toSeq)
+    val full = CurationOps3.invertedIndex(docs).collect().map(_.toSeq)
+    assert(merged.toSeq == full.toSeq)
+  }
+
   test("streaming percolator matches the batch evaluation, append mode") {
     // Document feed: 4 micro-batch slices of the documents table.
     val dir = Files.createTempDirectory("graft_doc_feed").toString
