@@ -37,7 +37,10 @@ object PlanAudit {
     "graph_triangle_count", "graph_degree_stats", // 1-row doc-count broadcast
     "search_hybrid_blend", // 1-row query-vector + 1-row min/max broadcasts
     "search_tfidf_cosine", // 1-row N + 1-row query-norm broadcasts
-    "search_ltr_features") // 3-row terms + 1-row stats broadcasts
+    "search_ltr_features", // 3-row terms + 1-row stats broadcasts
+    "eval_auc_roc",        // 16-row bucket-offset triangular self-join
+    "eval_ks_stat",        // same 16-row offsets + 1-row totals broadcast
+    "eval_confusion_threshold") // 3-row threshold-dim broadcast
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
