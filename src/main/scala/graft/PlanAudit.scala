@@ -40,7 +40,8 @@ object PlanAudit {
     "search_ltr_features", // 3-row terms + 1-row stats broadcasts
     "eval_auc_roc",        // 16-row bucket-offset triangular self-join
     "eval_ks_stat",        // same 16-row offsets + 1-row totals broadcast
-    "eval_confusion_threshold") // 3-row threshold-dim broadcast
+    "eval_confusion_threshold", // 3-row threshold-dim broadcast
+    "geo_radius_grid")     // 5-center × 9-offset probe-cell cross (45 rows)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
