@@ -57,5 +57,44 @@ object LayoutOps {
       .limit(2000)
   }
 
-  val all: Seq[Q] = Seq(layoutZorder)
+  /** Bucketed co-located join (wave 21): both fact tables are written
+    * bucketed (8 buckets) AND sorted on the join key, then joined —
+    * Spark's bucketing metadata makes the sort-merge join read each
+    * bucket pair directly with NO shuffle exchange on either side (the
+    * plan law BucketSpec pins). This is THE 100 TB join strategy for
+    * repeatedly-joined fact tables: the shuffle is paid once at write
+    * time and amortized over every subsequent join. The declared result
+    * is the joined priority rollup, oracled against the plain-parquet
+    * join — bucketing must change the PLAN, never the answer. */
+  val layoutBucketJoin = Q(
+    "layout_bucket_join",
+    s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+       |  ${graft.Parity.sqlDsum("l_extendedprice")} AS sum_price
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    bucketedTables(s, dir)
+    // hint("merge") pins the SMJ the 100 TB shape uses (at test scale the
+    // small side would broadcast and hide the bucket co-location law).
+    s.table("g_orders_b").hint("merge").join(s.table("g_lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        graft.Parity.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Write orders/lineitem as 8-bucket tables sorted on the join key
+    * (idempotent overwrite; external path under /tmp so repeated Verify
+    * runs and test sessions never collide on state). */
+  private[graft] def bucketedTables(s: SparkSession, dir: String): Unit = {
+    val base = s"/tmp/graft_buckets_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    t(s, dir, "orders").write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/orders_b").saveAsTable("g_orders_b")
+    t(s, dir, "lineitem").write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/lineitem_b").saveAsTable("g_lineitem_b")
+  }
+
+  val all: Seq[Q] = Seq(layoutZorder, layoutBucketJoin)
 }
