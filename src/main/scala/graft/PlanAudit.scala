@@ -44,7 +44,8 @@ object PlanAudit {
     "geo_radius_grid",     // 5-center × 9-offset probe-cell cross (45 rows)
     "ts_autocorr",         // 3-row lag-dim broadcast over the daily frame
     "click_position_curve", // 1-row global-CTR broadcast
-    "data_expectations_check") // 1-row count × 1-row orphan-count cross
+    "data_expectations_check", // 1-row count × 1-row orphan-count cross
+    "dedup_recall_report") // sample-bounded exact pass + 3 1-row counts
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup-quality monitoring, wave 22 (round 6): the recall/precision
+  * report of the production MinHash-LSH dedup against exact n-gram
+  * Jaccard ground truth — the text twin of ann_recall_report (the monitor
+  * that tells you whether 32 hashes / 8 bands still catches the near-dups
+  * your threshold promises as the corpus drifts).
+  *
+  * Method: ground truth is the exact quadratic pair scan on a BOUNDED
+  * md5-prefix sample (1/16 of docs — deterministic, and quadratic cost is
+  * sample-sized, the decontaminate eval-split convention); the candidate
+  * system is the same banded pipeline dedup_near_minhash ships, run on
+  * the identical sample. Both paths emit exact-Jaccard-verified pairs, so
+  * precision is structurally 1.0 (modulo the 64-bit shingle-hash
+  * collision odds, ~1e-16/pair) and the interesting number is RECALL:
+  * the banding S-curve at (32, 8) sits near 0.59, so threshold-0.4 pairs
+  * in the 0.4–0.6 band are exactly the ones at risk. No oracle by design
+  * (the minhash internals are the no-oracle contract); MonitorSpec plants
+  * a corpus with known pairs on both sides of the S-curve.
+  *
+  * Scale: sample-bounded quadratic + the linear banded pipeline — at
+  * 100 TB the sample fraction is the knob, the report stays 1 row.
+  */
+object MonitorOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** The report core, separable for spec corpora: recall/precision of
+    * banded-minhash pairs vs exact pairs at `threshold` on `docs`. */
+  private[graft] def dedupRecall(docs: DataFrame, threshold: Double)
+      : DataFrame = {
+    val truth = TextOps.ngramJaccardPairs(docs, threshold)
+      .select(col("a_id"), col("b_id"))
+    val pred = VectorOps.minhashPairs(docs, numHashes = 32, bands = 8,
+      jaccardThreshold = threshold)
+      .select(col("a_id").as("p_a"), col("b_id").as("p_b"))
+    val hits = truth.join(pred,
+      col("a_id") === col("p_a") && col("b_id") === col("p_b"))
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nP = pred.agg(count(lit(1)).as("n_pred"))
+    val nH = hits.agg(count(lit(1)).as("n_hit"))
+    nT.crossJoin(nP).crossJoin(nH)
+      .select(col("n_truth"), col("n_pred"), col("n_hit"),
+        round(col("n_hit").cast("double") /
+          nullif(col("n_truth"), lit(0L)), 6).as("recall"),
+        round(col("n_hit").cast("double") /
+          nullif(col("n_pred"), lit(0L)), 6).as("precision"))
+  }
+
+  /** Recall report of the shipped (32-hash, 8-band, j ≥ 0.4) dedup on a
+    * deterministic md5-prefix document sample whose fraction SELF-SIZES
+    * to keep the exact ground-truth pass inside its quadratic budget:
+    * the shortest '0'-nibble prefix (1, 1/16, 1/256, 1/4096) that lands
+    * ≤ 4000 sampled docs. One bounded count() sizes it (the kmeans
+    * centroid-fetch precedent) — at any corpus scale the report costs
+    * sample² + one linear banded pass. */
+  val dedupRecallReport = Q.noOracle("dedup_recall_report") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val n = docs.count()
+    val zeros = Iterator.from(0)
+      .find(k => n / math.pow(16.0, k) <= 4000.0).get.min(3)
+    val sample =
+      if (zeros == 0) docs
+      else docs.filter(md5(col("text")).like("0" * zeros + "%"))
+    dedupRecall(sample, threshold = 0.4)
+  }
+
+  val all: Seq[Q] = Seq(dedupRecallReport)
+}
