@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Result diversification + schema-evolution scan, wave 23 (round 6).
+  *
+  *  - search_mmr_diversify: Maximal Marginal Relevance re-ranking of the
+  *    BM25 top-20 — the serving-time answer to clone-heavy result lists
+  *    (score = λ·relevance − (1−λ)·max similarity to anything already
+  *    picked). The candidate set is model-sized by construction (top-k),
+  *    so the greedy selection runs driver-side over the collected 20 rows
+  *    — the kmeans-centroid / WAND-θ precedent: distributed plans produce
+  *    the candidates (BM25 pipeline + 64-bucket signed hashing-trick doc
+  *    vectors), the O(k²) greedy is bounded driver arithmetic. No oracle
+  *    by design (iterative greedy); DiversifySpec plants a clone-heavy
+  *    candidate list and pins the demotion, plus λ=1 ≡ plain BM25 order.
+  *  - scan_merge_schema: reads a dataset whose parquet files carry
+  *    EVOLVED schemas (a v2 partition adds a column) with mergeSchema —
+  *    the A-section ingestion reality at 100 TB, where years of files
+  *    never share one schema. Self-contained: writes the two epochs to a
+  *    scratch dir from the corpus, then proves the union read. No oracle
+  *    (writes files); the declared output is the per-epoch accounting.
+  */
+object DiversifyOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** 64-dim signed hashing-trick doc vector as a dense array column —
+    * the text_hashing_features buckets, densified for cosine. */
+  private def hashVec(docs: DataFrame): DataFrame = {
+    val nib = (h: String, i: Int) =>
+      s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)"
+    val b = s"(${nib("h", 1)} * 16 + ${nib("h", 2)}) % 64"
+    val sign = s"CASE WHEN ${nib("h", 3)} < 8 THEN 1 ELSE -1 END"
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .withColumn("h", md5(col("token")))
+      .select(col("doc_id"), expr(s"CAST($b AS INT)").as("bucket"),
+        expr(s"CAST($sign AS BIGINT)").as("sign"))
+      .groupBy("doc_id", "bucket").agg(sum("sign").as("w"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("w"))))
+        .as("m"))
+      .select(col("doc_id"),
+        expr("transform(sequence(0, 63), i -> coalesce(m[i], 0L))").as("vec"))
+  }
+
+  /** MMR re-rank (λ = 0.7) of the BM25 top-20 for the standing query. */
+  val searchMmrDiversify = Q.noOracle("search_mmr_diversify") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val top = CorpusOps.bm25Scores(docs)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+    val cand = top.join(hashVec(docs), "doc_id")
+      .select("doc_id", "bm25", "vec").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Long](2).map(_.toDouble).toArray))
+      .sortBy(x => (-x._2, x._1))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val lambda = 0.7
+    val picked = collection.mutable.ArrayBuffer[(Long, Double, Double)]()
+    val pool = collection.mutable.ArrayBuffer(cand: _*)
+    while (pool.nonEmpty) {
+      val best = pool.map { case (id, rel, v) =>
+        val maxSim =
+          if (picked.isEmpty) 0.0
+          else picked.map(p => cos(v, cand.find(_._1 == p._1).get._3)).max
+        (id, rel, lambda * rel - (1 - lambda) * maxSim)
+      }.minBy(x => (-x._3, x._1))
+      picked += best
+      pool.remove(pool.indexWhere(_._1 == best._1))
+    }
+    import s.implicits._
+    picked.zipWithIndex
+      .map { case ((id, rel, sc), i) =>
+        (i + 1, id, math.rint(rel * 1e6) / 1e6, math.rint(sc * 1e6) / 1e6) }
+      .toSeq.toDF("rank", "doc_id", "bm25", "mmr_score")
+      .orderBy("rank")
+  }
+
+  /** Schema-evolution read: epoch v1 (doc_id, text) and epoch v2
+    * (+ lang) written as separate parquet files, read back with
+    * mergeSchema — rows from v1 surface lang as NULL, the union schema
+    * has all 3 columns. Output: per-epoch row/null accounting. */
+  val scanMergeSchema = Q.noOracle("scan_merge_schema") { (s, dir) =>
+    val base = s"/tmp/graft_evolve_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val docs = t(s, dir, "documents")
+    docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/epoch=v1")
+    docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$base/epoch=v2")
+    val merged = s.read.option("mergeSchema", "true").parquet(base)
+    merged.groupBy("epoch")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_null_lang"),
+        lit(merged.schema.fields.count(_.name != "epoch")).as("n_data_cols"))
+      .orderBy("epoch")
+  }
+
+  val all: Seq[Q] = Seq(searchMmrDiversify, scanMergeSchema)
+}
