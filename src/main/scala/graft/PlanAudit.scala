@@ -45,7 +45,9 @@ object PlanAudit {
     "ts_autocorr",         // 3-row lag-dim broadcast over the daily frame
     "click_position_curve", // 1-row global-CTR broadcast
     "data_expectations_check", // 1-row count × 1-row orphan-count cross
-    "dedup_recall_report") // sample-bounded exact pass + 3 1-row counts
+    "dedup_recall_report", // sample-bounded exact pass + 3 1-row counts
+    "events_rfm_segments", // 1-row max-date broadcast
+    "events_stickiness_wau") // ≤366-row day-frame range self-join
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
