@@ -50,7 +50,11 @@ object DiversifyOps {
     val docs = t(s, dir, "documents")
     val top = CorpusOps.bm25Scores(docs)
       .orderBy(col("bm25").desc, col("doc_id")).limit(20)
-    val cand = top.join(hashVec(docs), "doc_id")
+    // Vectorize ONLY the 20 candidates (broadcast semi-join into the doc
+    // scan) — hashing the whole corpus first cost 316 s at the 1000×
+    // tier for vectors that were then discarded.
+    val candDocs = docs.join(broadcast(top.select("doc_id")), "doc_id")
+    val cand = top.join(hashVec(candDocs), "doc_id")
       .select("doc_id", "bm25", "vec").collect()
       .map(r => (r.getLong(0), r.getDouble(1),
         r.getSeq[Long](2).map(_.toDouble).toArray))
