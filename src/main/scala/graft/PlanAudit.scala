@@ -47,7 +47,8 @@ object PlanAudit {
     "data_expectations_check", // 1-row count × 1-row orphan-count cross
     "dedup_recall_report", // sample-bounded exact pass + 3 1-row counts
     "events_rfm_segments", // 1-row max-date broadcast
-    "events_stickiness_wau") // ≤366-row day-frame range self-join
+    "events_stickiness_wau", // ≤366-row day-frame range self-join
+    "events_funnel_windowed") // cross of three 1-row stage counts
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
