@@ -256,6 +256,31 @@ object Streams {
         col("v_ts"), col("p_ts"), col("value"))
   }
 
+  /** I8b — LEFT OUTER stream-stream interval join: every view row emits —
+    * matched purchases inline, UNMATCHED views with NULL purchase columns
+    * once the watermark passes v_ts + 30 min (outer emission is
+    * state-expiry-driven: Structured Streaming can only declare a view
+    * permanently unmatched when no qualifying purchase can still arrive).
+    * Same keys, watermarks, and state bounds as [[attributionJoin]]; on a
+    * batch frame the watermark is a no-op and this is a plain left join —
+    * the equivalence StreamingSpec pins with a sentinel-flushed feed. */
+  def attributionJoinLeftOuter(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    v.join(p, col("user_id") === col("p_user_id") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") < col("v_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("v_ts"), col("p_ts"), col("value"))
+  }
+
   /** I9 — stream-static broadcast enrich: every micro-batch hash-joins the
     * static customer dimension (re-planned per batch, so a slowly-changing
     * dim picks up updates between batches — Spark's documented

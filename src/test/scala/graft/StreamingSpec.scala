@@ -415,6 +415,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows.filter(_.getLong(0) != sentinelUser).map(_.toSeq).toSet == batch)
   }
 
+  test("stream-stream LEFT OUTER join: outer rows flush on watermark, equal batch") {
+    // I8b: unmatched views may only emit once the watermark passes
+    // v_ts + 30 min. The global watermark is the MIN over both input
+    // branches' event-time columns, so the flush sentinels must advance
+    // BOTH: one far-future view AND one far-future purchase (10 days
+    // apart so they cannot match each other).
+    val dir = feedDirChrono(4)
+    val sentinelUser = 999999L
+    val maxUs = spark.read.schema(Tables.events).parquet(s"$dir")
+      .agg(max(unix_micros(col("ts")))).head.getLong(0)
+    Seq(
+      (999998L, new java.sql.Timestamp((maxUs + 86400L * 1000000L) / 1000L),
+        sentinelUser, "view", 0.0, "{}"),
+      (999999L, new java.sql.Timestamp((maxUs + 11 * 86400L * 1000000L) / 1000L),
+        sentinelUser, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/zz_sentinel")
+    val d = new java.io.File(dir)
+    d.listFiles().filter(_.isDirectory).foreach { sub =>
+      sub.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val dst = new java.io.File(d, "p999.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(System.currentTimeMillis())
+      }
+      sub.listFiles().foreach(_.delete()); sub.delete()
+    }
+    val stream = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
+    val rows = runToCompletion(
+      Streams.attributionJoinLeftOuter(stream), OutputMode.Append())
+      .filter(_.getLong(0) != sentinelUser)
+    val batch = Streams.attributionJoinLeftOuter(
+      Tables.load(spark, sfDir, "events")).collect()
+    assert(batch.exists(_.isNullAt(2)), "corpus must contain unmatched views")
+    assert(batch.exists(!_.isNullAt(2)), "corpus must contain matched views")
+    assert(rows.map(_.toSeq).toSet == batch.map(_.toSeq).toSet)
+  }
+
   test("stream-stream interval join: incremental inner join equals batch join") {
     // I8: purchases ⋈ views within [v_ts, v_ts + 30 min) per user, both
     // sides watermarked. Chronological feed ⇒ no matches are dropped by
