@@ -48,7 +48,8 @@ object PlanAudit {
     "dedup_recall_report", // sample-bounded exact pass + 3 1-row counts
     "events_rfm_segments", // 1-row max-date broadcast
     "events_stickiness_wau", // ≤366-row day-frame range self-join
-    "events_funnel_windowed") // cross of three 1-row stage counts
+    "events_funnel_windowed", // cross of three 1-row stage counts
+    "join_interval_overlap") // 5-row promo-window dim broadcast
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
