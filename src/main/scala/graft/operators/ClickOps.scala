@@ -30,15 +30,24 @@ object ClickOps {
   /** Per-item view/click counts — the shared reduced frame. */
   private val ItemCountsSql: String =
     """ic AS (
-      |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+      |  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
       |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
       |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks
       |  FROM events WHERE event_type IN ('view', 'click')
+      |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |      IS NOT NULL
       |  GROUP BY 1)""".stripMargin
 
   private def itemCounts(events: DataFrame): DataFrame =
     events
       .filter(col("event_type").isin("view", "click"))
+      // TRY_CAST + NULL drop on BOTH sides (r6 ADVICE): a malformed or
+      // missing $.k prop errors DuckDB's plain CAST while Spark's cast
+      // yields NULL, and a NULL item also sorts differently across the
+      // engines (Spark NULLS FIRST vs DuckDB NULLS LAST). Dropping the
+      // un-castable rows up front makes the parity contract independent
+      // of the fixture always carrying a numeric $.k.
+      .filter(get_json_object(col("props"), "$.k").cast("bigint").isNotNull)
       .groupBy(get_json_object(col("props"), "$.k").cast("bigint").as("item"))
       .agg(
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),

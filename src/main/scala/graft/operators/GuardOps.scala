@@ -50,8 +50,9 @@ object GuardOps {
       |  UNION ALL
       |  SELECT 4, 'l_orderkey_refs_orders',
       |    (SELECT COUNT(*) FROM lineitem),
-      |    (SELECT COUNT(*) FROM lineitem
-      |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      |    (SELECT COUNT(*) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                       WHERE o.o_orderkey = l.l_orderkey))
       |  UNION ALL
       |  SELECT 5, 'o_orderstatus_domain',
       |    (SELECT COUNT(*) FROM orders),

@@ -60,8 +60,13 @@ object MonitorOps {
   val dedupRecallReport = Q.noOracle("dedup_recall_report") { (s, dir) =>
     val docs = t(s, dir, "documents")
     val n = docs.count()
+    // No hard prefix-length cap (r6 ADVICE): the old .min(3) silently let
+    // the sample grow past 4000 above a 2.6×10^8-doc corpus, reopening the
+    // quadratic budget. 16 nibbles bounds any Long-countable corpus
+    // (16^16 ≈ 1.8×10^19) while keeping the LIKE pattern well inside the
+    // 32-char md5 hex width.
     val zeros = Iterator.from(0)
-      .find(k => n / math.pow(16.0, k) <= 4000.0).get.min(3)
+      .find(k => n / math.pow(16.0, k) <= 4000.0).get.min(16)
     val sample =
       if (zeros == 0) docs
       else docs.filter(md5(col("text")).like("0" * zeros + "%"))

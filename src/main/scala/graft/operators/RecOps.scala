@@ -30,9 +30,11 @@ object RecOps {
     * co-occurrence counts with jaccard. */
   private val PairsSql: String =
     """ui0 AS (
-      |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |  SELECT user_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
       |      AS item, COUNT(*) AS n_inter
       |  FROM events WHERE event_type IN ('view', 'click')
+      |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |      IS NOT NULL
       |  GROUP BY 1, 2),
       |ui AS (
       |  SELECT user_id, item FROM (
@@ -58,6 +60,9 @@ object RecOps {
     import org.apache.spark.sql.expressions.Window
     val ui0 = events
       .filter(col("event_type").isin("view", "click"))
+      // TRY_CAST parity guard — see ClickOps.itemCounts: un-castable $.k
+      // props must drop on both engines, not error one and NULL the other.
+      .filter(get_json_object(col("props"), "$.k").cast("bigint").isNotNull)
       .groupBy(col("user_id"),
         get_json_object(col("props"), "$.k").cast("bigint").as("item"))
       .agg(count(lit(1)).as("n_inter"))
