@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
 object VectorOps {
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** Minimum credible bytes per embedding row (16 B id/offsets + 8 float
+    * dims): the divisor that turns a Catalyst byte estimate into a
+    * CONSERVATIVE (over-) row estimate for the scale guards — see
+    * [[similarityTopKPairs]]. */
+  private val MinEmbRowBytes = 48L
+
   /** Cosine similarity between two float-array columns via the native
     * codegen expression graft.functions.CosineSimilarity (sequential double
     * fold — matches the oracle's per-dimension double sums far inside the
@@ -111,17 +117,29 @@ object VectorOps {
     * matrix costs ~rows × (dim × 8 + 16) — a 4 M-row bound that is ~2 GB
     * at 64-d would be ~32 GB at 1024-d. The default budget (512 MB)
     * mirrors the broadcast-join build-side contract the scaladoc invokes.
-    * The dim probe reads ONE row (limit-1 job); the row count on a parquet
-    * source is metadata-cheap. */
+    *
+    * Both guards read Catalyst's `optimizedPlan.stats` (round-7, the
+    * vocabJoin precedent) — ZERO driver-side jobs at plan construction.
+    * The round-6 form ran an eager `count()` + a limit-1 dim probe per
+    * invocation: metadata-cheap on parquet but still 2 jobs and ~140 ms of
+    * fixed constants (measured), and a full scan on non-parquet inputs.
+    * The stats translation: collected-matrix bytes ≈ 2 × source bytes
+    * (float32 → double) + per-row overhead, and the compute-bound row
+    * estimate divides the byte estimate by the MINIMUM credible embedding
+    * row width (16 B fixed + 8 float dims = 48 B). Dividing by the minimum
+    * makes the row count an overestimate whose conservatism GROWS with
+    * dim — and the kernel's pair-dot cost n²·d ∝ (bytes/d)²·d shrinks
+    * with dim at fixed bytes, so the 5-minute budget can only be
+    * undershot, never blown. [[StageSpec]] asserts the zero-job contract
+    * across every declared query. */
   def similarityTopKPairs(s: SparkSession, emb0: DataFrame, k: Int,
       maxBroadcastBytes: Long = 512L << 20,
       maxExactRows: Long = -1L): DataFrame = {
     val emb = emb0.select(col("vec_id"), col("embedding"))
-    val nVecs = emb.count()
-    val dim: Long =
-      if (nVecs == 0L) 0L
-      else emb.select(size(col("embedding"))).head().getInt(0).toLong
-    val matrixBytes = nVecs * (dim * 8L + 16L)
+    val stats = emb.queryExecution.optimizedPlan.stats
+    val estBytes = stats.sizeInBytes
+    val estRows: BigInt = stats.rowCount.getOrElse(estBytes / MinEmbRowBytes)
+    val matrixBytes = estBytes * 2 + estRows * 16
     // Two guards, either reroutes: the MEMORY bound above, and a COMPUTE
     // bound — the kernel is O(n²/2) pair-dots; with the raw-dot prefilter
     // it runs MAC-bound (~3·10⁷ pairs/s/core at 64-d), so a ~5-min budget
@@ -130,7 +148,7 @@ object VectorOps {
     val computeBound =
       if (maxExactRows >= 0) maxExactRows
       else (130000.0 * math.sqrt(s.sparkContext.defaultParallelism)).toLong
-    if (matrixBytes > maxBroadcastBytes || nVecs > computeBound)
+    if (matrixBytes > maxBroadcastBytes || estRows > BigInt(computeBound))
       AnnOps.lshTopKPairs(s, emb, k)
     else {
       import s.implicits._
@@ -275,7 +293,13 @@ object VectorOps {
       if (maxExactRows >= 0) maxExactRows
       else (20000.0 * math.sqrt(s.sparkContext.defaultParallelism)).toLong
     val e = emb.select(col("vec_id"), col("embedding"))
-    if (e.count() > bound) AnnOps.lshThresholdPairs(s, e, threshold)
+    // Catalyst-stats row estimate (round-7): zero jobs at construction;
+    // the minimum-width divisor makes it a conservative overestimate —
+    // see similarityTopKPairs for the full rationale.
+    val stats = e.queryExecution.optimizedPlan.stats
+    val estRows: BigInt =
+      stats.rowCount.getOrElse(stats.sizeInBytes / MinEmbRowBytes)
+    if (estRows > BigInt(bound)) AnnOps.lshThresholdPairs(s, e, threshold)
     else {
       // Streamed-side repartition: BNLJ parallelism = streamed partition
       // count, and a single-file corpus would otherwise run O(n²) on 1 task.

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.GraftTestBridge
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Plan-construction job audit (VERDICT r6 item 5): building a declared
+  * query's DataFrame must launch ZERO Spark jobs — construction is
+  * client-side plan assembly, and an eager count()/collect() there is a
+  * fixed driver-blocking constant per call plus a fault-tolerance hazard
+  * at cluster scale. Scale guards read Catalyst plan stats instead
+  * (vocabJoin, similarityTopKPairs, dedupEmbeddingPairs).
+  *
+  * Exemptions are the operators whose SEMANTICS require driver-side
+  * computation to shape the plan — learned/iterative models (k-means,
+  * PQ codebooks, logistic GD, BPE merge training), auto-sized LSH (band
+  * width from the true corpus cardinality), bounded candidate collects
+  * (MMR's top-50, WAND's per-term max scores), and guard counts on
+  * DERIVED frames (filtered/distinct inputs) where Catalyst's byte
+  * estimate is selectivity-blind in the direction that would reroute a
+  * bench-scale corpus onto the approximate path. Each exemption is a
+  * bounded, documented probe; this spec keeps the list from silently
+  * growing.
+  */
+class ConstructionSpec extends SparkSpec {
+
+  /** Keys whose construction legitimately runs driver-side jobs. */
+  private val exempt: Set[String] = Set(
+    // Learned / iterative: the model IS driver state.
+    "kmeans_embed", "dedup_semantic", "dedup_cluster", "quality_train_logreg",
+    "bpe_train_merges", "text_token_bpe", "vocab_coverage",
+    "graph_pagerank", "graph_components", "pca_power_embed",
+    // Fixture-materializing scans/sinks: the operator's POINT is reading a
+    // format the corpus doesn't ship in (csv/json/orc/bucketed/sharded),
+    // so it first writes that form — a bounded, one-off data-prep job.
+    "scan_csv_json", "scan_orc", "scan_merge_schema", "sink_jsonl_sharded",
+    "layout_bucket_join",
+    // Exact-kernel matrix broadcast: below the byte guard the collected
+    // (≤512 MB) matrix IS the plan's build side — one bounded collect,
+    // the same memory contract as a broadcast-join build.
+    "similarity_topk",
+    // ANN family: auto-sized band width / codebooks need the true n.
+    "ann_lsh_topk", "ann_ivf_knn", "ann_pq_knn", "ann_index_build",
+    "ann_recall_report",
+    // Bounded candidate collects (k ≤ 50 rows by contract).
+    "search_mmr_diversify",
+    // Guard counts on derived (filtered/distinct) frames where plan stats
+    // are selectivity-blind; each is one pruned-column scan.
+    "dedup_ngram_jaccard", "dedup_recall_report",
+    "decontaminate_embedding", "dedup_incremental_minhash")
+
+  test("constructing every declared query launches zero Spark jobs " +
+      "(documented exemptions aside)") {
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // Pre-warm session-level lazies (fn registration, footer sniffs)
+      // so first-touch costs don't attribute to an arbitrary first key.
+      Tables.load(spark, sfDir, "events").schema
+      val counts = SparkEntry.queries.toSeq.sortBy(_._1).map {
+        case (name, fn) =>
+          GraftTestBridge.drainListenerBus(spark.sparkContext)
+          jobs.set(0)
+          fn(spark, sfDir) // construct ONLY — no action
+          GraftTestBridge.drainListenerBus(spark.sparkContext)
+          name -> jobs.get()
+      }
+      val offenders = counts.collect {
+        case (name, n) if n > 0 && !exempt(name) => s"$name launched $n job(s)"
+      }
+      assert(offenders.isEmpty,
+        s"non-exempt queries ran jobs at construction:\n  ${
+          offenders.mkString("\n  ")}")
+      // Keep the exemption list EXACT: an exempt key that constructs with
+      // zero jobs no longer needs its exemption — trim it so the list
+      // can't mask a future regression behind a stale entry.
+      val stale = counts.collect {
+        case (name, 0) if exempt(name) => name
+      }
+      assert(stale.isEmpty,
+        s"stale exemptions (constructed with 0 jobs): ${stale.mkString(", ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}
