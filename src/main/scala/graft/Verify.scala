@@ -41,6 +41,15 @@ object Verify {
           "and Tables.loadEvents' sniff disagree")
     }
     new java.io.File(outDir).mkdirs()
+    // Full-surface timing trip-wire (VERDICT r6 item 4): BENCH times only
+    // the 20 headline keys; the other 238 had no per-query timing record,
+    // so a perf regression there only showed up as total Verify
+    // wall-clock (the round-5 text_tokenize_tf regression was caught by
+    // bench luck). Every key's construct+execute+write seconds land in
+    // outDir/times.json; tools/time_delta.py diffs two rounds' files and
+    // reports the top deltas (fail-soft — report, not gate: absolute
+    // times at sf0.01 carry ±30% environment noise).
+    val times = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -48,13 +57,19 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        val dt = (System.nanoTime() - t0) / 1e9
+        times += name -> dt
         // Stdout timing line per query (driver ignores stdout; the scale
         // runs read these to find the slow tail).
-        println(f"[verify-time] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        println(f"[verify-time] $name $dt%.2f s")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    Files.writeString(Paths.get(s"$outDir/times.json"),
+      times.sortBy(_._1)
+        .map { case (k, v) => f""""$k": $v%.3f""" }
+        .mkString("{", ", ", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -47,7 +47,17 @@ class ConstructionSpec extends SparkSpec {
     // Guard counts on derived (filtered/distinct) frames where plan stats
     // are selectivity-blind; each is one pruned-column scan.
     "dedup_ngram_jaccard", "dedup_recall_report",
-    "decontaminate_embedding", "dedup_incremental_minhash")
+    "decontaminate_embedding", "dedup_incremental_minhash",
+    // Statistics pipeline: first touch registers + ANALYZEs the catalog
+    // tables whose stats CBO costing needs (once per JVM; the warehouse
+    // ANALYZE-on-ingest shape). Memoized — whether THIS spec sees its
+    // jobs depends on suite order, so it is excluded from the stale
+    // check below.
+    "cbo_join_reorder")
+
+  /** Exempt keys whose construction jobs run once per JVM: a prior suite
+    * may have paid them already, so a zero here is not a stale entry. */
+  private val oncePerJvm: Set[String] = Set("cbo_join_reorder")
 
   test("constructing every declared query launches zero Spark jobs " +
       "(documented exemptions aside)") {
@@ -79,7 +89,7 @@ class ConstructionSpec extends SparkSpec {
       // zero jobs no longer needs its exemption — trim it so the list
       // can't mask a future regression behind a stale entry.
       val stale = counts.collect {
-        case (name, 0) if exempt(name) => name
+        case (name, 0) if exempt(name) && !oncePerJvm(name) => name
       }
       assert(stale.isEmpty,
         s"stale exemptions (constructed with 0 jobs): ${stale.mkString(", ")}")
