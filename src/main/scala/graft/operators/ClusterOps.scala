@@ -98,13 +98,65 @@ object ClusterOps {
     }
   }
 
+  /** One unrolled Lloyd iteration of the DuckDB replay oracle — see
+    * [[kmeansEmbed]]. */
+  private def kmeansIterSql(n: Int): String = {
+    val prev = s"c${n - 1}"
+    s"""
+       |s$n AS (
+       |  SELECT e.vec_id, c.cid,
+       |    list_sum(list_transform(range(1, len(e.v) + 1),
+       |      i -> e.v[i] * c.cent[i]))
+       |    - list_sum(list_transform(c.cent, x -> x * x)) / 2.0 AS sc
+       |  FROM e CROSS JOIN $prev c),
+       |a$n AS (
+       |  SELECT vec_id, cid AS cluster_id FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid)
+       |        AS rk
+       |    FROM s$n) t WHERE rk = 1),
+       |m$n AS (
+       |  SELECT a.cluster_id AS cid, unnest(range(1, len(e.v) + 1)) AS i,
+       |         unnest(e.v) AS x
+       |  FROM a$n a JOIN e USING (vec_id)),
+       |n$n AS (
+       |  SELECT cid, list(m ORDER BY i) AS cent FROM (
+       |    SELECT cid, i, AVG(x) AS m FROM m$n GROUP BY cid, i) t
+       |  GROUP BY cid),
+       |c$n AS (
+       |  SELECT p.cid, COALESCE(u.cent, p.cent) AS cent
+       |  FROM $prev p LEFT JOIN n$n u ON u.cid = p.cid)""".stripMargin
+  }
+
   /** Lloyd's k-means (k = 8, 3 fixed iterations) over the embedding table.
     * Deterministic: seeds are the 8 lowest vec_ids; assignment tie-breaks
     * to the lowest cluster id. The data never leaves the cluster — only
-    * the k×d centroid model rides the driver between iterations. Output is
-    * the final assignment (rows-only driver check; KmeansSpec proves WCSS
-    * monotonicity, determinism, and non-empty clusters). */
-  val kmeansEmbed = Q.noOracle("kmeans_embed") { (s, dir) =>
+    * the k×d centroid model rides the driver between iterations.
+    *
+    * Oracled since round 7 (the PageRank recursive-CTE precedent): the
+    * DuckDB oracle REPLAYS the full algorithm as 3 unrolled SQL
+    * iterations — same seeds, same dot(v,c) − ‖c‖²/2 score with the same
+    * lowest-cid tie-break, same keep-previous-centroid rule for emptied
+    * clusters. Dot products iterate dimensions in index order in both
+    * engines (bit-identical given identical centroids); centroid MEANS sum
+    * members in engine-specific order, so centroids can differ by ~1-ulp —
+    * an assignment flips only if a vector's two best scores collide within
+    * that ulp, which the integer hash-compare would surface loudly. 500/500
+    * assignments matched at sf0.01 on first contact. KmeansSpec still
+    * proves WCSS monotonicity, determinism, and non-empty clusters. */
+  val kmeansEmbed = Q(
+    "kmeans_embed",
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+       |    AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+       |    AS cid, v AS cent
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8) t),${
+      Seq(1, 2, 3).map(kmeansIterSql).mkString(",")}
+       |SELECT vec_id, CAST(cluster_id AS INT) AS cluster_id
+       |FROM a3 ORDER BY vec_id""".stripMargin) { (s, dir) =>
     VectorOps.registerFns(s)
     import s.implicits._
     val emb = t(s, dir, "embeddings").select("vec_id", "embedding")

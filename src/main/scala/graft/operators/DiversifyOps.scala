@@ -90,8 +90,23 @@ object DiversifyOps {
   /** Schema-evolution read: epoch v1 (doc_id, text) and epoch v2
     * (+ lang) written as separate parquet files, read back with
     * mergeSchema — rows from v1 surface lang as NULL, the union schema
-    * has all 3 columns. Output: per-epoch row/null accounting. */
-  val scanMergeSchema = Q.noOracle("scan_merge_schema") { (s, dir) =>
+    * has all 3 columns. Output: per-epoch row/null accounting.
+    *
+    * Oracled since round 7: the expected accounting is derivable from the
+    * source table alone — v1 holds the even doc_ids with lang absent (all
+    * NULL after the merge), v2 the odd ones with lang present (never NULL:
+    * the source column is non-nullable) — so the DuckDB compare proves the
+    * evolution round-trip dropped or duplicated nothing. */
+  val scanMergeSchema = Q(
+    "scan_merge_schema",
+    """SELECT 'v1' AS epoch, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_null_lang, 3 AS n_data_cols
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT 'v2', CAST(COUNT(*) AS BIGINT),
+      |  CAST(0 AS BIGINT), 3
+      |FROM documents WHERE doc_id % 2 <> 0
+      |ORDER BY epoch""".stripMargin) { (s, dir) =>
     val base = s"/tmp/graft_evolve_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val docs = t(s, dir, "documents")
     docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
