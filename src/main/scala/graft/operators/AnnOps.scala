@@ -472,5 +472,40 @@ object AnnOps {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(annLshTopK, annIvfKnn, annPqKnn, annIndexBuild)
+  /** Incremental index maintenance (VERDICT r6 item 8 — the ANN analogue
+    * of `dedup_incremental_minhash`): a new ingest batch is quantized with
+    * the STORED model and appended to the stored index. Only the new
+    * batch is scanned — the historical corpus never re-quantizes, and the
+    * index stays partitioned by `list_id` because assignment is per-row
+    * under a frozen model. Model drift is the accepted trade (production
+    * re-fits periodically; `ann_recall_report` is the drift monitor). */
+  def ivfUpsert(s: SparkSession, storedIndex: DataFrame,
+      newBatch: DataFrame, model: AnnModel): DataFrame =
+    storedIndex.unionByName(annIndex(s, newBatch, model))
+
+  /** K-index — declared incremental upsert: history = vec_id % 10 ≠ 0
+    * (the stored index + the frozen model), new batch = the rest. Output
+    * is the upserted index, flat-rendered like [[annIndexBuild]], with
+    * the batch provenance column an ingest pipeline audits. No-oracle
+    * (learned quantizer, K2 precedent); AnnSpec proves the upsert is
+    * row-identical to a full same-model rebuild — through a
+    * write→read round-trip of the stored index, the production shape. */
+  val annUpsertIvf = Q.noOracle("ann_upsert_ivf") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val hist = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val model = fitAnnModel(s, hist)
+    val stored = annIndex(s, hist, model)
+      .withColumn("src", lit("stored"))
+    val upserted = stored.unionByName(
+      annIndex(s, batch, model).withColumn("src", lit("new")))
+    upserted
+      .select(col("vec_id"), col("list_id"),
+        concat_ws(",", col("codes").cast("array<string>")).as("pq_codes"),
+        col("src"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(annLshTopK, annIvfKnn, annPqKnn, annIndexBuild, annUpsertIvf)
 }

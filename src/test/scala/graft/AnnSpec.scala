@@ -124,4 +124,48 @@ class AnnSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(full.collect().map(_.getLong(0)).toSeq == exact)
   }
+
+  test("IVF upsert: stored index + new-batch assignment == full rebuild " +
+      "under the same model, through a parquet round-trip") {
+    val hist = emb.filter($"vec_id" % 10 =!= 0)
+    val batch = emb.filter($"vec_id" % 10 === 0)
+    val model = AnnOps.fitAnnModel(spark, hist)
+    // Production shape: the stored index is a TABLE on disk, not a plan —
+    // the upsert must work from the persisted rows alone.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_upsert").toString
+    AnnOps.annIndex(spark, hist, model).write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val upserted = AnnOps.ivfUpsert(spark, stored, batch, model)
+      .orderBy("vec_id").collect().toSeq
+    val rebuilt = AnnOps.annIndex(spark, emb, model)
+      .orderBy("vec_id").collect().toSeq
+    assert(upserted == rebuilt,
+      "incremental upsert must be row-identical to a same-model rebuild")
+    // The upsert plan must not scan the historical embeddings: its only
+    // embedding-source scan is the (filtered) new batch, plus the stored
+    // index itself.
+    val upsertPlan = AnnOps.ivfUpsert(spark, stored, batch, model)
+      .queryExecution.optimizedPlan
+    val scanPaths = upsertPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case _ => ""
+        }
+    }
+    val embScans = scanPaths.count(_.contains("embeddings.parquet"))
+    assert(embScans == 1,
+      s"upsert must scan embeddings exactly once (the new batch), " +
+        s"found $embScans embedding scans in $scanPaths")
+    assert(scanPaths.exists(_.contains("graft_ivf_upsert")),
+      "upsert must read the persisted stored index")
+    // Declared key: deterministic flat render, full corpus covered.
+    val declared = AnnOps.annUpsertIvf.fn(spark, sfDir).collect()
+    assert(declared.length == emb.count(),
+      "declared upsert output must cover the whole corpus")
+    assert(declared.count(_.getString(3) == "new") == batch.count(),
+      "new-batch provenance must match the batch size")
+  }
 }

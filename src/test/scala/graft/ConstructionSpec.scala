@@ -41,7 +41,7 @@ class ConstructionSpec extends SparkSpec {
     "similarity_topk",
     // ANN family: auto-sized band width / codebooks need the true n.
     "ann_lsh_topk", "ann_ivf_knn", "ann_pq_knn", "ann_index_build",
-    "ann_recall_report",
+    "ann_recall_report", "ann_upsert_ivf",
     // Bounded candidate collects (k ≤ 50 rows by contract).
     "search_mmr_diversify",
     // Guard counts on derived (filtered/distinct) frames where plan stats

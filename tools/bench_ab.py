@@ -24,12 +24,38 @@ HEADLINE = [
     "exact_dedup", "similarity_topk", "asof_enrich"]
 
 
+# The verify-oracle form of similarity_topk (unnest + per-dim SUM) exists
+# for bit-exact correctness compare; for TIMING it is pathological (the
+# unnest CTE materializes n^2/2 * dim rows). Fairness to the baseline
+# means giving DuckDB its best-known formulation: native list_dot_product
+# with precomputed norms — same result set at 6-decimal rounding.
+FAST_SQL = {
+    # approx_distinct is no-oracle for CORRECTNESS (sketches differ across
+    # engines); for TIMING DuckDB runs its own native HLL — same query
+    # shape, each engine's own sketch.
+    "approx_distinct": """
+SELECT o_orderstatus,
+  approx_count_distinct(o_custkey) AS approx_cust
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "similarity_topk": """
+WITH e AS (SELECT vec_id, embedding,
+             SQRT(list_dot_product(embedding, embedding)) AS nrm
+           FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+  ROUND(list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm), 6)
+    AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+ORDER BY sim DESC, a_id, b_id LIMIT 100""",
+}
+
+
 def main():
     sf_dir = sys.argv[1]
     oracle_path = sys.argv[2]
     threads = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     skip = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else set()
     oracle = json.load(open(oracle_path))
+    oracle.update(FAST_SQL)
     con = duckdb.connect()
     con.execute(f"SET threads={threads}")
     for t in TABLES:
