@@ -61,5 +61,44 @@ object ExportOps {
         col("sum_chars").cast("long").as("sum_chars"), col("n_distinct"))
   }
 
-  val all: Seq[Q] = Seq(sinkJsonlSharded)
+  /** Content-level export manifest — wave 31. [[sinkJsonlSharded]] audits
+    * COUNTS; a production loader also wants a per-shard content checksum
+    * so a corrupted or re-encoded shard is caught even when row counts
+    * match. Checksum = sum of each doc's md5-prefix value (first 10 hex
+    * nibbles = 40 bits) — ORDER-INDEPENDENT (a shard is an unordered row
+    * set) and overflow-safe to ~8×10⁸ docs/shard in an int64. The engine
+    * computes it from the re-read shards; the oracle recomputes it from
+    * the source table — equality proves the export preserved every text
+    * byte-for-byte (md5 of the JSON-round-tripped text). */
+  val sinkManifestChecksums = Q(
+    "sink_manifest_checksums",
+    s"""SELECT ${nib("md5('sh:' || CAST(doc_id AS VARCHAR))", 1)} AS shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CAST(('0x' || substr(md5(text), 1, 10)) AS BIGINT))
+       |    AS BIGINT) AS checksum,
+       |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val base = s"/tmp/graft_manifest_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Tables.load(s, dir, "documents")
+      .withColumn("h", md5(concat(lit("sh:"), col("doc_id").cast("string"))))
+      .withColumn("shard", expr(s"CAST(${nib("h", 1)} AS INT)"))
+      .drop("h")
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .option("maxRecordsPerFile", 10000)
+      .json(base)
+    s.read.json(base)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(conv(substring(md5(col("text")), 1, 10), 16, 10).cast("long"))
+          .as("checksum"),
+        min("doc_id").cast("long").as("min_doc"),
+        max("doc_id").cast("long").as("max_doc"))
+      .orderBy("shard")
+      .select(col("shard").cast("int").as("shard"), col("n_docs"),
+        col("checksum"), col("min_doc"), col("max_doc"))
+  }
+
+  val all: Seq[Q] = Seq(sinkJsonlSharded, sinkManifestChecksums)
 }

@@ -34,7 +34,7 @@ class ConstructionSpec extends SparkSpec {
     // format the corpus doesn't ship in (csv/json/orc/bucketed/sharded),
     // so it first writes that form — a bounded, one-off data-prep job.
     "scan_csv_json", "scan_orc", "scan_merge_schema", "sink_jsonl_sharded",
-    "layout_bucket_join",
+    "sink_manifest_checksums", "layout_bucket_join",
     // Exact-kernel matrix broadcast: below the byte guard the collected
     // (≤512 MB) matrix IS the plan's build side — one bounded collect,
     // the same memory contract as a broadcast-join build.
