@@ -316,6 +316,66 @@ object IndexOps {
     deleteFromIndex(idx, deleted)
   }
 
+  /** Posting-list delta/varbyte cost model — wave 32: the storage-layer
+    * decision every inverted index makes (Lucene's VInt postings). Gaps
+    * are computed WITHIN the 4096-doc blocks of `index_inverted_build`'s
+    * design (first gap = offset from the block base), so the keyed window
+    * partitions are bounded at 4096 rows regardless of how degenerate a
+    * stopword's posting list gets — the same blocking that makes the
+    * index mergeable makes its compression model shuffle-safe. All
+    * arithmetic is integer-exact; the one ratio is a rounded division of
+    * two exact int64s. Output: the 100 highest-df tokens — where
+    * compression decisions actually matter. */
+  val indexPostingDeltaStats = Q(
+    "index_posting_delta_stats",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tf AS (
+      |  SELECT token, doc_id FROM tok GROUP BY token, doc_id),
+      |g AS (
+      |  SELECT token, CAST(FLOOR(doc_id / 4096.0) AS BIGINT) AS block_id,
+      |    doc_id,
+      |    COALESCE(doc_id - LAG(doc_id) OVER (
+      |        PARTITION BY token, CAST(FLOOR(doc_id / 4096.0) AS BIGINT)
+      |        ORDER BY doc_id),
+      |      doc_id - CAST(FLOOR(doc_id / 4096.0) AS BIGINT) * 4096) AS gap
+      |  FROM tf),
+      |vb AS (
+      |  SELECT token, block_id,
+      |    CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+      |         WHEN gap < 2097152 THEN 3 ELSE 4 END AS nbytes
+      |  FROM g)
+      |SELECT token,
+      |  CAST(COUNT(*) AS BIGINT) AS df,
+      |  CAST(COUNT(DISTINCT block_id) AS BIGINT) AS n_blocks,
+      |  CAST(SUM(nbytes) AS BIGINT) AS varbyte_bytes,
+      |  CAST(COUNT(*) * 8 AS BIGINT) AS fixed_bytes,
+      |  ROUND(CAST(COUNT(*) * 8 AS DOUBLE) / SUM(nbytes), 4) AS ratio
+      |FROM vb GROUP BY token
+      |ORDER BY df DESC, token LIMIT 100""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("block_id", floor(col("doc_id") / lit(4096)).cast("long"))
+    val w = Window.partitionBy("token", "block_id").orderBy("doc_id")
+    val gaps = tf.withColumn("gap",
+      coalesce(col("doc_id") - lag(col("doc_id"), 1).over(w),
+        col("doc_id") - col("block_id") * 4096))
+    val vb = gaps.withColumn("nbytes",
+      when(col("gap") < 128, 1).when(col("gap") < 16384, 2)
+        .when(col("gap") < 2097152, 3).otherwise(4))
+    vb.groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        countDistinct(col("block_id")).as("n_blocks"),
+        sum("nbytes").cast("long").as("varbyte_bytes"),
+        (count(lit(1)) * 8).as("fixed_bytes"),
+        round((count(lit(1)) * 8).cast("double") / sum("nbytes"), 4)
+          .as("ratio"))
+      .orderBy(col("df").desc, col("token")).limit(100)
+  }
+
   val all: Seq[Q] = Seq(indexSegmentMerge, searchHybridBlend, annRecallReport,
-    searchPercolate, indexDeleteDocs)
+    searchPercolate, indexDeleteDocs, indexPostingDeltaStats)
 }

@@ -176,5 +176,49 @@ object TsOps {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(tsAutocorr, tsCusumChangepoint, tsSeasonalNaiveEval)
+  /** OHLC candle downsampling — wave 32: the canonical time-series
+    * compaction (metrics pipelines, market-style rollups). Exactness:
+    * open/high/low/close are all SELECTED raw doubles (never summed), so
+    * no rounding laundering is needed; ties break on the unique event_id.
+    *
+    * Scale shape: ONE two-phase hash aggregate on the day bucket —
+    * `min_by`/`max_by` over a (ts, event_id) struct carry the open/close
+    * selection into the partial aggregates (each partition keeps one
+    * candidate per bucket), so the corpus never shuffles more than
+    * buckets × 4 values. The oracle states the same thing positionally
+    * (two window row_numbers) — equivalent, but the window form would
+    * shuffle every row at scale; the agg form is the one the engine runs. */
+  val tsOhlcDownsample = Q(
+    "ts_ohlc_downsample",
+    """WITH b AS (
+      |  SELECT CAST(ts AS DATE) AS day, ts, event_id, value FROM events),
+      |rn AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY day
+      |      ORDER BY ts, event_id) AS rka,
+      |    ROW_NUMBER() OVER (PARTITION BY day
+      |      ORDER BY ts DESC, event_id DESC) AS rkd
+      |  FROM b)
+      |SELECT day,
+      |  MAX(CASE WHEN rka = 1 THEN value END) AS open,
+      |  MAX(value) AS high,
+      |  MIN(value) AS low,
+      |  MAX(CASE WHEN rkd = 1 THEN value END) AS close,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM rn GROUP BY day ORDER BY day""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("ts"), col("event_id"),
+        col("value"))
+      .groupBy("day")
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy("day")
+  }
+
+  val all: Seq[Q] =
+    Seq(tsAutocorr, tsCusumChangepoint, tsSeasonalNaiveEval, tsOhlcDownsample)
 }
