@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Parity, Q, Tables}
+
+/** Dynamic partition pruning — wave 33.
+  *
+  * At 100 TB the fact table is partitioned (by day, by source, by type)
+  * and the single most valuable scan optimization is not reading the
+  * partitions a dim-side filter already excludes — when the filter value
+  * arrives only at RUNTIME through a join, that is Spark's
+  * `DynamicPartitionPruning`: the dim side's build is reused as an IN
+  * subquery on the fact's PARTITION COLUMN, and whole directories are
+  * skipped before any row is read.
+  *
+  * The corpus ships unpartitioned single files, so the declared query
+  * first re-lays events out partitioned by `event_type` (one bounded
+  * fixture write per (dir, JVM) — the scan_csv_json convention), then
+  * runs the canonical DPP shape: fact ⋈ dim on the partition column with
+  * the selective filter on the DIM ONLY. DppSpec asserts the fact scan
+  * carries `dynamicpruning` and that only the joined partitions' files
+  * are read; the oracle replays the semantics from the original table.
+  */
+object DppOps {
+  private val laidOut =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Events re-laid out as a partitioned table (once per dir per JVM). */
+  private[graft] def partitionedEvents(s: SparkSession, dir: String)
+      : DataFrame = {
+    val base = s"/tmp/graft_dpp_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (laidOut.add(base)) {
+      Tables.load(s, dir, "events")
+        .write.mode("overwrite").partitionBy("event_type").parquet(base)
+    }
+    s.read.schema(Tables.events).parquet(base)
+  }
+
+  /** The dim: event_type → category, engagement = the 2-of-5 selective
+    * arm. Fixture-known domain (FIXTURES.md). Written to parquet and read
+    * back rather than kept as a literal: the optimizer constant-folds a
+    * filter INTO a LocalRelation, and PartitionPruning requires a live
+    * selective Filter over a scan on the dim side to justify the pruning
+    * subquery — the same reason a production dim is a table, not VALUES. */
+  private def typeDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val base = "/tmp/graft_dpp_typedim"
+    if (laidOut.add(base)) {
+      Seq(("view", "engagement"), ("click", "engagement"),
+        ("purchase", "conversion"), ("signup", "conversion"),
+        ("error", "ops"))
+        .toDF("event_type", "category")
+        .coalesce(1).write.mode("overwrite").parquet(base)
+    }
+    s.read.parquet(base)
+  }
+
+  private[graft] def dppJoin(s: SparkSession, dir: String): DataFrame =
+    partitionedEvents(s, dir)
+      .join(broadcast(typeDim(s).filter(col("category") === "engagement")),
+        Seq("event_type"))
+
+  val joinPartitionPruned = Q(
+    "join_partition_pruned",
+    s"""SELECT event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+       |    AS sum_value
+       |FROM events WHERE event_type IN ('view', 'click')
+       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    dppJoin(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Parity.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(joinPartitionPruned)
+}

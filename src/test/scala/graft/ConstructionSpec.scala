@@ -35,6 +35,7 @@ class ConstructionSpec extends SparkSpec {
     // so it first writes that form — a bounded, one-off data-prep job.
     "scan_csv_json", "scan_orc", "scan_merge_schema", "sink_jsonl_sharded",
     "sink_manifest_checksums", "layout_bucket_join",
+    "join_partition_pruned",
     // Exact-kernel matrix broadcast: below the byte guard the collected
     // (≤512 MB) matrix IS the plan's build side — one bounded collect,
     // the same memory contract as a broadcast-join build.
@@ -57,7 +58,8 @@ class ConstructionSpec extends SparkSpec {
 
   /** Exempt keys whose construction jobs run once per JVM: a prior suite
     * may have paid them already, so a zero here is not a stale entry. */
-  private val oncePerJvm: Set[String] = Set("cbo_join_reorder")
+  private val oncePerJvm: Set[String] =
+    Set("cbo_join_reorder", "join_partition_pruned")
 
   test("constructing every declared query launches zero Spark jobs " +
       "(documented exemptions aside)") {
