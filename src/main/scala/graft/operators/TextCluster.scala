@@ -148,5 +148,63 @@ object TextCluster {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(dedupCluster, piiMask, sampleStratified)
+  /** Survivorship-by-quality — wave 34: `dedup_cluster` answers WHO is a
+    * duplicate of whom; a curation pipeline also has to decide WHICH copy
+    * to keep. The rule here is the production default: keep the longest
+    * document (most content), tie-broken to the lowest doc_id, and report
+    * per cluster what was kept and how many chars were dropped — the
+    * "dedup savings" accounting a corpus report shows. min_by over a
+    * (-n_chars, doc_id) struct rides the two-phase aggregate, so the
+    * selection adds nothing to the component computation's shuffle. */
+  val dedupSurvivorship = Q(
+    "dedup_survivorship",
+    """WITH RECURSIVE s AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |         || ' ' || string_split(text,' ')[i+2])) AS sh
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4),
+      |e AS (SELECT a_id AS x, b_id AS y FROM p
+      |      UNION ALL SELECT b_id, a_id FROM p),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.x, reach.r FROM e JOIN reach ON e.y = reach.id),
+      |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+      |         FROM reach GROUP BY id),
+      |q AS (
+      |  SELECT c.cluster_id, c.doc_id, d.n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+      |      ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+      |    SUM(d.n_chars) OVER (PARTITION BY c.cluster_id) AS sum_chars
+      |  FROM comp c JOIN documents d USING (doc_id))
+      |SELECT cluster_id, doc_id AS survivor_id,
+      |  CAST(n_members AS BIGINT) AS n_members,
+      |  CAST(n_chars AS BIGINT) AS kept_chars,
+      |  CAST(sum_chars - n_chars AS BIGINT) AS dropped_chars
+      |FROM q WHERE rk = 1 ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = TextOps.ngramJaccardPairs(docs, 0.4)
+    connectedComponents(docs.select(col("doc_id")), pairs)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(
+        min_by(col("doc_id"),
+          struct((-col("n_chars")).as("nq"), col("doc_id").as("id")))
+          .as("survivor_id"),
+        count(lit(1)).as("n_members"),
+        max(col("n_chars")).as("kept_chars"),
+        (sum(col("n_chars")) - max(col("n_chars"))).as("dropped_chars"))
+      .orderBy("cluster_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(dedupCluster, piiMask, sampleStratified, dedupSurvivorship)
 }

@@ -27,7 +27,8 @@ class ConstructionSpec extends SparkSpec {
   /** Keys whose construction legitimately runs driver-side jobs. */
   private val exempt: Set[String] = Set(
     // Learned / iterative: the model IS driver state.
-    "kmeans_embed", "dedup_semantic", "dedup_cluster", "quality_train_logreg",
+    "kmeans_embed", "dedup_semantic", "dedup_cluster", "dedup_survivorship",
+    "quality_train_logreg",
     "bpe_train_merges", "text_token_bpe", "vocab_coverage",
     "graph_pagerank", "graph_components", "pca_power_embed",
     // Fixture-materializing scans/sinks: the operator's POINT is reading a
