@@ -260,10 +260,31 @@ object Joins {
       .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
         col("n_regionkey") === col("r_regionkey"))
       .select("s_suppkey", "s_nationkey", "n_name")
+    // Join order (round-7 restructure, caught by the sf10 A/B): the ASIA
+    // predicate constrains CUSTOMERS too (c_nationkey must match an ASIA
+    // supplier's nation), so reduce orders through ASIA-nation customers
+    // BEFORE touching the lineitem fact — the old shape probed 60 M
+    // lineitems against unreduced orders first and hard-broadcast the
+    // full customer table (1.5 M rows/execution at sf10; executor-OOM at
+    // 100 TB). Customer now carries NO hint: below the auto-broadcast
+    // threshold the optimizer still broadcasts it, above it AQE picks
+    // from runtime sizes.
+    val asiaNationKeys = asiaSuppliers.select(col("s_nationkey").as("an"))
+      .distinct()
+    val custAsia = t(s, dir, "customer")
+      .join(broadcast(asiaNationKeys), col("c_nationkey") === col("an"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ordAsia = orders
+      .join(custAsia, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    // The fact join stays HINT-FREE: at bench scale the reduced ordAsia
+    // auto-broadcasts (a forced shuffle_hash measured 0.37 s vs 0.23 s at
+    // sf0.1 — the hint costs a shuffle broadcast gets free); at sf10 with
+    // AQE the runtime sizes pick shuffle-hash over sorting the 60 M fact
+    // rows (measured 1.75 s hinted vs 2.01 s SMJ — AQE makes that call
+    // from stats, not from a hard-coded hint).
     t(s, dir, "lineitem")
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, dir, "customer")),
-        col("o_custkey") === col("c_custkey"))
+      .join(ordAsia, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(asiaSuppliers),
         col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
