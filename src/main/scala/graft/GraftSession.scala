@@ -19,6 +19,12 @@ object GraftSession {
       .withExtensions(graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
+      // CBO on from session start (round-8: was a CboOps registration-time
+      // side effect, which made plan behavior order-dependent). Costing
+      // only activates on relations WITH catalog stats — i.e. the
+      // ANALYZEd graft_cbo_* tables — so path-based reads are unaffected.
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
 }
 
 object Views {

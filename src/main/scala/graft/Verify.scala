@@ -18,6 +18,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // CBO from session start — see GraftSession.builder (order-
+      // independence; only ANALYZEd graft_cbo_* tables carry stats).
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       // The sf dirs are single-file tables; 8 MB splits restore scan
       // parallelism for per-row HOF-heavy operators (simhash/rolling-hash
       // folds ran on ONE task otherwise). At cluster scale inputs are

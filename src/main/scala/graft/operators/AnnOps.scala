@@ -65,7 +65,11 @@ object AnnOps {
     // Top-k output is BOUNDED, so oversized buckets star-collapse
     // (bucketCap): duplicate-heavy corpora stay linear (see
     // srpCandidatePairs).
-    val cands = srpCandidatePairs(s, emb, nBits, bands, dims, emb.count(),
+    // Band auto-sizing reads the corpus cardinality from PlanStats
+    // (round-8): exact via parquet footers / plan rowCount, zero Spark
+    // jobs at construction — replaces the round-7 eager emb.count().
+    val cands = srpCandidatePairs(s, emb, nBits, bands, dims,
+      graft.plans.PlanStats.estRows(emb, 48L).min(BigInt(Long.MaxValue)).toLong,
       bucketCap = 256)
     rejoinCosine(emb, cands)
       .select(col("a_id"), col("b_id"),
@@ -162,7 +166,9 @@ object AnnOps {
       nBits: Int = 48, bands: Int = 8, dims: Int = 64): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     VectorOps.registerFns(s)
-    val cands = srpCandidatePairs(s, emb, nBits, bands, dims, emb.count())
+    // Zero-job band sizing — see lshTopKPairs (round-8).
+    val cands = srpCandidatePairs(s, emb, nBits, bands, dims,
+      graft.plans.PlanStats.estRows(emb, 48L).min(BigInt(Long.MaxValue)).toLong)
     rejoinCosine(emb, cands)
       .filter(col("sim_raw") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim_raw"), 6).as("sim"))
@@ -185,7 +191,11 @@ object AnnOps {
       dims: Int = 64): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     VectorOps.registerFns(s)
-    val n = math.max(corp.count(), eval.count())
+    // Zero-job band sizing from the LARGER side's PlanStats estimate
+    // (round-8) — replaces two eager count() jobs per construction.
+    val n = graft.plans.PlanStats.estRows(corp, 48L)
+      .max(graft.plans.PlanStats.estRows(eval, 48L))
+      .min(BigInt(Long.MaxValue)).toLong
     val bpb = bitsPerBandFor(n, nBits / bands)
     def banded(df: DataFrame, idAs: String) = {
       val keys = bandKeys(s, col("embedding"), bpb * bands, bands, dims)

@@ -27,10 +27,13 @@ import graft.{Parity, Q, Tables}
   *
   * Scale shape: ANALYZE is one full-scan aggregate per table, amortized
   * over every later query (the classic warehouse stats job); at 100 TB
-  * it runs incrementally per partition on ingest. The CBO confs are set
-  * session-wide here — harmless for the rest of the suite because CBO
-  * costing only activates on relations WITH catalog stats, and only the
-  * `graft_cbo_*` tables have them.
+  * it runs incrementally per partition on ingest. The CBO confs live in
+  * the SESSION SETUP (GraftSession.builder / Verify / Bench / the shared
+  * test session), NOT here (round-8 ADVICE fix: a registration-time
+  * conf.set made later queries' plan behavior depend on execution order)
+  * — harmless for the rest of the suite because CBO costing only
+  * activates on relations WITH catalog stats, and only the `graft_cbo_*`
+  * tables have them.
   */
 object CboOps {
 
@@ -42,11 +45,18 @@ object CboOps {
   private val analyzed =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Short stable suffix so the same table name can be registered for
-    * different sf dirs in one metastore. */
-  private def dirTag(dir: String): String =
-    Integer.toHexString(
-      java.nio.file.Paths.get(dir).toAbsolutePath.toString.hashCode)
+  /** Stable suffix so the same table name can be registered for different
+    * sf dirs in one metastore. First 12 hex of md5(abs path) — a full-width
+    * digest prefix (round-8 ADVICE fix: the former 32-bit String.hashCode
+    * could alias two dirs to one table name, silently reading the wrong
+    * dir's data; 48 bits puts a birthday collision beyond any plausible
+    * number of registered dirs). */
+  private def dirTag(dir: String): String = {
+    val abs = java.nio.file.Paths.get(dir).toAbsolutePath.toString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+  }
 
   /** Catalog-backed, ANALYZEd view of `<dir>/<name>.parquet`. Registration
     * + ANALYZE run once per (dir, name) per JVM; later calls are a pure
@@ -54,8 +64,6 @@ object CboOps {
   def analyzedTable(s: SparkSession, dir: String, name: String): DataFrame = {
     val tbl = s"graft_cbo_${name}_${dirTag(dir)}"
     if (analyzed.add(s"${s.sparkContext.applicationId}/$tbl")) {
-      s.conf.set("spark.sql.cbo.enabled", "true")
-      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
       val cols = Tables.schemas(name)
         .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
       s.sql(s"DROP TABLE IF EXISTS $tbl")

@@ -34,20 +34,20 @@ object ClickOps {
       |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
       |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks
       |  FROM events WHERE event_type IN ('view', 'click')
-      |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-      |      IS NOT NULL
+      |    AND regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
       |  GROUP BY 1)""".stripMargin
 
   private def itemCounts(events: DataFrame): DataFrame =
     events
       .filter(col("event_type").isin("view", "click"))
-      // TRY_CAST + NULL drop on BOTH sides (r6 ADVICE): a malformed or
-      // missing $.k prop errors DuckDB's plain CAST while Spark's cast
-      // yields NULL, and a NULL item also sorts differently across the
-      // engines (Spark NULLS FIRST vs DuckDB NULLS LAST). Dropping the
-      // un-castable rows up front makes the parity contract independent
-      // of the fixture always carrying a numeric $.k.
-      .filter(get_json_object(col("props"), "$.k").cast("bigint").isNotNull)
+      // INTEGRAL-pattern guard on BOTH sides (r6 + r8 ADVICE): a malformed
+      // or missing $.k errors DuckDB's plain CAST while Spark's yields
+      // NULL — and for a non-integral numeric string ("12.5") both engines
+      // KEEP the row but disagree on the value (Spark's string→bigint
+      // truncates to 12, DuckDB's TRY_CAST rounds to 13). Requiring
+      // ^-?[0-9]+$ before the cast makes parity independent of the
+      // fixture's $.k shape in both the NULL and the fractional case.
+      .filter(get_json_object(col("props"), "$.k").rlike("^-?[0-9]+$"))
       .groupBy(get_json_object(col("props"), "$.k").cast("bigint").as("item"))
       .agg(
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),

@@ -121,7 +121,7 @@ object ClusterOps {
        |  FROM a$n a JOIN e USING (vec_id)),
        |n$n AS (
        |  SELECT cid, list(m ORDER BY i) AS cent FROM (
-       |    SELECT cid, i, AVG(x) AS m FROM m$n GROUP BY cid, i) t
+       |    SELECT cid, i, ROUND(AVG(x), 6) AS m FROM m$n GROUP BY cid, i) t
        |  GROUP BY cid),
        |c$n AS (
        |  SELECT p.cid, COALESCE(u.cent, p.cent) AS cent
@@ -139,9 +139,12 @@ object ClusterOps {
     * lowest-cid tie-break, same keep-previous-centroid rule for emptied
     * clusters. Dot products iterate dimensions in index order in both
     * engines (bit-identical given identical centroids); centroid MEANS sum
-    * members in engine-specific order, so centroids can differ by ~1-ulp —
-    * an assignment flips only if a vector's two best scores collide within
-    * that ulp, which the integer hash-compare would surface loudly. 500/500
+    * members in engine-specific order, so BOTH engines round each
+    * recomputed centroid component to 6 decimals between iterations
+    * (round-8 ADVICE, the pcaProject normRound precedent) — the ~1e-15
+    * reassociation drift lands on the same 1e-6 grid, so a flipped
+    * assignment can no longer cascade through later iterations as sf
+    * grows. Seeds stay raw (float→double is exact on both sides). 500/500
     * assignments matched at sf0.01 on first contact. KmeansSpec still
     * proves WCSS monotonicity, determinism, and non-empty clusters. */
   val kmeansEmbed = Q(
@@ -260,9 +263,13 @@ object ClusterOps {
       // A cluster that received no points this iteration KEEPS its previous
       // centroid instead of vanishing — otherwise k silently shrinks for
       // all later iterations and for every downstream consumer (the IVF
-      // build sizes its inverted lists off this model).
+      // build sizes its inverted lists off this model). Recomputed means
+      // are rounded to the 1e-6 grid (round-8: pins the cross-engine
+      // replay oracle against summation-order drift; see kmeansEmbed).
       cents = cents.map { case (cid, prev) =>
-        (cid, recomputed.getOrElse(cid, prev))
+        (cid, recomputed.get(cid).map(_.map(x =>
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)).getOrElse(prev))
       }
     }
     (assigned, cents)

@@ -64,9 +64,13 @@ object ExportOps {
   /** Content-level export manifest — wave 31. [[sinkJsonlSharded]] audits
     * COUNTS; a production loader also wants a per-shard content checksum
     * so a corrupted or re-encoded shard is caught even when row counts
-    * match. Checksum = sum of each doc's md5-prefix value (first 10 hex
-    * nibbles = 40 bits) — ORDER-INDEPENDENT (a shard is an unordered row
-    * set) and overflow-safe to ~8×10⁸ docs/shard in an int64. The engine
+    * match. Checksum = sum of each doc's md5-prefix value (first 8 hex
+    * nibbles = 32 bits) — ORDER-INDEPENDENT (a shard is an unordered row
+    * set) and overflow-safe to 2⁶³/2³² ≈ 2.1×10⁹ docs/shard in an int64
+    * (the round-7 40-bit prefix left only ~8.4×10⁶ of headroom — past
+    * it Spark's long sum wraps silently while DuckDB promotes to HUGEINT
+    * and the outer BIGINT cast errors, breaking parity exactly at scale;
+    * round-8 ADVICE fix). The engine
     * computes it from the re-read shards; the oracle recomputes it from
     * the source table — equality proves the export preserved every text
     * byte-for-byte (md5 of the JSON-round-tripped text). */
@@ -74,7 +78,7 @@ object ExportOps {
     "sink_manifest_checksums",
     s"""SELECT ${nib("md5('sh:' || CAST(doc_id AS VARCHAR))", 1)} AS shard,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |  CAST(SUM(CAST(('0x' || substr(md5(text), 1, 10)) AS BIGINT))
+       |  CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
        |    AS BIGINT) AS checksum,
        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
        |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
@@ -91,7 +95,7 @@ object ExportOps {
     s.read.json(base)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
-        sum(conv(substring(md5(col("text")), 1, 10), 16, 10).cast("long"))
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
           .as("checksum"),
         min("doc_id").cast("long").as("min_doc"),
         max("doc_id").cast("long").as("max_doc"))

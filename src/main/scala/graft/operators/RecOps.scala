@@ -33,8 +33,7 @@ object RecOps {
       |  SELECT user_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
       |      AS item, COUNT(*) AS n_inter
       |  FROM events WHERE event_type IN ('view', 'click')
-      |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-      |      IS NOT NULL
+      |    AND regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
       |  GROUP BY 1, 2),
       |ui AS (
       |  SELECT user_id, item FROM (
@@ -60,9 +59,10 @@ object RecOps {
     import org.apache.spark.sql.expressions.Window
     val ui0 = events
       .filter(col("event_type").isin("view", "click"))
-      // TRY_CAST parity guard — see ClickOps.itemCounts: un-castable $.k
-      // props must drop on both engines, not error one and NULL the other.
-      .filter(get_json_object(col("props"), "$.k").cast("bigint").isNotNull)
+      // INTEGRAL-pattern parity guard — see ClickOps.itemCounts (r8
+      // ADVICE): un-castable $.k must drop on both engines, and a
+      // fractional "12.5" must not truncate (Spark) vs round (DuckDB).
+      .filter(get_json_object(col("props"), "$.k").rlike("^-?[0-9]+$"))
       .groupBy(col("user_id"),
         get_json_object(col("props"), "$.k").cast("bigint").as("item"))
       .agg(count(lit(1)).as("n_inter"))

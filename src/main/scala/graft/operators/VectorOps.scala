@@ -118,28 +118,30 @@ object VectorOps {
     * at 64-d would be ~32 GB at 1024-d. The default budget (512 MB)
     * mirrors the broadcast-join build-side contract the scaladoc invokes.
     *
-    * Both guards read Catalyst's `optimizedPlan.stats` (round-7, the
-    * vocabJoin precedent) — ZERO driver-side jobs at plan construction.
-    * The round-6 form ran an eager `count()` + a limit-1 dim probe per
-    * invocation: metadata-cheap on parquet but still 2 jobs and ~140 ms of
-    * fixed constants (measured), and a full scan on non-parquet inputs.
-    * The stats translation: collected-matrix bytes ≈ 2 × source bytes
-    * (float32 → double) + per-row overhead, and the compute-bound row
-    * estimate divides the byte estimate by the MINIMUM credible embedding
-    * row width (16 B fixed + 8 float dims = 48 B). Dividing by the minimum
-    * makes the row count an overestimate whose conservatism GROWS with
-    * dim — and the kernel's pair-dot cost n²·d ∝ (bytes/d)²·d shrinks
-    * with dim at fixed bytes, so the 5-minute budget can only be
-    * undershot, never blown. [[StageSpec]] asserts the zero-job contract
-    * across every declared query. */
+    * Both guards are ZERO-job at plan construction (round-7, the vocabJoin
+    * precedent; the round-6 form ran an eager `count()` + a limit-1 dim
+    * probe — 2 jobs and ~140 ms of fixed constants per invocation). The
+    * estimates come from [[graft.plans.PlanStats]] (round-8, ADVICE fix):
+    * parquet FOOTER metadata gives the EXACT row count and uncompressed
+    * byte size regardless of on-disk compression — the round-7 byte
+    * heuristic (`sizeInBytes / 48 B min row width`) under-counted whenever
+    * dictionary/zstd beat the min-width margin, which could admit the
+    * O(n²) kernel on a corpus that should reroute. Non-parquet inputs fall
+    * back to `sizeInBytes × decompressionFactor / minWidth`, conservative
+    * in the reroute direction. The matrix-bytes floor `rows × 2 ×
+    * MinEmbRowBytes` covers the dictionary-encoded residual (clone-heavy
+    * corpora shrink footer BYTES but never footer ROWS, and the row-exact
+    * compute guard binds first in exactly that case).
+    * [[ConstructionSpec]] asserts the zero-job contract across every
+    * declared query. */
   def similarityTopKPairs(s: SparkSession, emb0: DataFrame, k: Int,
       maxBroadcastBytes: Long = 512L << 20,
       maxExactRows: Long = -1L): DataFrame = {
     val emb = emb0.select(col("vec_id"), col("embedding"))
-    val stats = emb.queryExecution.optimizedPlan.stats
-    val estBytes = stats.sizeInBytes
-    val estRows: BigInt = stats.rowCount.getOrElse(estBytes / MinEmbRowBytes)
-    val matrixBytes = estBytes * 2 + estRows * 16
+    val estRows: BigInt = graft.plans.PlanStats.estRows(emb, MinEmbRowBytes)
+    val rawBytes: BigInt = graft.plans.PlanStats.estRawBytes(emb)
+    val matrixBytes = (rawBytes * 2).max(estRows * 2 * MinEmbRowBytes) +
+      estRows * 16
     // Two guards, either reroutes: the MEMORY bound above, and a COMPUTE
     // bound — the kernel is O(n²/2) pair-dots; with the raw-dot prefilter
     // it runs MAC-bound (~3·10⁷ pairs/s/core at 64-d), so a ~5-min budget
@@ -293,12 +295,10 @@ object VectorOps {
       if (maxExactRows >= 0) maxExactRows
       else (20000.0 * math.sqrt(s.sparkContext.defaultParallelism)).toLong
     val e = emb.select(col("vec_id"), col("embedding"))
-    // Catalyst-stats row estimate (round-7): zero jobs at construction;
-    // the minimum-width divisor makes it a conservative overestimate —
-    // see similarityTopKPairs for the full rationale.
-    val stats = e.queryExecution.optimizedPlan.stats
-    val estRows: BigInt =
-      stats.rowCount.getOrElse(stats.sizeInBytes / MinEmbRowBytes)
+    // PlanStats row estimate (round-8): zero jobs at construction; exact
+    // via parquet footers / plan rowCount, decompression-adjusted fallback
+    // otherwise — see similarityTopKPairs for the full rationale.
+    val estRows: BigInt = graft.plans.PlanStats.estRows(e, MinEmbRowBytes)
     if (estRows > BigInt(bound)) AnnOps.lshThresholdPairs(s, e, threshold)
     else {
       // Streamed-side repartition: BNLJ parallelism = streamed partition

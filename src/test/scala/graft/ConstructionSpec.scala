@@ -41,8 +41,10 @@ class ConstructionSpec extends SparkSpec {
     // (≤512 MB) matrix IS the plan's build side — one bounded collect,
     // the same memory contract as a broadcast-join build.
     "similarity_topk",
-    // ANN family: auto-sized band width / codebooks need the true n.
-    "ann_lsh_topk", "ann_ivf_knn", "ann_pq_knn", "ann_index_build",
+    // ANN family: learned codebooks / query-vector probes need driver
+    // state (ann_lsh_topk's band sizing reads PlanStats since round 8 —
+    // no longer exempt).
+    "ann_ivf_knn", "ann_pq_knn", "ann_index_build",
     "ann_recall_report", "ann_upsert_ivf",
     // Bounded candidate collects (k ≤ 50 rows by contract).
     "search_mmr_diversify",

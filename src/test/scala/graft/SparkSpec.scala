@@ -15,6 +15,10 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
+      // CBO from session start — see GraftSession.builder (order-
+      // independence; only ANALYZEd graft_cbo_* tables carry stats).
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
