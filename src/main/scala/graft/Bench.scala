@@ -49,10 +49,18 @@ object Bench {
       .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // CBO from session start — see GraftSession.builder (order-
+      // independence; only ANALYZEd graft_cbo_* tables carry stats).
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       // AQE is essential at cluster scale but pure re-planning overhead on
       // sub-second local queries; the bench mirrors an interactive
-      // small-data config. Verify/production keep it on.
-      .config("spark.sql.adaptive.enabled", "false")
+      // small-data config. Verify/production keep it on. The env knob
+      // (round-8) turns it on for the sf1/sf10 A/B tiers, where
+      // multi-second joins benefit from runtime broadcast conversion —
+      // same sized-to-data-volume doctrine as SHUFFLE/SPLIT above.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE", "false"))
       // The sf0.1 tables are single ~2-15 MB files; 2 MB splits give the
       // cached tables ~8 partitions so per-partition aggregation actually
       // parallelizes (a 15 MB lineitem at the 128 MB default is ONE task).

@@ -213,18 +213,28 @@ object Joins {
        |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    // CUSTOMER-FIRST order reduction (round-8, the q5 supplier-first
+    // precedent — closes the r7 "watch q3 drift" item): orders joins the
+    // broadcast BUILDING-customer build map-side BEFORE the orderkey
+    // join, so the 15 M-row orders fact never shuffles unreduced (the r7
+    // shape sort-merged filtered lineitem against ALL filtered orders —
+    // sf10 A/B 2.08 s). The reduced orders arm (~20% of orders) then
+    // hash-builds against the selectively-filtered lineitem probe:
+    // measured sf10 1.59 s vs 2.00 s, sf0.1 0.349 s vs 0.507 s — wins at
+    // both tiers. Broadcasting filtered lineitem instead was MEASURED
+    // 11.7 s at sf10 (the shipdate filter is selective but the estimate
+    // is blind to it, and the build side is still millions of rows —
+    // exactly the hard-broadcast trap q5's restructure removed).
     t(s, dir, "lineitem")
       .filter(to_date(col("l_shipdate")) > lit("1998-06-01"))
-      // Join strategy measured at sf0.1: broadcast / SMJ / shuffle-hash all
-      // land within ±15% run noise here; the filtered orders side (~90k
-      // rows) stays comfortably broadcastable, and at 100 TB AQE picks the
-      // right physical join from runtime sizes anyway.
       .join(
-        t(s, dir, "orders").filter(to_date(col("o_orderdate")) < lit("1998-06-01")),
+        t(s, dir, "orders")
+          .filter(to_date(col("o_orderdate")) < lit("1998-06-01"))
+          .join(broadcast(
+              t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")),
+            col("o_custkey") === col("c_custkey"))
+          .hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(
-        broadcast(t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")),
-        col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
         col("o_orderpriority"))
       .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
@@ -269,24 +279,54 @@ object Joins {
     // 100 TB). Customer now carries NO hint: below the auto-broadcast
     // threshold the optimizer still broadcasts it, above it AQE picks
     // from runtime sizes.
-    val asiaNationKeys = asiaSuppliers.select(col("s_nationkey").as("an"))
-      .distinct()
-    val custAsia = t(s, dir, "customer")
-      .join(broadcast(asiaNationKeys), col("c_nationkey") === col("an"))
+    //
+    // ADAPTIVE reduction arm (round-8, VERDICT item 2): the semi-join
+    // reduction through asiaNationKeys protects the 100 TB shape, but at
+    // bench scale its two extra joins + distinct are pure constants
+    // (+0.21 s at sf0.1, where customer broadcasts anyway and the ASIA
+    // rows are re-filtered by the final supplier-nation match regardless).
+    // Gate it on the SAME number the optimizer's broadcast decision reads
+    // (plan-stats sizeInBytes vs autoBroadcastJoinThreshold, zero
+    // construction jobs — the r7 guard precedent): when customer itself
+    // is broadcastable there is nothing to protect, so the reduction arm
+    // only engages above the threshold. Either arm yields identical rows
+    // — the reduction is a pure semi-join (c_nationkey ∈ ASIA nations),
+    // re-implied by the s_nationkey = c_nationkey conjunct downstream.
+    val custProj = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"))
+    val custBytes = custProj.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bcThreshold =
+      BigInt(org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold)
+    val custAsia =
+      if (custBytes <= bcThreshold) custProj
+      else {
+        val asiaNationKeys = asiaSuppliers.select(col("s_nationkey").as("an"))
+          .distinct()
+        custProj.join(broadcast(asiaNationKeys), col("c_nationkey") === col("an"))
+          .select(col("c_custkey"), col("c_nationkey"))
+      }
     val ordAsia = orders
       .join(custAsia, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey"))
-    // The fact join stays HINT-FREE: at bench scale the reduced ordAsia
-    // auto-broadcasts (a forced shuffle_hash measured 0.37 s vs 0.23 s at
-    // sf0.1 — the hint costs a shuffle broadcast gets free); at sf10 with
-    // AQE the runtime sizes pick shuffle-hash over sorting the 60 M fact
-    // rows (measured 1.75 s hinted vs 2.01 s SMJ — AQE makes that call
-    // from stats, not from a hard-coded hint).
+    // SUPPLIER-FIRST fact reduction (round-8, closes the r7 sf10 plan
+    // gap): join lineitem to the broadcast ASIA-supplier build on
+    // l_suppkey BEFORE the orderkey join — map-side, no fact shuffle, and
+    // it cuts the rows entering the big join ~5× (5 of 25 nations). The
+    // r7 shape shuffled ALL 60 M lineitem rows into a sort-merge with
+    // ordAsia (sf10 A/B: 2.24 s); reducing first, then hinting
+    // shuffle_hash on the (much smaller) ordAsia build side skips both
+    // sorts: measured sf10 1.004 s vs 2.242 s (and 0.371 s vs 0.489 s at
+    // sf0.1 — the reduction wins at every tier). Broadcasting ordAsia
+    // outright was MEASURED WORSE (1.71 s at sf10: the per-execution
+    // broadcast build of the orders⋈customer arm costs more than the
+    // shuffle it saves) besides being the OOM trap at 100 TB. At cluster
+    // scale the hint stays safe: ordAsia is the smaller side by
+    // construction and partitions by shuffle.partitions; AQE skew-split
+    // still applies to hinted shuffle-hash joins.
     t(s, dir, "lineitem")
-      .join(ordAsia, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(asiaSuppliers),
-        col("l_suppkey") === col("s_suppkey") &&
+      .join(broadcast(asiaSuppliers), col("l_suppkey") === col("s_suppkey"))
+      .join(ordAsia.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")
       .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
