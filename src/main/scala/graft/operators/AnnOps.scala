@@ -25,31 +25,24 @@ import org.apache.spark.sql.functions._
 object AnnOps {
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
-  private def planeComponent(plane: Int, dim: Int): Double = {
-    // splitmix64-style scramble of (plane, dim) — stable across JVMs.
-    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^= z >>> 31
-    (z.toDouble / Long.MaxValue.toDouble)
-  }
+  /** Deterministic pseudo-random hyperplane component in [-1, 1) —
+    * delegates to the native kernel's formula so plane values are shared. */
+  private def planeComponent(plane: Int, dim: Int): Double =
+    graft.functions.SrpBandKeys.planeComponent(plane, dim)
 
   private def plane(i: Int, dims: Int): Seq[Double] =
     (0 until dims).map(j => planeComponent(i, j))
 
-  /** Bit signature column: bit i = (v · plane_i) > 0, packed per band. */
-  private def bandKeys(s: SparkSession, v: Column, nBits: Int, bands: Int,
-      dims: Int): Seq[Column] = {
-    val bitsPerBand = nBits / bands
-    (0 until bands).map { b =>
-      (0 until bitsPerBand).map { i =>
-        val p = typedLit(plane(b * bitsPerBand + i, dims))
-        when(call_function("dot_product", v, p) > 0d,
-          lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
-  }
+  /** Packed per-band bit signatures as ONE array<long> column:
+    * element b's bit i = (v · plane(b·bitsPerBand+i)) > 0. Round-8: the
+    * former per-bit column formulation (nBits dot_product calls over
+    * nBits typedLit planes) fell out of whole-stage codegen at realistic
+    * embedding widths — 76 s for a 20 k×768-d signature pass, interpreted
+    * — so the signature is now the native one-pass
+    * [[graft.functions.SrpBandKeys]] kernel (bit-identical keys; sub-
+    * second at the same shape). */
+  private def bandSig(v: Column, nBits: Int, bands: Int, dims: Int): Column =
+    call_function("srp_band_keys", v, lit(nBits), lit(bands), lit(dims))
 
   /** Shared SRP-LSH candidate → exact-rerank pipeline (also used by
     * AnnSpec). Returns the approximate global top-k pairs. */
@@ -120,8 +113,8 @@ object AnnOps {
       nBits: Int, bands: Int, dims: Int, n: Long,
       bucketCap: Int = -1): DataFrame = {
     val bpb = bitsPerBandFor(n, nBits / bands)
-    val keys = bandKeys(s, col("embedding"), bpb * bands, bands, dims)
-    val banded = emb.select(col("vec_id"), posexplode(array(keys: _*)))
+    val banded = emb.select(col("vec_id"),
+        posexplode(bandSig(col("embedding"), bpb * bands, bands, dims)))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
     val a = banded.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
     val b = banded.select(col("band"), col("bucket"), col("vec_id").as("b_id"))
@@ -197,12 +190,11 @@ object AnnOps {
       .max(graft.plans.PlanStats.estRows(eval, 48L))
       .min(BigInt(Long.MaxValue)).toLong
     val bpb = bitsPerBandFor(n, nBits / bands)
-    def banded(df: DataFrame, idAs: String) = {
-      val keys = bandKeys(s, col("embedding"), bpb * bands, bands, dims)
-      df.select(col("vec_id"), posexplode(array(keys: _*)))
+    def banded(df: DataFrame, idAs: String) =
+      df.select(col("vec_id"),
+          posexplode(bandSig(col("embedding"), bpb * bands, bands, dims)))
         .select(col("vec_id").as(idAs), col("pos").as("band"),
           col("col").as("bucket"))
-    }
     val cands = banded(corp, "corp_id")
       .join(banded(eval, "eval_id"), Seq("band", "bucket"))
       .select("corp_id", "eval_id")

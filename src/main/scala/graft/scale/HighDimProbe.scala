@@ -1,0 +1,205 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{AnnOps, VectorOps}
+import graft.plans.PlanStats
+
+/** High-dimension + exact-vs-LSH crossover measurement harness (round-8,
+  * VERDICT items 3/4). Every prior scale run used the shipped 64-d corpus;
+  * the guards' dim-conservatism arguments were reasoned, not measured.
+  * This probe (a) synthesizes a realistic-width (768/1024-d) embedding
+  * corpus with planted cluster structure + near-dup pairs, (b) checks the
+  * similarity/dedup byte guards actually REROUTE at that width, (c)
+  * measures LSH/IVF/PQ recall at that width, and (d) measures the exact
+  * kernel vs LSH wall-clock across corpus sizes at 64-d so the compute
+  * bound's constant is data-derived, not assumed. Results land in
+  * SCALE.md §high-dim.
+  *
+  * Modes:
+  *   gen <outDir> <n> <dims>      — write <outDir>/embeddings.parquet
+  *   guard <dir>                  — print guard inputs + taken branch
+  *   recall <dir> <dims>          — LSH vs forced-exact top-100 pair recall
+  *   knn <dir> <dims>             — IVF/PQ kNN recall@20 vs exact, 5 queries
+  *   crossover <dir> <repl,...>   — exact vs LSH time at 2k×repl vectors
+  */
+object HighDimProbe {
+
+  /** splitmix64 — cheap deterministic per-(id,dim) uniform in [-1, 1). */
+  private def u(id: Long, dim: Long): Double = {
+    var z = id * 0x9E3779B97F4A7C15L + dim * 0xC2B2AE3D27D4EB4FL + 0x632BE59BD9B4E019L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .withExtensions(graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Synthetic corpus: 64 hash-derived cluster centers, each vector =
+    * center + 0.35·noise (so near-neighbor structure exists — pure uniform
+    * high-dim vectors are all near-orthogonal and top-k pairs would be
+    * noise); the last 1% of ids are 0.02-perturbed clones of the first 1%
+    * (planted near-dup pairs, ground truth for recall). */
+  private def gen(s: SparkSession, out: String, n: Long, dims: Int): Unit = {
+    import s.implicits._
+    val df = s.range(0, n, 1, 32).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val planted = id >= n - n / 100
+        val base = if (planted) id - (n - n / 100) else id
+        val cluster = (base % 64) * 7919L
+        val v = new Array[Float](dims)
+        var d = 0
+        while (d < dims) {
+          val center = u(cluster, d)
+          val noise = 0.35 * u(base + 1000003L, d)
+          val perturb = if (planted) 0.02 * u(id + 2000003L, d) else 0.0
+          v(d) = (center + noise + perturb).toFloat
+          d += 1
+        }
+        (id, v.toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+    df.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[gen] wrote $n x $dims to $out/embeddings.parquet")
+  }
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+
+  private def guard(s: SparkSession, dir: String): Unit = {
+    val e = emb(s, dir)
+    val estRows = PlanStats.estRows(e, 48L)
+    val rawBytes = PlanStats.estRawBytes(e)
+    val matrixBytes = (rawBytes * 2).max(estRows * 2 * 48L) + estRows * 16
+    val computeBound =
+      (130000.0 * math.sqrt(s.sparkContext.defaultParallelism)).toLong
+    val reroutes = matrixBytes > (512L << 20) || estRows > BigInt(computeBound)
+    println(s"[guard] footerStats=${PlanStats.parquetLeafStats(e)}")
+    println(s"[guard] estRows=$estRows rawBytes=$rawBytes " +
+      s"matrixBytes=$matrixBytes budget=${512L << 20} " +
+      s"computeBound=$computeBound")
+    println(s"[guard] similarity_topk reroutes=$reroutes " +
+      s"byBytes=${matrixBytes > (512L << 20)} " +
+      s"byRows=${estRows > BigInt(computeBound)}")
+  }
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def recall(s: SparkSession, dir: String, dims: Int): Unit = {
+    val e = emb(s, dir)
+    val (exact, tExact) = time {
+      VectorOps.similarityTopKPairs(s, e, k = 100,
+        maxBroadcastBytes = Long.MaxValue, maxExactRows = Long.MaxValue,
+        dims = dims).collect()
+    }
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (lsh, tLsh) = time {
+      pairSet(AnnOps.lshTopKPairs(s, e, k = 100, dims = dims))
+    }
+    val rec = (lsh & exactSet).size.toDouble / exactSet.size
+    println(f"[recall] dims=$dims exact=$tExact%.1fs lsh=$tLsh%.1fs " +
+      f"recall@100=$rec%.3f")
+  }
+
+  private def knn(s: SparkSession, dir: String, dims: Int): Unit = {
+    import s.implicits._
+    val e = emb(s, dir)
+    VectorOps.registerFns(s)
+    val queries = Seq(0L, 7L, 63L, 128L, 999L)
+    def exactTop(q: Long): Set[Long] = {
+      val qv = e.filter(col("vec_id") === q).select(col("embedding").as("qe"))
+      e.filter(col("vec_id") =!= q).crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          call_function("cosine_sim", col("embedding"), col("qe")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(20)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    val (mPq, dsub) = (dims / 8, 8)
+    val ivfRecalls = queries.map { q =>
+      val got = AnnOps.ivfKnn(s, e, q, k = 20, nProbe = 3, nLists = 8)
+        .select("vec_id").as[Long].collect().toSet
+      (got & exactTop(q)).size / 20.0
+    }
+    println(f"[knn] dims=$dims ivf recall@20 mean=${
+      ivfRecalls.sum / ivfRecalls.size}%.3f per-q=${ivfRecalls.mkString(",")}")
+    val pqRecalls = queries.map { q =>
+      val got = AnnOps.pqKnn(s, e, q, k = 20, m = mPq, dsub = dsub,
+          ksub = 16, nCandidates = 100)
+        .select("vec_id").as[Long].collect().toSet
+      (got & exactTop(q)).size / 20.0
+    }
+    println(f"[knn] dims=$dims pq(m=$mPq) recall@20 mean=${
+      pqRecalls.sum / pqRecalls.size}%.3f per-q=${pqRecalls.mkString(",")}")
+  }
+
+  /** ScaleGen replicas shift vec_id by 1e8 per replica; taking replicas
+    * [0, r) = filter(vec_id < r·1e8) subsamples to r×2k vectors without a
+    * shuffle. */
+  private def crossover(s: SparkSession, dir: String, repls: Seq[Int]): Unit = {
+    val e = emb(s, dir)
+    repls.foreach { r =>
+      val sub = e.filter(col("vec_id") < r * 100000000L)
+      val n = sub.count()
+      val (exactSet, tExact) = time {
+        VectorOps.similarityTopKPairs(s, sub, k = 100,
+          maxBroadcastBytes = Long.MaxValue, maxExactRows = Long.MaxValue)
+          .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+      }
+      val (lshSet, tLsh) = time { pairSet(AnnOps.lshTopKPairs(s, sub, 100)) }
+      val rec = (lshSet & exactSet).size.toDouble / exactSet.size
+      val rate = n.toDouble * n / 2.0 /
+        math.max(tExact, 1e-9) / s.sparkContext.defaultParallelism
+      println(f"[crossover] n=$n exact=$tExact%.1fs lsh=$tLsh%.1fs " +
+        f"recall@100=$rec%.3f exactPairsPerSecPerCore=$rate%.3g")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val s = session()
+    try args(0) match {
+      case "gen" => gen(s, args(1), args(2).toLong, args(3).toInt)
+      case "guard" => guard(s, args(1))
+      case "recall" => recall(s, args(1), args(2).toInt)
+      case "knn" => knn(s, args(1), args(2).toInt)
+      case "crossover" =>
+        crossover(s, args(1), args(2).split(",").toSeq.map(_.toInt))
+      case "lshtime" =>
+        // The rerouted (production) path alone — for corpora where the
+        // exact baseline is not tractable.
+        val e = emb(s, args(1))
+        val (n, t) = time {
+          AnnOps.lshTopKPairs(s, e, k = 100, dims = args(2).toInt).count()
+        }
+        println(f"[lshtime] rows=$n t=$t%.1fs")
+      case "similarity" =>
+        // The DECLARED operator end-to-end: guard decision + whichever
+        // path it picks.
+        val e = emb(s, args(1))
+        val (n, t) = time {
+          VectorOps.similarityTopKPairs(s, e, k = 100,
+            dims = args(2).toInt).count()
+        }
+        println(f"[similarity] rows=$n t=$t%.1fs")
+    } finally s.stop()
+  }
+}
