@@ -269,9 +269,58 @@ object AnnOps {
       .limit(k)
   }
 
-  /** K4-scale — approximate kNN of one query via IVF probing. */
-  val annIvfKnn = Q.noOracle("ann_ivf_knn") { (s, dir) =>
-    ivfKnn(s, t(s, dir, "embeddings"), queryId = 0L, k = 20)
+  /** K4-scale — approximate kNN of one query via IVF probing.
+    *
+    * Oracled since round 8 (the kmeans_embed replay precedent): the
+    * DuckDB oracle replays the ENTIRE pipeline — the 3-iteration Lloyd
+    * model (ClusterOps.kmeansIterSql CTEs, centroids rounded to 1e-6
+    * between iterations on both engines), the raw-dot nearest-centroid
+    * assignment with array_max's highest-cid tie-break (`ORDER BY sc
+    * DESC, cid DESC`), the stable centroid ranking for nProbe probing
+    * (`ORDER BY sc DESC, cid ASC` — Scala's stable sortBy keeps
+    * ascending cid on ties), and the exact rounded-6 cosine re-rank.
+    * A hash match here proves the APPROXIMATE path end-to-end, not just
+    * its recall floor. */
+  val annIvfKnn = Q(
+    "ann_ivf_knn",
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+       |    AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+       |    AS cid, v AS cent
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8) t),${
+      Seq(1, 2, 3).map(ClusterOps.kmeansIterSql).mkString(",")},
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid,
+       |      list_sum(list_transform(range(1, len(q.qv) + 1),
+       |        i -> c.cent[i] * q.qv[i])) AS sc
+       |    FROM c3 c CROSS JOIN q) t
+       |  ORDER BY sc DESC, cid LIMIT 3),
+       |assign AS (
+       |  SELECT vec_id, cid AS list_id FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(e.v) + 1),
+       |          i -> e.v[i] * c.cent[i])) DESC, c.cid DESC) AS rk
+       |    FROM e CROSS JOIN c3 c) t WHERE rk = 1),
+       |res AS (
+       |  SELECT e.vec_id, a.list_id,
+       |    list_sum(list_transform(range(1, len(e.v) + 1),
+       |      i -> e.v[i] * q.qv[i])) AS dot,
+       |    list_sum(list_transform(e.v, x -> x * x)) AS ne,
+       |    list_sum(list_transform(q.qv, x -> x * x)) AS nq
+       |  FROM e JOIN assign a USING (vec_id) CROSS JOIN q
+       |  WHERE a.list_id IN (SELECT cid FROM probe) AND e.vec_id <> 0)
+       |SELECT vec_id, CAST(list_id AS INT) AS list_id,
+       |  ROUND(CASE WHEN ne = 0 OR nq = 0 THEN 0.0
+       |             ELSE dot / (SQRT(ne) * SQRT(nq)) END, 6) AS sim
+       |FROM res ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin) {
+    (s, dir) =>
+      ivfKnn(s, t(s, dir, "embeddings"), queryId = 0L, k = 20)
   }
 
   /** Shared product-quantization (PQ) kNN pipeline: per-subspace codebooks

@@ -99,8 +99,9 @@ object ClusterOps {
   }
 
   /** One unrolled Lloyd iteration of the DuckDB replay oracle — see
-    * [[kmeansEmbed]]. */
-  private def kmeansIterSql(n: Int): String = {
+    * [[kmeansEmbed]]. Shared with AnnOps' IVF oracle (round-8), which
+    * replays the same 3-iteration model before probing. */
+  private[operators] def kmeansIterSql(n: Int): String = {
     val prev = s"c${n - 1}"
     s"""
        |s$n AS (
@@ -329,9 +330,77 @@ object ClusterOps {
     * result across aggregation merge orders (double-sum reassociation
     * drifts ~1e-15, the rounding grid is 1e-6). Deterministic start
     * v₀ = 1/√d; sign canonicalized so the largest-|component| is positive.
-    * No SQL oracle (iterative float recurrence); KmeansSpec asserts
-    * recovery of a planted dominant axis and projection laws. */
-  val pcaPowerEmbed = Q.noOracle("pca_power_embed") { (s, dir) =>
+    *
+    * Oracled since round 8 (the kmeans/IVF replay precedent): the
+    * recurrence is DRIFT-PROOF because every iteration re-rounds the unit
+    * vector to the 1e-6 grid — cross-engine aggregation-order drift in
+    * the per-dim means (~1e-15) cannot survive normalization + rounding,
+    * so both engines walk identical v's. The DuckDB oracle unrolls the 8
+    * iterations as CTEs over exploded (dim, value) rows; μ stays
+    * unrounded on both sides (its ~1e-16 drift is absorbed by the
+    * rounded-6 outputs). KmeansSpec still asserts recovery of a planted
+    * dominant axis and the projection laws. */
+  val pcaPowerEmbed = Q(
+    "pca_power_embed",
+    { val iters = (1 to 8).map { k =>
+        val prev = s"v${k - 1}"
+        // t_k(i) = mean over docs of c[i]·(c·v_{k-1}); v_k = round(t/‖t‖).
+        s"""pr$k AS (
+           |  SELECT vec_id,
+           |    list_sum(list_transform(range(1, len(c) + 1),
+           |      i -> c[i] * u[i])) AS p
+           |  FROM cent CROSS JOIN $prev),
+           |t$k AS (
+           |  SELECT ce.i, AVG(ce.x * pr.p) AS t
+           |  FROM (SELECT vec_id, unnest(c) AS x,
+           |          unnest(range(1, len(c) + 1)) AS i FROM cent) ce
+           |  JOIN pr$k pr USING (vec_id) GROUP BY ce.i),
+           |n$k AS (SELECT SQRT(SUM(t * t)) AS nrm FROM t$k),
+           |v$k AS MATERIALIZED (
+           |  SELECT list(ROUND(t / (SELECT nrm FROM n$k), 6) ORDER BY i)
+           |    AS u
+           |  FROM t$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+         |    AS v
+         |  FROM embeddings),
+         |mu AS MATERIALIZED (
+         |  SELECT list(m ORDER BY i) AS mu FROM (
+         |    SELECT i, AVG(x) AS m FROM (
+         |      SELECT unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i
+         |      FROM e) t GROUP BY i) t2),
+         |cent AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(range(1, len(v) + 1),
+         |      i -> v[i] - mu[i]) AS c
+         |  FROM e CROSS JOIN mu),
+         |v0 AS MATERIALIZED (
+         |  SELECT list_transform(range(1, len(mu) + 1),
+         |    i -> ROUND(1.0 / SQRT(CAST(len(mu) AS DOUBLE)), 6)) AS u
+         |  FROM mu),
+         |$iters,
+         |piv AS (
+         |  SELECT u[i] AS pval FROM v8,
+         |    (SELECT i FROM (SELECT unnest(range(1, len(u) + 1)) AS i,
+         |       unnest(u) AS x FROM v8) t ORDER BY ABS(x) DESC, i LIMIT 1) m
+         |  ),
+         |vf AS MATERIALIZED (
+         |  SELECT CASE WHEN (SELECT pval FROM piv) < 0
+         |    THEN list_transform(u, x -> -x) ELSE u END AS u FROM v8),
+         |proj AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_sum(list_transform(range(1, len(c) + 1),
+         |      i -> c[i] * u[i])) AS p,
+         |    list_sum(list_transform(c, x -> x * x)) AS n2
+         |  FROM cent CROSS JOIN vf),
+         |evr AS (
+         |  SELECT CASE WHEN AVG(n2) = 0 THEN 0.0
+         |    ELSE ROUND(AVG(p * p) / AVG(n2), 6) END AS evr FROM proj)
+         |SELECT vec_id, ROUND(p, 6) AS pc1_proj,
+         |  (SELECT evr FROM evr) AS evr
+         |FROM proj ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
     VectorOps.registerFns(s)
     pcaProject(s, t(s, dir, "embeddings").select("vec_id", "embedding"))
   }

@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   *    so the greedy selection runs driver-side over the collected 20 rows
   *    — the kmeans-centroid / WAND-θ precedent: distributed plans produce
   *    the candidates (BM25 pipeline + 64-bucket signed hashing-trick doc
-  *    vectors), the O(k²) greedy is bounded driver arithmetic. No oracle
-  *    by design (iterative greedy); DiversifySpec plants a clone-heavy
-  *    candidate list and pins the demotion, plus λ=1 ≡ plain BM25 order.
+  *    vectors), the O(k²) greedy is bounded driver arithmetic. Oracled
+  *    since round 8 (unrolled greedy replay — see [[mmrOracleSql]]);
+  *    DiversifySpec still plants a clone-heavy candidate list and pins
+  *    the demotion, plus λ=1 ≡ plain BM25 order.
   *  - scan_merge_schema: reads a dataset whose parquet files carry
   *    EVOLVED schemas (a v2 partition adds a column) with mergeSchema —
   *    the A-section ingestion reality at 100 TB, where years of files
@@ -45,8 +46,80 @@ object DiversifyOps {
         expr("transform(sequence(0, 63), i -> coalesce(m[i], 0L))").as("vec"))
   }
 
-  /** MMR re-rank (λ = 0.7) of the BM25 top-20 for the standing query. */
-  val searchMmrDiversify = Q.noOracle("search_mmr_diversify") { (s, dir) =>
+  /** DuckDB replay oracle for the greedy MMR selection (round-8, the
+    * kmeans_embed unrolled-iteration precedent): the 20-step greedy is
+    * unrolled as 20 (score, pick, picked-set) CTE triples over a
+    * pairwise-similarity table built from the SAME md5-nibble
+    * hashing-trick vectors. Every quantity is cross-engine exact: bucket
+    * weights are integer sign-sums, so dots and squared norms are exact
+    * integers; BM25 enters pre-rounded to 6 decimals (the bm25_topk
+    * contract); λ and 1−λ are written as the same double expressions
+    * (`0.7`, `1.0 - 0.7`) both engines evaluate to the same IEEE values;
+    * and the output rounding replays `math.rint` as
+    * `round_even(x·1e6, 0)/1e6`. Argmax ties break on doc_id in both. */
+  private def mmrOracleSql: String = {
+    val lam = "0.7"
+    val steps = (1 to 20).map { i =>
+      val prev = s"pk${i - 1}"
+      s"""sc$i AS (
+         |  SELECT t.doc_id, t.bm25,
+         |    $lam * t.bm25 - (1.0 - $lam) * COALESCE(
+         |      (SELECT MAX(s.sim) FROM sims s
+         |       WHERE s.ad = t.doc_id
+         |         AND s.bd IN (SELECT doc_id FROM $prev)), 0.0) AS score
+         |  FROM top t WHERE t.doc_id NOT IN (SELECT doc_id FROM $prev)),
+         |p$i AS MATERIALIZED (
+         |  SELECT doc_id, bm25, score FROM sc$i
+         |  ORDER BY score DESC, doc_id LIMIT 1),
+         |pk$i AS MATERIALIZED (
+         |  SELECT doc_id FROM $prev UNION ALL SELECT doc_id FROM p$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    val out = (1 to 20).map { i =>
+      s"""SELECT $i AS rank, doc_id,
+         |  round_even(bm25 * 1000000, 0) / 1000000 AS bm25,
+         |  round_even(score * 1000000, 0) / 1000000 AS mmr_score
+         |FROM p$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val nib = (h: String, i: Int) =>
+      s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)"
+    s"""WITH ${CorpusOps.Bm25OracleCtes},
+       |top AS MATERIALIZED (
+       |  SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20),
+       |hv AS MATERIALIZED (
+       |  SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS w FROM (
+       |    SELECT doc_id,
+       |      (${nib("h", 1)} * 16 + ${nib("h", 2)}) % 64 AS bucket,
+       |      CASE WHEN ${nib("h", 3)} < 8 THEN 1 ELSE -1 END AS sign
+       |    FROM (
+       |      SELECT d.doc_id,
+       |        md5(unnest(string_split(d.text, ' '))) AS h
+       |      FROM documents d JOIN top USING (doc_id))) GROUP BY 1, 2),
+       |norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM hv GROUP BY doc_id),
+       |dots AS (
+       |  SELECT a.doc_id AS ad, b.doc_id AS bd, SUM(a.w * b.w) AS d
+       |  FROM hv a JOIN hv b ON a.bucket = b.bucket AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2),
+       |sims AS MATERIALIZED (
+       |  SELECT pa.doc_id AS ad, pb.doc_id AS bd,
+       |    CASE WHEN COALESCE(na.n2, 0) = 0 OR COALESCE(nb.n2, 0) = 0
+       |         THEN 0.0
+       |         ELSE CAST(COALESCE(d.d, 0) AS DOUBLE) /
+       |              (SQRT(na.n2) * SQRT(nb.n2)) END AS sim
+       |  FROM top pa JOIN top pb ON pa.doc_id <> pb.doc_id
+       |  LEFT JOIN dots d ON d.ad = pa.doc_id AND d.bd = pb.doc_id
+       |  LEFT JOIN norms na ON na.doc_id = pa.doc_id
+       |  LEFT JOIN norms nb ON nb.doc_id = pb.doc_id),
+       |pk0 AS (SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0),
+       |$steps
+       |SELECT * FROM (
+       |$out
+       |) ORDER BY rank""".stripMargin
+  }
+
+  /** MMR re-rank (λ = 0.7) of the BM25 top-20 for the standing query.
+    * Oracled since round 8 — see [[mmrOracleSql]]. */
+  val searchMmrDiversify = Q("search_mmr_diversify", mmrOracleSql) { (s, dir) =>
     val docs = t(s, dir, "documents")
     val top = CorpusOps.bm25Scores(docs)
       .orderBy(col("bm25").desc, col("doc_id")).limit(20)
