@@ -377,7 +377,14 @@ object AnnOps {
           subCol(mm, dsub).as("sub"))
         .groupBy("code").agg(centroid(col("sub")).as("c"))
         .as[(Int, Seq[Double])].collect().toMap
-      Array.tabulate(ksub)(j => means.getOrElse(j, init(mm)(j)))
+      // Refined means round to the 1e-6 grid (round-8, the kmeansFit
+      // precedent): pins the codebook — and everything downstream of it —
+      // against cross-engine/merge-order summation drift, which is what
+      // makes the ann_pq_knn replay oracle possible. Seeds stay raw.
+      Array.tabulate(ksub)(j => means.get(j)
+        .map(_.map(x => BigDecimal(x)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .getOrElse(init(mm)(j)))
     }
   }
 
@@ -407,7 +414,10 @@ object AnnOps {
       element_at(typedLit(lut(mm)), codeCol(mm, dsub, ksub, codebooks) + 1)
     }.reduce(_ + _)
     emb.filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), col("embedding"), adc.as("adc"))
+      // ADC rounds to 1e-6 before the candidate cut (round-8): the 8-term
+      // LUT sum reassociates differently across engines (~1e-16); on the
+      // grid, the (adc, vec_id) candidate ranking is drift-proof.
+      .select(col("vec_id"), col("embedding"), round(adc, 6).as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(nCandidates)
       .crossJoin(broadcast(q))
@@ -419,9 +429,90 @@ object AnnOps {
   }
 
   /** K4-scale — approximate kNN via PQ codes + ADC (the byte-budget
-    * complement to IVF's partition pruning). */
-  val annPqKnn = Q.noOracle("ann_pq_knn") { (s, dir) =>
-    pqKnn(s, t(s, dir, "embeddings"), queryId = 0L, k = 20)
+    * complement to IVF's partition pruning).
+    *
+    * Oracled since round 8 (the ann_ivf_knn replay family): the DuckDB
+    * oracle replays the whole pipeline — md5-ordered seed sampling, the
+    * one Lloyd refinement per subspace with 1e-6-rounded means (the
+    * drift-proofing that makes the replay possible), the argmax encode
+    * with array_max's higher-code tie-break, the ADC LUT sum rounded to
+    * the same grid before the (adc, vec_id) candidate cut, and the exact
+    * rounded-6 cosine re-rank of the top-100. A hash match proves the
+    * compressed approximate path end-to-end. */
+  val annPqKnn = Q(
+    "ann_pq_knn",
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+       |    AS v
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |sv AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS INT)
+       |    AS j, e.v
+       |  FROM e JOIN seeds USING (vec_id)),
+       |mms AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS mm),
+       |cb0 AS MATERIALIZED (
+       |  SELECT mm, j, v[mm * 8 + 1 : mm * 8 + 8] AS c
+       |  FROM sv CROSS JOIN mms),
+       |subs AS MATERIALIZED (
+       |  SELECT vec_id, mm, v[mm * 8 + 1 : mm * 8 + 8] AS sub
+       |  FROM e CROSS JOIN mms),
+       |code0 AS MATERIALIZED (
+       |  SELECT vec_id, mm, j AS code FROM (
+       |    SELECT s.vec_id, s.mm, c.j,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.mm ORDER BY
+       |        (list_sum(list_transform(range(1, 9),
+       |           i -> s.sub[i] * c.c[i]))
+       |         - list_sum(list_transform(c.c, x -> x * x)) / 2.0)
+       |        DESC, c.j DESC) AS rk
+       |    FROM subs s JOIN cb0 c USING (mm)) t WHERE rk = 1),
+       |cb1 AS MATERIALIZED (
+       |  SELECT c0.mm, c0.j, COALESCE(u.cent, c0.c) AS c FROM cb0 c0
+       |  LEFT JOIN (
+       |    SELECT mm, code AS j, list(m ORDER BY i) AS cent FROM (
+       |      SELECT mm, code, i, ROUND(AVG(x), 6) AS m FROM (
+       |        SELECT s.mm, cd.code, unnest(range(1, 9)) AS i,
+       |               unnest(s.sub) AS x
+       |        FROM subs s JOIN code0 cd USING (vec_id, mm)) t
+       |      GROUP BY mm, code, i) t2 GROUP BY mm, j) u
+       |    ON u.mm = c0.mm AND u.j = c0.j),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |lut AS MATERIALIZED (
+       |  SELECT mm, j,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> c[i] * qv[mm * 8 + i])) AS l
+       |  FROM cb1 CROSS JOIN q),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, mm, j AS code FROM (
+       |    SELECT s.vec_id, s.mm, c.j,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.mm ORDER BY
+       |        (list_sum(list_transform(range(1, 9),
+       |           i -> s.sub[i] * c.c[i]))
+       |         - list_sum(list_transform(c.c, x -> x * x)) / 2.0)
+       |        DESC, c.j DESC) AS rk
+       |    FROM subs s JOIN cb1 c USING (mm)) t WHERE rk = 1),
+       |adc AS (
+       |  SELECT cd.vec_id, ROUND(SUM(l.l), 6) AS adc
+       |  FROM codes cd JOIN lut l ON l.mm = cd.mm AND l.j = cd.code
+       |  GROUP BY cd.vec_id),
+       |cands AS (
+       |  SELECT vec_id FROM adc WHERE vec_id <> 0
+       |  ORDER BY adc DESC, vec_id LIMIT 100),
+       |res AS (
+       |  SELECT e.vec_id,
+       |    list_sum(list_transform(range(1, len(e.v) + 1),
+       |      i -> e.v[i] * q.qv[i])) AS dot,
+       |    list_sum(list_transform(e.v, x -> x * x)) AS ne,
+       |    list_sum(list_transform(q.qv, x -> x * x)) AS nq
+       |  FROM e JOIN cands USING (vec_id) CROSS JOIN q)
+       |SELECT vec_id,
+       |  ROUND(CASE WHEN ne = 0 OR nq = 0 THEN 0.0
+       |             ELSE dot / (SQRT(ne) * SQRT(nq)) END, 6) AS sim
+       |FROM res ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin) {
+    (s, dir) =>
+      pqKnn(s, t(s, dir, "embeddings"), queryId = 0L, k = 20)
   }
 
   // ------------------------------------------------------------------

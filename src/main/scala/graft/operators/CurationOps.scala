@@ -132,11 +132,42 @@ object CurationOps {
       .select(col("vec_id"), col("cluster_id"))
   }
 
-  /** K2-adjacent declared query. No-oracle: the cluster assignment rests
-    * on k-means float internals (the kmeans_embed precedent); CurationSpec
-    * pins planted-clone drops, threshold monotonicity, and the
-    * full-pairwise equivalence on a single cluster. */
-  val dedupSemantic = Q.noOracle("dedup_semantic") { (s, dir) =>
+  /** K2-adjacent declared query.
+    *
+    * Oracled since round 8 (the kmeans_embed/ann_ivf_knn replay family):
+    * at every oracle scale the auto-k floors at 8, so the DuckDB oracle
+    * replays the SAME 3-iteration rounded-centroid Lloyd model
+    * (ClusterOps.kmeansIterSql), takes a3's assignment, forms the
+    * within-cluster pairs, drops the higher id of every pair whose exact
+    * cosine clears the threshold (the unrounded ≥-compare follows the
+    * dedup_embedding_cosine precedent), and emits the survivors.
+    * CurationSpec still pins planted-clone drops, threshold monotonicity,
+    * and the full-pairwise equivalence on a single cluster. */
+  val dedupSemantic = Q(
+    "dedup_semantic",
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+       |    AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+       |    AS cid, v AS cent
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8) t),${
+      Seq(1, 2, 3).map(ClusterOps.kmeansIterSql).mkString(",")},
+       |m AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cluster_id, e.v,
+       |    list_sum(list_transform(e.v, x -> x * x)) AS n2
+       |  FROM a3 a JOIN e USING (vec_id)),
+       |drp AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM m a JOIN m b
+       |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+       |  WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+       |          i -> a.v[i] * b.v[i])) /
+       |        (SQRT(a.n2) * SQRT(b.n2)) >= 0.45)
+       |SELECT vec_id, CAST(cluster_id AS INT) AS cluster_id
+       |FROM m WHERE vec_id NOT IN (SELECT vec_id FROM drp)
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
     // 0.45 matches dedup_embedding_cosine's declared threshold (the
     // corpus's near-dup band tops out at cosine ≈ 0.51). k = auto
     // (max(8, n/1024)): the floor of 8 at the shipped corpus sizes, the

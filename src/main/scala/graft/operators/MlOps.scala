@@ -112,11 +112,74 @@ object MlOps {
     * gradient Σ (σ(w·x) − y)·x and the driver updates the 4 weights (the
     * kmeansFit iteration shape; weights broadcast back inside the next
     * step's expression). Output: learned weights + training accuracy +
-    * log-loss, rounded to 6. No oracle by design (iterative); MlSpec pins
-    * loss decrease, accuracy floor, and partition-count invariance rides
-    * the decimal laundering. In production the label column is a
+    * log-loss, rounded to 6.
+    *
+    * Oracled since round 8 (the kmeans/PCA/PQ replay family): the DuckDB
+    * oracle unrolls the 15 steps as CTEs over the same standardized
+    * feature frame — DECIMAL(28,12) gradient sums are order-exact on
+    * both engines, and the per-step 1e-9 weight rounding absorbs the
+    * libm-exp last-ulp leakage, so both engines walk identical weight
+    * vectors. MlSpec still pins loss decrease, accuracy floor, and
+    * partition-count invariance. In production the label column is a
     * human/model quality signal and the loop is identical. */
-  val qualityTrainLogreg = Q.noOracle("quality_train_logreg") { (s, dir) =>
+  val qualityTrainLogreg = Q("quality_train_logreg", {
+    val sig = (m: String) => s"(1.0 / (1.0 + EXP(-($m))))"
+    def marginSql(w: String) =
+      s"x0 * $w.w0 + x1 * $w.w1 + x2 * $w.w2 + x3 * $w.w3"
+    val steps = (1 to 15).map { k =>
+      val prev = s"w${k - 1}"
+      val p = sig(marginSql(prev))
+      def g(j: Int) =
+        s"""CAST(SUM(CAST(($p - y) * x$j AS DECIMAL(28, 12))) AS DOUBLE)"""
+      s"""w$k AS MATERIALIZED (
+         |  SELECT ${(0 to 3).map(j =>
+              s"ROUND($prev.w$j - ${g(j)} / (SELECT n FROM nn), 9) AS w$j")
+              .mkString(", ")}
+         |  FROM feats CROSS JOIN $prev GROUP BY ${(0 to 3).map(j =>
+              s"$prev.w$j").mkString(", ")})""".stripMargin
+    }.mkString(",\n")
+    val pf = sig(marginSql("w15"))
+    s"""WITH raw AS (
+       |  SELECT CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS y,
+       |    1.0 AS x0,
+       |    len(string_split(text, ' ')) / 100.0 AS x1,
+       |    CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
+       |      AS x2,
+       |    CAST(length(regexp_replace(text, '[^aeiou]', '', 'g'))
+       |      AS DOUBLE) / length(text) AS x3
+       |  FROM documents),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM raw),
+       |mom AS (
+       |  SELECT ${(1 to 3).map(j =>
+            s"CAST(SUM(CAST(x$j AS DECIMAL(28, 12))) AS DOUBLE) AS s$j, " +
+            s"CAST(SUM(CAST(x$j * x$j AS DECIMAL(28, 12))) AS DOUBLE) AS q$j")
+            .mkString(", ")}
+       |  FROM raw),
+       |sds AS (
+       |  SELECT ${(1 to 3).map(j =>
+            s"s$j / (SELECT n FROM nn) AS m$j, " +
+            s"SQRT(GREATEST(q$j / (SELECT n FROM nn) - " +
+            s"(s$j / (SELECT n FROM nn)) * (s$j / (SELECT n FROM nn)), " +
+            s"0.000000000001)) AS d$j").mkString(", ")}
+       |  FROM mom),
+       |feats AS MATERIALIZED (
+       |  SELECT y, x0, ${(1 to 3).map(j =>
+            s"(x$j - sds.m$j) / sds.d$j AS x$j").mkString(", ")}
+       |  FROM raw CROSS JOIN sds),
+       |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |$steps
+       |SELECT ${(0 to 3).map(j => s"ROUND(w15.w$j, 6) AS " +
+          Seq("w_bias", "w_ntok", "w_awl", "w_vowel")(j)).mkString(", ")},
+       |  ROUND(SUM(CASE WHEN ($pf >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END)
+       |    / (SELECT n FROM nn), 6) AS train_acc,
+       |  ROUND(-CAST(SUM(CAST(
+       |      y * LN(GREATEST($pf, 0.000000000001)) +
+       |      (1.0 - y) * LN(GREATEST(1.0 - ($pf), 0.000000000001))
+       |    AS DECIMAL(28, 12))) AS DOUBLE) / (SELECT n FROM nn), 6)
+       |    AS log_loss
+       |FROM feats CROSS JOIN w15
+       |GROUP BY w15.w0, w15.w1, w15.w2, w15.w3""".stripMargin
+  }) { (s, dir) =>
     import graft.Stage.StagedOps
     val raw = qualityFeatures(t(s, dir, "documents")).staged
     def dsum(c: Column): Column =
@@ -149,7 +212,14 @@ object MlOps {
       val g = feats.agg(
         dsum(err * col("x0")), dsum(err * col("x1")),
         dsum(err * col("x2")), dsum(err * col("x3"))).head()
-      w = w.indices.map(j => w(j) - 1.0 * g.getDouble(j) / n).toArray
+      // Weights round to the 1e-9 grid per step (round-8, the kmeans /
+      // pqFit precedent): the decimal-laundered gradient is order-exact,
+      // but σ() rides on libm exp() whose last ulp differs across
+      // engines — at the 1e-12 decimal grid a knife-edge cast can leak
+      // ~1e-15 into w. Rounding far above the drift and far below the
+      // learning signal makes the 15-step recurrence replayable in SQL.
+      w = w.indices.map(j => BigDecimal(w(j) - 1.0 * g.getDouble(j) / n)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
     }
     val p = sigmoid(margin)
     val eps = 1e-12
