@@ -34,7 +34,7 @@ object SparkEntry {
       RelevanceOps.all ++ CurationOps.all ++ CurationOps2.all ++
       CurationOps3.all ++ RelevanceOps2.all ++ PipelineOps.all ++
       EventsOps2.all ++ GraphOps.all ++ TextOps2.all ++ IndexOps.all ++
-      MlOps.all ++ EvalOps.all ++ GeoOps.all ++ TokenizerOps.all ++ TsOps.all ++ ClickOps.all ++ GuardOps.all ++ RecOps.all ++ PrivacyOps.all ++ MonitorOps.all ++ DiversifyOps.all ++ RfmOps.all ++ InterpOps.all ++ AbOps.all ++ RecursiveOps.all ++ FunnelOps.all ++ IntervalOps.all ++ ExportOps.all ++ CboOps.all ++ RuntimeFilterOps.all ++ UrlOps.all ++ DppOps.all ++ aliases
+      MlOps.all ++ EvalOps.all ++ EvalOps2.all ++ GeoOps.all ++ TokenizerOps.all ++ TsOps.all ++ ClickOps.all ++ GuardOps.all ++ RecOps.all ++ PrivacyOps.all ++ MonitorOps.all ++ DiversifyOps.all ++ RfmOps.all ++ InterpOps.all ++ AbOps.all ++ RecursiveOps.all ++ FunnelOps.all ++ IntervalOps.all ++ ExportOps.all ++ CboOps.all ++ RuntimeFilterOps.all ++ UrlOps.all ++ DppOps.all ++ aliases
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
