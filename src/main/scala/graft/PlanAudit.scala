@@ -20,6 +20,7 @@ object PlanAudit {
     "join_range_theta",      // 3-row band table
     "knn_query", "ann_ivf_knn", "ann_pq_knn", // 1-row query-vector broadcast
     "embedding_truncate_recall", // 5-row query-sample broadcast (eval op)
+    "graph_label_propagation", // 1-row doc-count broadcast (edges CTE)
     "text_tokenize_tf", "text_tokenize_tfidf", // 1-row corpus-count broadcast
     "bm25_topk",         // 1-row (N, avgdl) stats broadcast
     "rank_fusion_rrf",   // 1-row query-vector + 1-row bm25-stats broadcasts

@@ -188,5 +188,43 @@ object CurationOps2 {
     decontaminateEmbedding(s, t(s, dir, "embeddings"), threshold = 0.45)
   }
 
-  val all: Seq[Q] = Seq(docSplitHash, corpusShardShuffle, decontaminateEmb)
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each doc draws key = u^(1/w) from a CONTENT-HASH uniform u (md5
+    * 13-nibble prefix / 16¹³ — exact dyadic double, identical on any
+    * engine/partitioning/re-run, the no-rand() convention) and weight
+    * w = max(n_chars, 1); the top-k keys ARE a weighted sample without
+    * replacement. The length-weighted draw is the corpus-curation staple
+    * (sample tokens, not documents). Ranking runs on the RAW key — a
+    * 1-ulp libm pow() divergence flips an order only when two keys
+    * near-tie (~n²·1e-15 odds), whereas grid-rounding would CREATE ties;
+    * doc_id breaks exact ties, and the displayed key rounds to 6.
+    * Scale shape: pure map + TakeOrderedAndProject — no shuffle beyond
+    * the top-k reduction at any corpus size. */
+  val sampleWeightedAes = Q(
+    "sample_weighted_aes",
+    """WITH keyed AS (
+      |  SELECT doc_id, n_chars,
+      |    POW(CAST(('0x' || substr(md5('aes-v1:' || CAST(doc_id AS VARCHAR)),
+      |            1, 13)) AS BIGINT) / 4503599627370496.0,
+      |        1.0 / GREATEST(n_chars, 1)) AS k
+      |  FROM documents)
+      |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      |  ROUND(k, 6) AS sample_key
+      |FROM keyed ORDER BY k DESC, doc_id LIMIT 20""".stripMargin) {
+    (s, dir) =>
+      val u = conv(substring(
+          md5(concat(lit("aes-v1:"), col("doc_id").cast("string"))), 1, 13),
+          16, 10).cast("double") / lit(4503599627370496.0)
+      val k = pow(u, lit(1.0) / greatest(col("n_chars"), lit(1)))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          k.as("k"))
+        .orderBy(col("k").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("k"), 6).as("sample_key"))
+  }
+
+  val all: Seq[Q] =
+    Seq(docSplitHash, corpusShardShuffle, decontaminateEmb, sampleWeightedAes)
 }

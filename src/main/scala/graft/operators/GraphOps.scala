@@ -117,5 +117,73 @@ object GraphOps {
       .orderBy("degree")
   }
 
-  val all: Seq[Q] = Seq(graphTriangleCount, graphDegreeStats)
+  /** Synchronous label propagation (5 fixed iterations) over the
+    * co-occurrence graph — the cheap community detector a topic miner
+    * runs before committing to heavier clustering. Each node adopts its
+    * neighbors' most frequent label (ties → lexicographically smallest);
+    * isolated nodes keep their own. Entirely integer-count + string-order
+    * deterministic, so the DuckDB oracle replays the recurrence exactly
+    * (the pagerank unrolled-CTE precedent, no rounding needed).
+    *
+    * Scale shape: per iteration one edges⋈labels shuffle + a (node,
+    * label) count aggregate — the pagerank iteration shape; label state
+    * stays a DataFrame, only the fixed iteration count is driver-side. */
+  val graphLabelPropagation: Q = {
+    val iters = (1 to 5).map { k =>
+      val prev = s"l${k - 1}"
+      s"""cand$k AS (
+         |  SELECT e.src AS node, l.label, COUNT(*) AS cnt
+         |  FROM und e JOIN $prev l ON l.node = e.dst
+         |  GROUP BY 1, 2),
+         |pick$k AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+         |      ORDER BY cnt DESC, label) AS rk FROM cand$k) t
+         |  WHERE rk = 1),
+         |l$k AS MATERIALIZED (
+         |  SELECT p.node, COALESCE(k.label, p.label) AS label
+         |  FROM $prev p LEFT JOIN pick$k k ON k.node = p.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    Q(
+      "graph_label_propagation",
+      s"""WITH $EdgeOracleCtes,
+         |und AS (
+         |  SELECT t1 AS src, t2 AS dst FROM edges
+         |  UNION ALL SELECT t2, t1 FROM edges),
+         |l0 AS (SELECT token AS node, token AS label FROM nodes),
+         |$iters
+         |SELECT node, label FROM l5 ORDER BY node""".stripMargin) {
+      (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val e = edges(docs)
+        val und = e.select(col("t1").as("src"), col("t2").as("dst"))
+          .unionAll(e.select(col("t2").as("src"), col("t1").as("dst")))
+        val dt = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .distinct()
+        val nodes = dt.groupBy("token").agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("token")).limit(50).select("token")
+        var labels = nodes.select(col("token").as("node"),
+          col("token").as("label"))
+        for (_ <- 1 to 5) {
+          val cand = und
+            .join(labels.select(col("node").as("dst"), col("label")), "dst")
+            .groupBy(col("src").as("cnode"), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("cnode").orderBy(col("cnt").desc, col("label"))
+          val pick = cand.withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1)
+            .select(col("cnode"), col("label").as("nlabel"))
+          labels = labels.join(pick, col("node") === col("cnode"), "left")
+            .select(col("node"),
+              coalesce(col("nlabel"), col("label")).as("label"))
+        }
+        labels.orderBy("node")
+    }
+  }
+
+  val all: Seq[Q] =
+    Seq(graphTriangleCount, graphDegreeStats, graphLabelPropagation)
 }

@@ -209,4 +209,35 @@ class Wave8Spec extends SparkSpec {
       assert(math.abs(cont - expCont) <= 1e-9 && cont >= 0.5)
     }
   }
+
+  test("label propagation: labels are graph nodes; communities respect " +
+      "isolated-node identity; deterministic across runs") {
+    val out = operators.GraphOps.graphLabelPropagation.fn(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    val nodes = out.map(_.getString(0)).toSet
+    // Every final label is itself a node of the graph (labels only ever
+    // propagate from initial node-labels).
+    out.foreach(r => assert(nodes.contains(r.getString(1))))
+    val again = operators.GraphOps.graphLabelPropagation.fn(spark, sfDir)
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      again.map(r => (r.getString(0), r.getString(1))).toSeq)
+  }
+
+  test("weighted A-ES sample: keys in (0,1], descending, biased to length") {
+    val out = operators.CurationOps2.sampleWeightedAes.fn(spark, sfDir)
+      .collect()
+    assert(out.length == 20)
+    val keys = out.map(_.getDouble(2))
+    assert(keys.forall(k => k > 0.0 && k <= 1.0))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+    // Length bias: the sampled docs' mean n_chars should exceed the
+    // corpus mean (u^(1/w) stochastically dominates for larger w).
+    val sampledMean = out.map(_.getLong(1)).sum.toDouble / out.length
+    val corpusMean = Tables.load(spark, sfDir, "documents")
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head.getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"no length bias: sampled $sampledMean vs corpus $corpusMean")
+  }
 }
