@@ -1,8 +1,9 @@
 package graft.operators
 
 import graft.{Parity, Q, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Parity._
 
 /** SURVEY §2-D: aggregation family.
@@ -272,7 +273,60 @@ object Aggs {
         .orderBy("o_orderstatus")
   }
 
+  /** D-adjacent — exact OLS simple regression (slope/intercept/r²) of
+    * l_extendedprice on l_quantity via the closed-form moment sums.
+    * Spark ships regr_slope/regr_r2, but their double accumulation is
+    * partition-order-dependent — so the moments go through the Parity
+    * DECIMAL-laundering convention instead (order-exact, cross-engine
+    * identical) and the closed form evaluates in doubles from identical
+    * decimal inputs. One map-side-combined aggregate over the fact scan;
+    * per-group (orderstatus via lineitem⋈orders would add a join — this
+    * declares the global fit, the canonical data-profiling shape). */
+  val aggRegression = Q(
+    "agg_regression_stats",
+    """WITH m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8)))
+      |      AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8)))
+      |      AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8)))
+      |      AS DOUBLE) AS sxy
+      |  FROM lineitem)
+      |SELECT n,
+      |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+      |    AS intercept,
+      |  ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM m""".stripMargin) { (s, dir) =>
+    def dsum28(c: Column): Column =
+      sum(c.cast(DecimalType(28, 8))).cast("double")
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    val m = t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n"),
+      dsum28(x).as("sx"), dsum28(y).as("sy"),
+      dsum28(x * x).as("sxx"), dsum28(y * y).as("syy"),
+      dsum28(x * y).as("sxy"))
+    val n = col("n").cast("double")
+    val slope = (n * col("sxy") - col("sx") * col("sy")) /
+      (n * col("sxx") - col("sx") * col("sx"))
+    m.select(
+      col("n"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / n, 6).as("intercept"),
+      round(
+        ((n * col("sxy") - col("sx") * col("sy")) *
+         (n * col("sxy") - col("sx") * col("sy"))) /
+        ((n * col("sxx") - col("sx") * col("sx")) *
+         (n * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
   val all: Seq[Q] = Seq(aggHashMulti, aggGlobal, aggCountDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggCollect,
-    aggMinMaxBy, aggSaltedTwoPhase, aggBool, aggUnpivot, aggTopkNative)
+    aggMinMaxBy, aggSaltedTwoPhase, aggBool, aggUnpivot, aggTopkNative,
+    aggRegression)
 }

@@ -222,6 +222,45 @@ object Funcs {
       .orderBy("event_id").limit(5000)
   }
 
+  /** H1-adjacent — the regexp toolkit beyond fn_string's extract/replace:
+    * extract-ALL (as a joined list — flat schema for the driver compare),
+    * match counting via the extracted list's length (the portable form:
+    * DuckDB has no regexp_count), boolean match tests, and a
+    * capture-group rewrite. NULLIF('') normalizes the no-match value
+    * (Spark regexp_extract returns '', DuckDB '' as well — pinned
+    * explicitly so a future engine change surfaces here, not in a hash
+    * mismatch). Pure map over the scan; pushed-down doc_id range. */
+  val fnRegexpAll = Q(
+    "fn_regexp_all",
+    """SELECT doc_id,
+      |  array_to_string(regexp_extract_all(text, '[a-z]+ing'), ',')
+      |    AS ing_words,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_nums,
+      |  CAST(regexp_matches(text, '^[A-Z]') AS BOOLEAN) AS starts_upper,
+      |  NULLIF(regexp_extract(text, '([a-z]+)ing', 1), '') AS first_stem,
+      |  CAST(LENGTH(regexp_replace(text, '([aeiou])[a-z]', '\1_', 'g'))
+      |    AS BIGINT) AS rewritten_len
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(
+          col("doc_id"),
+          // DuckDB's array_to_string(empty) is NULL while Spark's
+          // array_join(empty) is '' — NULLIF pins the no-match value.
+          nullif(
+            array_join(expr("regexp_extract_all(text, '[a-z]+ing')"), ","),
+            lit("")).as("ing_words"),
+          size(expr("regexp_extract_all(text, '[0-9]+')")).cast("long")
+            .as("n_nums"),
+          col("text").rlike("^[A-Z]").as("starts_upper"),
+          nullif(regexp_extract(col("text"), "([a-z]+)ing", 1), lit(""))
+            .as("first_stem"),
+          length(regexp_replace(col("text"), "([aeiou])[a-z]", "$1_"))
+            .cast("long").as("rewritten_len"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(fnString, fnDate, fnMath, fnArray, fnMap, fnJson,
-    fnBitwise, fnVariant)
+    fnBitwise, fnVariant, fnRegexpAll)
 }

@@ -240,4 +240,34 @@ class Wave8Spec extends SparkSpec {
     assert(sampledMean > corpusMean,
       s"no length bias: sampled $sampledMean vs corpus $corpusMean")
   }
+
+  test("regexp toolkit: n_nums counts digits runs; rewrite preserves length") {
+    val out = operators.Funcs.fnRegexpAll.fn(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // The ([aeiou])[a-z] -> $1_ rewrite is length-preserving.
+      val doc = Tables.load(spark, sfDir, "documents")
+        .filter(org.apache.spark.sql.functions.col("doc_id") === r.getLong(0))
+        .select("text").head.getString(0)
+      assert(r.getLong(5) == doc.length.toLong, s"doc ${r.getLong(0)}")
+      assert(r.getLong(2) ==
+        "[0-9]+".r.findAllIn(doc).length.toLong)
+    }
+  }
+
+  test("regression stats: slope/intercept/r2 match a driver-side fit") {
+    val out = operators.Aggs.aggRegression.fn(spark, sfDir).head()
+    val rows = Tables.load(spark, sfDir, "lineitem")
+      .select("l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = rows.length.toDouble
+    val sx = rows.map(_._1).sum; val sy = rows.map(_._2).sum
+    val sxx = rows.map(t => t._1 * t._1).sum
+    val syy = rows.map(t => t._2 * t._2).sum
+    val sxy = rows.map(t => t._1 * t._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(out.getDouble(1) - slope) < 1e-3)
+    assert(out.getDouble(3) >= 0.0 && out.getDouble(3) <= 1.0)
+    assert(out.getLong(0) == rows.length.toLong)
+  }
 }
