@@ -225,6 +225,71 @@ object CurationOps2 {
           round(col("k"), 6).as("sample_key"))
   }
 
+  /** Token-budget waterfilling across domains (the data-mixing allocator
+    * a pretraining pipeline runs under a fixed token budget B): every
+    * domain keeps min(c_i, θ) tokens where the integer water level
+    * θ = floor((B − Σ_{smaller domains} c_i) / #larger) equalizes the
+    * capped domains — small domains survive whole, large ones are cut to
+    * the common level (B = 50% of corpus tokens here). All arithmetic is
+    * exact integers, so the oracle replays it bit-for-bit via sorted
+    * prefix sums. The corpus-sized work is ONE token-count aggregate;
+    * the ≤|domains|-row level search runs on the driver (the bounded-
+    * model kmeans/Bradley–Terry shape — a keyless window over domains
+    * would trip PlanSpec's single-partition ban for no gain). */
+  val corpusBudgetWaterfill = Q(
+    "corpus_budget_waterfill",
+    """WITH g AS (
+      |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+      |    AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+      |        CAST(SUM(n_tokens) / 2 AS BIGINT) AS budget,
+      |        COUNT(*) AS nd FROM g),
+      |sorted AS (
+      |  SELECT lang, n_tokens,
+      |    ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS rk,
+      |    SUM(n_tokens) OVER (ORDER BY n_tokens, lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prefix
+      |  FROM g),
+      |lvl AS (
+      |  SELECT CAST((budget - COALESCE(prefix, 0)) // (nd - rk + 1)
+      |    AS BIGINT) AS theta
+      |  FROM sorted CROSS JOIN tot
+      |  WHERE n_tokens > (budget - COALESCE(prefix, 0)) // (nd - rk + 1)
+      |  ORDER BY rk LIMIT 1),
+      |theta AS (
+      |  SELECT COALESCE((SELECT theta FROM lvl),
+      |    9223372036854775807) AS theta)
+      |SELECT lang, n_tokens,
+      |  LEAST(n_tokens, theta) AS allocated,
+      |  ROUND(CAST(LEAST(n_tokens, theta) AS DOUBLE) / n_tokens, 6)
+      |    AS kept_frac
+      |FROM g CROSS JOIN theta ORDER BY lang""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val g = t(s, dir, "documents").groupBy("lang")
+      .agg(sum(size(split(col("text"), " "))).as("n_tokens"))
+    // Bounded domain frame → driver; exact integer water-level search.
+    val domains = g.as[(String, Long)].collect().sortBy(d => (d._2, d._1))
+    val total = domains.map(_._2).sum
+    val budget = total / 2
+    val nd = domains.length
+    var prefix = 0L
+    var theta = Long.MaxValue
+    var found = false
+    for (((_, c), idx) <- domains.zipWithIndex if !found) {
+      val candidate = (budget - prefix) / (nd - idx)
+      if (c > candidate) { theta = candidate; found = true }
+      else prefix += c
+    }
+    val thetaF = theta
+    g.select(col("lang"), col("n_tokens"),
+        least(col("n_tokens"), lit(thetaF)).as("allocated"),
+        round(least(col("n_tokens"), lit(thetaF)).cast("double") /
+          col("n_tokens"), 6).as("kept_frac"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] =
-    Seq(docSplitHash, corpusShardShuffle, decontaminateEmb, sampleWeightedAes)
+    Seq(docSplitHash, corpusShardShuffle, decontaminateEmb, sampleWeightedAes,
+      corpusBudgetWaterfill)
 }

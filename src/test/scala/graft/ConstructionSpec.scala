@@ -28,7 +28,7 @@ class ConstructionSpec extends SparkSpec {
   private val exempt: Set[String] = Set(
     // Learned / iterative: the model IS driver state.
     "kmeans_embed", "dedup_semantic", "dedup_cluster", "dedup_survivorship",
-    "quality_train_logreg", "eval_bradley_terry",
+    "quality_train_logreg", "eval_bradley_terry", "corpus_budget_waterfill",
     "bpe_train_merges", "text_token_bpe", "vocab_coverage",
     "graph_pagerank", "graph_components", "pca_power_embed",
     // Fixture-materializing scans/sinks: the operator's POINT is reading a

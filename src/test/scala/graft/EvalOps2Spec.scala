@@ -67,4 +67,26 @@ class EvalOps2Spec extends SparkSpec {
     // The top-ranked player must have at least one win.
     assert(top.getLong(1) > 0L)
   }
+
+  test("budget waterfill: allocation sums to <= budget, small domains " +
+      "survive whole, capped domains share one level") {
+    val out = operators.CurationOps2.corpusBudgetWaterfill.fn(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    val total = out.map(_.getLong(1)).sum
+    val budget = total / 2
+    val allocated = out.map(_.getLong(2)).sum
+    assert(allocated <= budget, s"allocated $allocated > budget $budget")
+    val capped = out.filter(r => r.getLong(2) < r.getLong(1))
+    // Every capped domain is cut to the SAME water level.
+    assert(capped.map(_.getLong(2)).distinct.length <= 1)
+    // Budget is filled to within one token per capped domain (floor).
+    if (capped.nonEmpty)
+      assert(budget - allocated < capped.length.toLong + 1)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(math.abs(r.getDouble(3) -
+        r.getLong(2).toDouble / r.getLong(1)) < 1e-6)
+    }
+  }
 }
