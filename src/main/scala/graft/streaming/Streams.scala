@@ -317,6 +317,111 @@ object Streams {
     }.reduce(_ unionByName _)
   }
 
+  /** One stored (doc_id, signature) entry of a streaming LSH bucket. */
+  final case class BucketEntry(doc_id: Long, sig: Seq[Long])
+
+  /** Emitted streaming near-dup candidate (minhash-estimated jaccard). */
+  final case class NearDupPair(a_id: Long, b_id: Long, est_jaccard: Double)
+
+  /** I6×K2 — STREAMING minhash near-duplicate detection: the
+    * continuous-ingest twin of the batch banded-LSH dedup, built on
+    * `transformWithState` with TTL-BOUNDED bucket state (round 8).
+    *
+    * Each arriving doc computes its one-pass native minhash signature
+    * (the MinHashSig kernel over whitespace tokens), splits it into
+    * `bands` band keys, and is routed to the matching bucket's
+    * StatefulProcessor. The bucket holds the (doc_id, sig) entries seen
+    * within the TTL window in ListState — new docs compare lane-by-lane
+    * against the stored entries (estimated jaccard = matching lanes / k,
+    * the standard minhash estimator) and emit every pair clearing
+    * `threshold`.
+    *
+    * The two state bounds are what make this the 100 TB-ingest shape:
+    *  - TTL (processing-time) expires bucket entries, so state size is
+    *    (ingest rate × TTL), not corpus size — the dedup window a
+    *    continuous pipeline actually wants (exact-history dedup is the
+    *    stored-index batch path, minhash_index_build + incremental join);
+    *  - `bucketCap` stops appending to degenerate hot buckets (the
+    *    batch star-collapse precedent): clone floods keep matching the
+    *    capped representatives but cannot grow state quadratically.
+    *
+    * A pair colliding in several bands may emit more than once (same as
+    * batch candidate generation before its distinct); the consumer
+    * dedups — one `dropDuplicates` in the sink batch.
+    *
+    * Operational note: ProcessingTime TimeMode interacts with
+    * `Trigger.AvailableNow` — no-data micro-batches keep firing to
+    * advance the TTL clock and a drain-style run never terminates; a
+    * bounded backfill/drain should set
+    * `spark.sql.streaming.noDataMicroBatches.enabled=false` (continuous
+    * production triggers want the default). StreamingSpec pins this. */
+  def nearDupStreamTws(spark: SparkSession, docs: DataFrame,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      stateTtl: java.time.Duration = java.time.Duration.ofHours(1),
+      bucketCap: Int = 64): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{ListState, StatefulProcessor, TimeMode, TTLConfig, TimerValues}
+    import org.apache.spark.sql.Encoders
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val lanes = numHashes / bands
+    graft.operators.VectorOps.registerFns(spark)
+    val sigged = docs.select(col("doc_id"),
+      call_function("minhash_sig", split(col("text"), " "), lit(numHashes))
+        .as("sig"))
+    val banded = sigged.select(col("doc_id"), col("sig"),
+        explode(expr(
+          s"""transform(sequence(0, ${bands - 1}),
+             |  b -> concat(b, ':', md5(concat_ws(',',
+             |    slice(sig, b * $lanes + 1, $lanes)))))""".stripMargin))
+          .as("bucket"))
+      .select(col("bucket"), col("doc_id"), col("sig"))
+      .as[(String, Long, Seq[Long])]
+    class BucketDedup
+        extends StatefulProcessor[String, (String, Long, Seq[Long]), NearDupPair] {
+      @transient private var seen: ListState[BucketEntry] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        seen = getHandle.getListState[BucketEntry]("seen",
+          Encoders.product[BucketEntry], TTLConfig(stateTtl))
+      override def handleInputRows(key: String,
+          rows: Iterator[(String, Long, Seq[Long])],
+          timerValues: TimerValues): Iterator[NearDupPair] = {
+        val stored = scala.collection.mutable.ArrayBuffer.empty[BucketEntry]
+        seen.get().foreach(e => stored += e)
+        val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+        // Deterministic within-batch order (micro-batch row order is not
+        // guaranteed): process ascending doc_id.
+        rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
+          if (!stored.exists(_.doc_id == id)) {
+            stored.foreach { e =>
+              var eq = 0
+              var i = 0
+              while (i < numHashes) {
+                if (e.sig(i) == sig(i)) eq += 1
+                i += 1
+              }
+              val est = eq.toDouble / numHashes
+              if (est >= threshold && e.doc_id != id)
+                out += NearDupPair(math.min(e.doc_id, id),
+                  math.max(e.doc_id, id),
+                  math.rint(est * 1e6) / 1e6)
+            }
+            if (stored.length < bucketCap) {
+              val entry = BucketEntry(id, sig)
+              stored += entry
+              seen.appendValue(entry)
+            }
+          }
+        }
+        out.iterator
+      }
+    }
+    banded
+      .groupByKey(_._1)
+      .transformWithState(new BucketDedup, TimeMode.ProcessingTime(),
+        OutputMode.Append())
+      .toDF()
+  }
+
   /** I7 — micro-batch sink: per-batch bulk write through a DocumentSink
     * (the Solr-indexing shape: one bulk commit per micro-batch). */
   def foreachBatchSink(df: DataFrame, checkpointDir: String)(

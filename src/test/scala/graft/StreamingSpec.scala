@@ -528,4 +528,66 @@ class StreamingSpec extends SparkSpec {
     // Stateless contract: every match emits exactly once across batches.
     assert(rows.size == Streams.percolateStream(docs, queries).count())
   }
+
+  test("streaming near-dup: cross-batch minhash pairs via TTL'd bucket " +
+      "state (RocksDB store)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // ProcessingTime TimeMode + AvailableNow: no-data micro-batches keep
+    // firing to advance the TTL clock and the run never terminates — off
+    // for the test (continuous production triggers are unaffected).
+    val prevNoData =
+      spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft_neardup_feed").toString
+      val base = "the quick brown fox jumps over the lazy dog near dup corpus"
+      // Batch 1: three distinct docs. Batch 2: doc 10 is a near-copy of
+      // doc 1 (one token changed), doc 11 is unrelated — the (1, 10) pair
+      // must be found ACROSS batches, through stored bucket state.
+      Seq((1L, base), (2L, "completely different text about spark plans"),
+          (3L, "yet another unrelated document body entirely"))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/b0")
+      Seq((10L, base.replace("dog", "cat")),
+          (11L, "nothing in common with anything else here"))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/b1")
+      // Flatten so the file source sees two files, one per micro-batch.
+      val flat = Files.createTempDirectory("graft_neardup_flat").toString
+      new java.io.File(s"$dir/b0").listFiles.filter(_.getName.endsWith("parquet"))
+        .foreach(f => Files.copy(f.toPath, java.nio.file.Paths.get(flat, "a_" + f.getName)))
+      new java.io.File(s"$dir/b1").listFiles.filter(_.getName.endsWith("parquet"))
+        .foreach(f => Files.copy(f.toPath, java.nio.file.Paths.get(flat, "b_" + f.getName)))
+      val docsStream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+      val rows = runToCompletion(
+        Streams.nearDupStreamTws(spark, docsStream, threshold = 0.5),
+        OutputMode.Append())
+      val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 10L)),
+        s"cross-batch near-dup (1,10) not found; got $pairs")
+      // No unrelated pair clears the threshold.
+      assert(pairs.forall(p => p == ((1L, 10L))), s"phantom pairs: $pairs")
+      // Estimated jaccard of the planted pair is high (one token changed).
+      val est = rows.filter(r => r.getLong(0) == 1L && r.getLong(1) == 10L)
+        .map(_.getDouble(2)).max
+      assert(est >= 0.5, s"estimated jaccard too low: $est")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevNoData match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
 }
