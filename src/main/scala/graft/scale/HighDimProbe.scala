@@ -152,6 +152,34 @@ object HighDimProbe {
       pqRecalls.sum / pqRecalls.size}%.3f per-q=${pqRecalls.mkString(",")}")
   }
 
+  /** PQ recall@20 as a function of the ADC candidate-pool size — the
+    * quality knob the 768-d study left unmeasured. */
+  private def pqCurve(s: SparkSession, dir: String, dims: Int): Unit = {
+    import s.implicits._
+    val e = emb(s, dir)
+    VectorOps.registerFns(s)
+    val queries = Seq(0L, 7L, 63L, 128L, 999L)
+    def exactTop(q: Long): Set[Long] = {
+      val qv = e.filter(col("vec_id") === q).select(col("embedding").as("qe"))
+      e.filter(col("vec_id") =!= q).crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          call_function("cosine_sim", col("embedding"), col("qe")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(20)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    val truth = queries.map(q => q -> exactTop(q)).toMap
+    Seq(100, 200, 400, 800).foreach { nc =>
+      val recs = queries.map { q =>
+        val got = AnnOps.pqKnn(s, e, q, k = 20, m = dims / 8, dsub = 8,
+            ksub = 16, nCandidates = nc)
+          .select("vec_id").as[Long].collect().toSet
+        (got & truth(q)).size / 20.0
+      }
+      println(f"[pqcurve] dims=$dims nCandidates=$nc recall@20 mean=${
+        recs.sum / recs.size}%.3f per-q=${recs.mkString(",")}")
+    }
+  }
+
   /** ScaleGen replicas shift vec_id by 1e8 per replica; taking replicas
     * [0, r) = filter(vec_id < r·1e8) subsamples to r×2k vectors without a
     * shuffle. */
@@ -181,6 +209,7 @@ object HighDimProbe {
       case "guard" => guard(s, args(1))
       case "recall" => recall(s, args(1), args(2).toInt)
       case "knn" => knn(s, args(1), args(2).toInt)
+      case "pqcurve" => pqCurve(s, args(1), args(2).toInt)
       case "crossover" =>
         crossover(s, args(1), args(2).split(",").toSeq.map(_.toInt))
       case "lshtime" =>
