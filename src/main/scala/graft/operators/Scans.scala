@@ -69,6 +69,79 @@ object Scans {
       .orderBy("s_suppkey")
   }
 
+  /** A3-adjacent — MALFORMED-row handling on the CSV ingest path: the
+    * ingestion reality a 100 TB crawl lands with (a fraction of lines is
+    * always garbage). The fixture derives a CSV from documents where
+    * every doc_id ≡ 3 (mod 10) line carries a non-numeric n_chars; the
+    * declared output is the accounting of Spark's three parser modes —
+    * PERMISSIVE parses the good columns and captures the raw line in
+    * _corrupt_record (the quarantine-column pattern), DROPMALFORMED
+    * silently keeps only clean rows (counted against the quarantine
+    * count so a silent-drop regression is caught), and the clean-row sum
+    * proves no VALUE was damaged in transit. Oracle: the same accounting
+    * derived from the source table alone. */
+  val scanCsvMalformed = Q(
+    "scan_csv_malformed",
+    """WITH src AS (
+      |  SELECT doc_id, n_chars, doc_id % 10 = 3 AS bad FROM documents)
+      |SELECT 'clean_rows' AS metric,
+      |  CAST(COUNT(*) FILTER (WHERE NOT bad) AS BIGINT) AS n,
+      |  CAST(SUM(n_chars) FILTER (WHERE NOT bad) AS BIGINT) AS sum_chars
+      |FROM src
+      |UNION ALL
+      |SELECT 'corrupt_rows',
+      |  CAST(COUNT(*) FILTER (WHERE bad) AS BIGINT),
+      |  CAST(NULL AS BIGINT)
+      |FROM src
+      |UNION ALL
+      |SELECT 'dropmalformed_rows',
+      |  CAST(COUNT(*) FILTER (WHERE NOT bad) AS BIGINT),
+      |  CAST(NULL AS BIGINT)
+      |FROM src
+      |ORDER BY metric""".stripMargin) { (s, dir) =>
+    val tmp = s"/tmp/graft_io/${new java.io.File(dir).getName}"
+    // Fixture: one CSV line per doc; bad lines put a word where the
+    // numeric n_chars belongs.
+    Tables.load(s, dir, "documents")
+      .select(when(col("doc_id") % 10 === 3,
+          concat(col("doc_id"), lit(",not_a_number")))
+        .otherwise(concat(col("doc_id"), lit(","), col("n_chars")))
+        .as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(s"$tmp/docs_malformed_csv")
+    val schema = "doc_id LONG, n_chars LONG, _corrupt_record STRING"
+    val permissive = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(s"$tmp/docs_malformed_csv")
+      // Materialize before splitting on _corrupt_record: the CSV parser
+      // only populates the quarantine column for rows it actually failed,
+      // and caching pins one consistent parse for both branches.
+      .cache()
+    val clean = permissive.filter(col("_corrupt_record").isNull)
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .select(lit("clean_rows").as("metric"), col("n"), col("sum_chars"))
+    val corrupt = permissive.filter(col("_corrupt_record").isNotNull)
+      .agg(count(lit(1)).as("n"))
+      .select(lit("corrupt_rows").as("metric"), col("n"),
+        lit(null).cast("long").as("sum_chars"))
+    val dropped = s.read.schema("doc_id LONG, n_chars LONG")
+      .option("mode", "DROPMALFORMED")
+      .csv(s"$tmp/docs_malformed_csv")
+      // count(n_chars) — NOT count(*): a bare count (or any count of a
+      // non-nullable expression, which Catalyst rewrites to count(1))
+      // hands the CSV parser an EMPTY required schema, no field ever
+      // fails to parse, and DROPMALFORMED counts every raw record
+      // (measured: 500 vs 450; the SPARK-21610 semantics family —
+      // malformed-ness is judged against the REQUIRED schema only). The
+      // nullable-column count survives optimization and forces the
+      // parse; this pitfall is precisely what the operator pins.
+      .agg(count(col("n_chars")).as("n"))
+      .select(lit("dropmalformed_rows").as("metric"), col("n"),
+        lit(null).cast("long").as("sum_chars"))
+    clean.unionByName(corrupt).unionByName(dropped).orderBy("metric")
+  }
+
   /** A6 — events read with the exact schema the streaming source uses
     * (`spark.readStream.schema(Tables.events)` — see graft.streaming). */
   val streamSource = Q(
@@ -80,5 +153,6 @@ object Scans {
       .orderBy("event_id").limit(1000)
   }
 
-  val all: Seq[Q] = Seq(scanParquet, scanCsvJson, scanOrc, streamSource)
+  val all: Seq[Q] = Seq(scanParquet, scanCsvJson, scanOrc, scanCsvMalformed,
+    streamSource)
 }

@@ -34,7 +34,8 @@ class ConstructionSpec extends SparkSpec {
     // Fixture-materializing scans/sinks: the operator's POINT is reading a
     // format the corpus doesn't ship in (csv/json/orc/bucketed/sharded),
     // so it first writes that form — a bounded, one-off data-prep job.
-    "scan_csv_json", "scan_orc", "scan_merge_schema", "sink_jsonl_sharded",
+    "scan_csv_json", "scan_orc", "scan_csv_malformed", "scan_merge_schema",
+    "sink_jsonl_sharded",
     "sink_manifest_checksums", "layout_bucket_join",
     "join_partition_pruned",
     // Exact-kernel matrix broadcast: below the byte guard the collected
