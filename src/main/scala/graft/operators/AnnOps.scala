@@ -398,9 +398,21 @@ object AnnOps {
       }
     }
 
+  /** Dimension-adaptive ADC candidate-pool default (round-10, VERDICT r9
+    * item 4): PQ distortion grows with width, so a fixed 100-candidate
+    * re-rank pool silently starves recall at realistic dims — measured at
+    * 768-d (SCALE.md §PQ candidate-pool knob): recall@20 =
+    * 0.47 / 0.78 / 1.000 / 1.000 at nCandidates = 100 / 200 / 400 / 800.
+    * The curve saturates at dims/2 rounded up to the next 100; the 64-d
+    * corpus saturates at the 100 floor (which keeps the declared
+    * `ann_pq_knn` and its replay oracle byte-identical). Explicit caller
+    * values always win — this only replaces the blind constant. */
+  def pqPoolFor(dims: Int): Int =
+    math.max(100, (math.ceil(dims / 200.0) * 100).toInt)
+
   def pqKnn(s: SparkSession, emb: DataFrame, queryId: Long, k: Int,
       m: Int = 8, dsub: Int = 8, ksub: Int = 16,
-      nCandidates: Int = 100): DataFrame = {
+      nCandidates: Int = -1): DataFrame = {
     VectorOps.registerFns(s)
     import s.implicits._
     // --- index build (driver-side constants, as with the IVF centroids) ---
@@ -409,6 +421,7 @@ object AnnOps {
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"))
     val qVec = q.as[Seq[Float]].head()
+    val pool = if (nCandidates > 0) nCandidates else pqPoolFor(qVec.size)
     val lut = adcLut(codebooks, m, dsub, ksub, qVec)
     val adc = (0 until m).map { mm =>
       element_at(typedLit(lut(mm)), codeCol(mm, dsub, ksub, codebooks) + 1)
@@ -419,7 +432,7 @@ object AnnOps {
       // grid, the (adc, vec_id) candidate ranking is drift-proof.
       .select(col("vec_id"), col("embedding"), round(adc, 6).as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
-      .limit(nCandidates)
+      .limit(pool)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(call_function("cosine_sim", col("embedding"), col("qe")), 6)
@@ -578,12 +591,13 @@ object AnnOps {
     * [[pqKnn]] with the same model (AnnSpec pins it). */
   def pqKnnFromIndex(s: SparkSession, emb: DataFrame, index: DataFrame,
       model: AnnModel, queryId: Long, k: Int,
-      nCandidates: Int = 100): DataFrame = {
+      nCandidates: Int = -1): DataFrame = {
     VectorOps.registerFns(s)
     import s.implicits._
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"))
     val qVec = q.as[Seq[Float]].head()
+    val pool = if (nCandidates > 0) nCandidates else pqPoolFor(qVec.size)
     val lut = adcLut(model.codebooks, model.m, model.dsub, model.ksub, qVec)
     val adc = (0 until model.m).map { mm =>
       element_at(typedLit(lut(mm)), element_at(col("codes"), mm + 1) + 1)
@@ -591,7 +605,7 @@ object AnnOps {
     index.filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), adc.as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
-      .limit(nCandidates)
+      .limit(pool)
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"),

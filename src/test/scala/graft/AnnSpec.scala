@@ -91,6 +91,48 @@ class AnnSpec extends SparkSpec {
       "re-ranking every vector exactly must equal the exact kNN")
   }
 
+  test("PQ candidate pool is dimension-adaptive: formula pins the measured " +
+    "curve; 768-d recall floor holds at the new default") {
+    // The measured knob (SCALE.md §PQ candidate-pool at 768-d): recall@20 =
+    // 0.47/0.78/1.000/1.000 at nCandidates = 100/200/400/800 — saturation at
+    // dims/2 rounded up to the next 100. The old blind 100 default silently
+    // starved recall at realistic width (VERDICT r8/r9 carried defect).
+    assert(AnnOps.pqPoolFor(64) == 100)   // oracle-pinned floor
+    assert(AnnOps.pqPoolFor(768) == 400)  // measured saturation point
+    assert(AnnOps.pqPoolFor(1024) == 600)
+    // 768-d recall floor with the DEFAULT pool (resolves to 400): compact
+    // clustered corpus (HighDimProbe's shape at spec scale — splitmix
+    // centers + 0.35 noise so near-neighbor structure exists).
+    def u(id: Long, dim: Long): Double = {
+      var z = id * 0x9E3779B97F4A7C15L + dim * 0xC2B2AE3D27D4EB4FL + 0x632BE59BD9B4E019L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    }
+    val dims = 768
+    val hi = spark.range(0, 1200, 1, 8).as[Long].map { id =>
+      val cluster = (id % 16) * 7919L
+      val v = Array.tabulate(dims)(d =>
+        (u(cluster, d) + 0.35 * u(id + 1000003L, d)).toFloat)
+      (id, v.toSeq)
+    }.toDF("vec_id", "embedding").cache()
+    hi.count()
+    val exact = hi.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(hi.filter($"vec_id" === 0)
+        .select($"embedding".as("qe"))))
+      .select($"vec_id",
+        round(call_function("cosine_sim", $"embedding", $"qe"), 6).as("sim"))
+      .orderBy($"sim".desc, $"vec_id").limit(20)
+      .collect().map(_.getLong(0)).toSet
+    val approx = AnnOps.pqKnn(spark, hi, queryId = 0L, k = 20,
+        m = dims / 8, dsub = 8, ksub = 16) // nCandidates defaulted → 400
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size / 20.0
+    assert(recall >= 0.9, s"768-d recall@20 with adaptive default = $recall")
+    hi.unpersist()
+  }
+
   test("stored ANN index round-trips through parquet and reproduces build-per-query results") {
     // The 100 TB shape is fit-once-at-ingest + query-the-stored-index;
     // this pins that the materialized (vec_id, list_id, codes) table,
