@@ -89,40 +89,114 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Self-reported evidence for the no-oracle approximate rows (round-6):
-    // the sketch queries compare against their EXACT in-engine twins and
-    // the max relative error lands in the round artifact, machine-readable
-    // — the "spec by design" rows now carry numbers, not just a label.
-    // Tolerance = 3× the configured rsd (the VectorSpec convention).
-    try {
+    // Self-reported evidence for the no-oracle approximate rows (round-6,
+    // extended round-10 per VERDICT r9 item 5): every no-oracle key with an
+    // exact in-engine twin compares against that twin and the measured
+    // error/recall lands in the round artifact, machine-readable — the
+    // "spec by design" rows carry numbers, not just a label. Each check is
+    // individually fail-soft (an error line instead of a silent omission).
+    locally {
       import org.apache.spark.sql.functions._
-      val orders = Tables.load(spark, sfDir, "orders")
-      val exactD = orders.groupBy("o_orderstatus")
-        .agg(countDistinct(col("o_custkey")).as("exact"))
-      val relD = SparkEntry.queries("agg_approx_distinct")(spark, sfDir)
-        .join(exactD, "o_orderstatus")
-        .agg(max(abs(col("approx_cust") - col("exact")) / col("exact")))
-        .head.getDouble(0)
-      val exactP = orders.groupBy("o_orderstatus")
-        .agg(expr("percentile(o_totalprice, array(0.5, 0.9))").as("ex"))
-      val relP = SparkEntry.queries("agg_approx_percentile")(spark, sfDir)
-        .select(col("o_orderstatus"),
-          expr("transform(split(approx_p, ','), x -> cast(x as double))")
-            .as("ap"))
-        .join(exactP, "o_orderstatus")
-        .agg(max(expr(
-          "aggregate(zip_with(ap, ex, (a, e) -> abs(a - e) / e), 0d, " +
-            "(acc, x) -> greatest(acc, x))")))
-        .head.getDouble(0)
-      def line(k: String, err: Double, tol: Double) =
-        s"""$k: {"max_rel_err": $err, "tolerance": $tol, "pass": ${err <= tol}}"""
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      def check(key: String)(body: => String): Unit =
+        try {
+          val l = body
+          lines += s"""${q(key)}: $l"""
+          println(s"[verify-selfcheck] $key $l")
+        } catch { case e: Throwable =>
+          lines += s"""${q(key)}: {"error": ${q(String.valueOf(e.getMessage))}, "pass": false}"""
+          System.err.println(s"[verify] selfcheck $key failed: ${e.getMessage}")
+        }
+      def relLine(err: Double, tol: Double) =
+        s"""{"max_rel_err": $err, "tolerance": $tol, "pass": ${err <= tol}}"""
+      def recallLine(r: Double, floor: Double, extra: String = "") =
+        s"""{"recall": $r, "floor": $floor$extra, "pass": ${r >= floor}}"""
+
+      // Sketch aggregates vs exact twins (tolerance = 3× configured rsd,
+      // the VectorSpec convention).
+      check("agg_approx_distinct") {
+        val orders = Tables.load(spark, sfDir, "orders")
+        val exactD = orders.groupBy("o_orderstatus")
+          .agg(countDistinct(col("o_custkey")).as("exact"))
+        val relD = SparkEntry.queries("agg_approx_distinct")(spark, sfDir)
+          .join(exactD, "o_orderstatus")
+          .agg(max(abs(col("approx_cust") - col("exact")) / col("exact")))
+          .head.getDouble(0)
+        relLine(relD, 3 * 0.02)
+      }
+      check("agg_approx_percentile") {
+        val orders = Tables.load(spark, sfDir, "orders")
+        val exactP = orders.groupBy("o_orderstatus")
+          .agg(expr("percentile(o_totalprice, array(0.5, 0.9))").as("ex"))
+        val relP = SparkEntry.queries("agg_approx_percentile")(spark, sfDir)
+          .select(col("o_orderstatus"),
+            expr("transform(split(approx_p, ','), x -> cast(x as double))")
+              .as("ap"))
+          .join(exactP, "o_orderstatus")
+          .agg(max(expr(
+            "aggregate(zip_with(ap, ex, (a, e) -> abs(a - e) / e), 0d, " +
+              "(acc, x) -> greatest(acc, x))")))
+          .head.getDouble(0)
+        relLine(relP, 0.10)
+      }
+
+      // ANN retrieval recall vs the exact cosine kernel (floors match the
+      // AnnSpec convention: this synthetic corpus is near-orthogonal, so
+      // 48-bit SRP is a weak-signal regime by construction — the check
+      // guards the MECHANICS regressing to zero, the measured number is
+      // the dashboard value).
+      lazy val exactTop100: Set[(Long, Long)] = {
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        graft.operators.VectorOps.similarityTopKPairs(spark, emb, k = 100,
+            maxBroadcastBytes = Long.MaxValue, maxExactRows = Long.MaxValue)
+          .select("a_id", "b_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      check("ann_lsh_topk") {
+        val approx = SparkEntry.queries("ann_lsh_topk")(spark, sfDir)
+          .select("a_id", "b_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        recallLine(
+          approx.intersect(exactTop100).size.toDouble / exactTop100.size, 0.3)
+      }
+      check("ann_recall_report") {
+        // The declared query IS a recall report — surface its k=100 row.
+        val r = SparkEntry.queries("ann_recall_report")(spark, sfDir)
+          .filter(col("k") === 100).head.getAs[Double]("recall")
+        recallLine(r, 0.3)
+      }
+
+      // MinHash-LSH dedup recall vs the exact n-gram Jaccard pass (forced
+      // exact; every minhash pair is already exact-Jaccard-verified, so
+      // precision is 1.0 by construction and recall is the open number).
+      check("dedup_near_minhash") {
+        val docs = Tables.load(spark, sfDir, "documents")
+        val truth = graft.operators.TextOps
+          .ngramJaccardPairs(docs, 0.4, maxExactRows = Long.MaxValue)
+          .select("a_id", "b_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got = SparkEntry.queries("dedup_near_minhash")(spark, sfDir)
+          .select("a_id", "b_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val rec = if (truth.isEmpty) 1.0
+          else got.intersect(truth).size.toDouble / truth.size
+        recallLine(rec, 0.5, s""", "n_truth": ${truth.size}""")
+      }
+
+      // SimHash exact-twin property: identical texts MUST fingerprint
+      // identically (the deterministic-content-hash contract; near-dup
+      // sensitivity is DedupSpec's planted-pair territory).
+      check("dedup_simhash") {
+        val docs = Tables.load(spark, sfDir, "documents")
+        val viol = SparkEntry.queries("dedup_simhash")(spark, sfDir)
+          .join(docs.select("doc_id", "text"), "doc_id")
+          .groupBy("text").agg(countDistinct("simhash").as("nd"))
+          .filter(col("nd") > 1).count()
+        s"""{"identical_text_fingerprint_violations": $viol, "pass": ${viol == 0L}}"""
+      }
+
       Files.writeString(Paths.get(s"$outDir/selfcheck.json"),
-        s"""{${line(q("agg_approx_distinct"), relD, 3 * 0.02)}, ${
-          line(q("agg_approx_percentile"), relP, 0.10)}}""")
-      println(f"[verify-selfcheck] approx_distinct relErr=$relD%.4f " +
-        f"approx_percentile relErr=$relP%.4f")
-    } catch { case e: Throwable =>
-      System.err.println(s"[verify] selfcheck failed: ${e.getMessage}")
+        lines.mkString("{", ", ", "}"))
     }
     spark.stop()
   }
