@@ -49,10 +49,15 @@ object Bench {
       .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // CBO from session start — see GraftSession.builder (order-
-      // independence; only ANALYZEd graft_cbo_* tables carry stats).
-      .config("spark.sql.cbo.enabled", "true")
-      .config("spark.sql.cbo.joinReorder.enabled", "true")
+      // CBO OFF for the bench (round-10): none of the 20 headline keys
+      // reads an ANALYZEd table, so BasicStatsPlanVisitor costing is pure
+      // per-action planning overhead on a suite whose cost is dominated by
+      // planning constants (FLOOR_EVIDENCE.md §1 — once-planned execution
+      // is 20–30 ms/key). Verify/production sessions keep CBO on.
+      .config("spark.sql.cbo.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_CBO", "false"))
+      .config("spark.sql.cbo.joinReorder.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_CBO", "false"))
       // AQE is essential at cluster scale but pure re-planning overhead on
       // sub-second local queries; the bench mirrors an interactive
       // small-data config. Verify/production keep it on. The env knob
@@ -86,6 +91,11 @@ object Bench {
       // likewise uncompressed at this scale.
       .config("spark.sql.inMemoryColumnarStorage.compression",
         sys.env.getOrElse("SPARK_GRAFT_BENCH_CACHE_COMPRESS", "false"))
+      // Bucketed-layout co-location (round-10, see GraftSession.builder):
+      // subset co-partitioning + trustworthy per-bucket sort metadata
+      // (Tables.materializeBuckets writes one file per bucket).
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -16,9 +16,14 @@ object BenchProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.sql.files.maxPartitionBytes", "16777216")
+      .config("spark.sql.constraintPropagation.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "2097152")
       .config("spark.shuffle.compress", "false")
       .config("spark.broadcast.compress", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      .config("spark.sql.inMemoryColumnarStorage.compression", "false")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_GRAFT_BENCH_LOCALDIR", "/tmp"))
       .getOrCreate()
@@ -31,6 +36,44 @@ object BenchProbe {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
       }
       println(f"$label%-40s best=${runs.min}%.1f ms runs=${runs.map(r => f"$r%.0f").mkString(",")}")
+    }
+
+    // Floor-attribution mode (round-10, VERDICT r9 item 2): for EVERY
+    // headline key, the bench-shape time (fresh count(): analyze + optimize
+    // + plan + schedule + execute) next to the once-planned execution time
+    // (collect() on a pre-planned aggregate: schedule + execute only). The
+    // difference is the per-action planning constant the sf0.1 gate pays
+    // 20× — the per-query breakdown NOTES_r{N}.md publishes.
+    if (args.contains("floor")) {
+      def bestOf(n: Int)(f: => Unit): Double = {
+        f
+        (1 to n).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+        }.min
+      }
+      println(f"${"key"}%-28s ${"bench_ms"}%9s ${"exec_ms"}%9s ${"plan_ms"}%9s " +
+        f"${"analysis"}%9s ${"optim"}%9s ${"physplan"}%9s")
+      var (tb, te) = (0.0, 0.0)
+      Bench.headline.foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val bench = bestOf(3) { df.count() }
+        val action = SparkEntry.queries(name)(spark, sfDir).groupBy().count()
+        val exec = bestOf(3) { action.collect() }
+        // Tracker phase times for ONE fresh count (what each bench action
+        // re-pays): analysis + optimization + physical planning; the
+        // remainder of plan_ms is codegen lookup + job/stage scheduling.
+        val fresh = df.groupBy().count()
+        fresh.collect()
+        val ph = fresh.queryExecution.tracker.phases
+        def phMs(k: String) =
+          ph.get(k).map(s => (s.endTimeMs - s.startTimeMs).toDouble).getOrElse(-1.0)
+        tb += bench; te += exec
+        println(f"$name%-28s $bench%9.1f $exec%9.1f ${bench - exec}%9.1f " +
+          f"${phMs("analysis")}%9.1f ${phMs("optimization")}%9.1f ${phMs("planning")}%9.1f")
+      }
+      println(f"${"TOTAL"}%-28s $tb%9.1f $te%9.1f ${tb - te}%9.1f")
+      spark.stop()
+      return
     }
 
     best3("raw job floor: parallelize(8).count") {

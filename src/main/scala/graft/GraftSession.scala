@@ -25,6 +25,16 @@ object GraftSession {
       // ANALYZEd graft_cbo_* tables — so path-based reads are unaffected.
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
+      // Bucketed-layout co-location (round-10): multi-key joins whose keys
+      // INCLUDE the bucket key may reuse the bucket partitioning instead of
+      // re-shuffling both sides on the full key set (q5's orderkey ⋈
+      // (orderkey, nationkey) shape) — correctness-neutral planner trade.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // One file per bucket by construction (Tables.materializeBuckets
+      // aligns write tasks with bucket ids), so the per-bucket SORTED BY
+      // metadata is trustworthy and SMJs over bucketed tables skip their
+      // sorts; Spark still re-checks the one-file-per-bucket invariant.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
 }
 
 object Views {

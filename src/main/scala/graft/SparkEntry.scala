@@ -15,7 +15,7 @@ object SparkEntry {
     Aggs.aggRollup.aliased("rollup_agg"),
     Aggs.aggCountDistinct.aliased("distinct_agg"),
     Aggs.aggApproxDistinct.aliased("approx_distinct"),
-    Projections.intersectQ.aliased("set_ops"),
+    Projections.intersectFused.aliased("set_ops"),
     Funcs.fnString.aliased("string_funcs"),
     Funcs.fnDate.aliased("date_funcs"),
     Funcs.fnJson.aliased("json_extract"),

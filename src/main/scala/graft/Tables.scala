@@ -160,8 +160,132 @@ object Tables {
     }
   }
 
-  /** Load one table with its explicit schema from `dir/<name>.parquet`. */
+  /** Load one table with its explicit schema from `dir/<name>.parquet`,
+    * preferring a materialized bucketed copy when one is present and
+    * fresh (see [[bucketedPath]]) — the layout-aware read a warehouse
+    * catalog performs. Identical rows either way; only the physical plan
+    * changes (bucketed scans carry HashPartitioning + per-bucket sort, so
+    * orderkey joins skip both exchanges AND sorts — measured 2.27 → 1.28 s
+    * at the 60 M-row tier, SCALE.md §bucketed co-location). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") loadEvents(spark, s"$dir/events.parquet")
-    else spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+    else loadBucketed(spark, dir, name).getOrElse(
+      spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet"))
+
+  // ------------------------------------------------------------------
+  // Bucketed layout (round-10, VERDICT r9 item 3): orders/lineitem are the
+  // repeated-join fact tables; a pay-once bucketed+sorted copy on the
+  // orderkey removes the per-query shuffle every fact⋈fact join otherwise
+  // pays. At 100 TB this IS the warehouse layout for hot join keys —
+  // here it is an opt-in materialization (graft.LayoutBuild) that the
+  // loader discovers and trusts only while the source files' identity
+  // fingerprint still matches (a driver-side testdata regeneration
+  // invalidates the copy instead of silently serving stale rows).
+  // ------------------------------------------------------------------
+
+  /** Join key per bucketable table. */
+  val bucketKeys: Map[String, String] =
+    Map("orders" -> "o_orderkey", "lineitem" -> "l_orderkey")
+
+  val BucketCount = 32
+
+  /** Conventional location of the bucketed copy for `dir`/`name`. */
+  def bucketedPath(dir: String, name: String): String =
+    s"/tmp/graft_bucketed/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
+
+  /** Source-identity fingerprint: length+mtime of every data file under
+    * the source parquet path. Cheap (driver-side listing, no scan) and
+    * catches the regeneration case — content hashing would re-read TBs. */
+  private def fingerprint(src: String): String = {
+    val f = new java.io.File(src)
+    val files =
+      if (f.isDirectory)
+        f.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      else Array(f)
+    files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+      .mkString("|")
+  }
+
+  /** True when a bucketed copy exists and its recorded source fingerprint
+    * matches the current source files. */
+  private def bucketedValid(dir: String, name: String): Boolean = {
+    val marker = new java.io.File(s"${bucketedPath(dir, name)}/_graft_layout")
+    marker.isFile && {
+      val recorded = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      recorded == fingerprint(s"$dir/$name.parquet")
+    }
+  }
+
+  /** Session-scoped registration guard (the catalog is per-session). */
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  /** Return the bucketed copy as a catalog-backed DataFrame when present,
+    * fresh, and not disabled via SPARK_GRAFT_BUCKETED=false. Registration
+    * is an external-table DDL over the copy's files — Spark re-derives
+    * bucket ids from the writer's file names, so the metadata round-trips
+    * across sessions without a persistent metastore. */
+  private def loadBucketed(spark: SparkSession, dir: String,
+      name: String): Option[DataFrame] =
+    bucketKeys.get(name).filter(_ =>
+        sys.env.getOrElse("SPARK_GRAFT_BUCKETED", "true") != "false" &&
+        bucketedValid(dir, name))
+      .map { key =>
+        val table = s"graft_b_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$name"
+        val sessionKey = s"${System.identityHashCode(spark)}/$table"
+        registered.computeIfAbsent(sessionKey, { _ =>
+          spark.sql(
+            s"""CREATE TABLE IF NOT EXISTS $table (${schemas(name).toDDL})
+               |USING PARQUET
+               |CLUSTERED BY ($key) SORTED BY ($key) INTO $BucketCount BUCKETS
+               |LOCATION '${bucketedPath(dir, name)}'""".stripMargin)
+          true
+        })
+        spark.table(table)
+      }
+
+  /** Materialize the bucketed copies for `dir` (the pay-once ingest step;
+    * graft.LayoutBuild is the CLI). repartition(32, key) aligns write
+    * tasks with bucket ids (same murmur hash + modulus), so each bucket is
+    * ONE file and the SORTED BY metadata stays usable — Spark ignores
+    * per-bucket sort order when a bucket has multiple files. */
+  def materializeBuckets(spark: SparkSession, dir: String): Unit =
+    bucketKeys.foreach { case (name, key) =>
+      val target = bucketedPath(dir, name)
+      val src = s"$dir/$name.parquet"
+      val tmpTable = s"graft_build_${name}_${System.nanoTime()}"
+      spark.read.schema(schemas(name)).parquet(src)
+        .repartition(BucketCount, org.apache.spark.sql.functions.col(key))
+        .write.mode("overwrite")
+        .bucketBy(BucketCount, key).sortBy(key)
+        .option("path", target)
+        .saveAsTable(tmpTable)
+      spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // files stay (external)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$target/_graft_layout"),
+        fingerprint(src).getBytes("UTF-8"))
+    }
+}
+
+/** CLI: materialize the bucketed fact-table layout for one or more sf
+  * dirs — `graft.LayoutBuild <dir> [<dir>...]`. */
+object LayoutBuild {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: LayoutBuild <sfDir> [sfDir...]")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_layout_build_wh")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.foreach { dir =>
+      val t0 = System.nanoTime()
+      Tables.materializeBuckets(spark, dir)
+      println(f"[layout-build] $dir done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    spark.stop()
+  }
 }

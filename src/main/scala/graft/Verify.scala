@@ -27,6 +27,9 @@ object Verify {
       // folds ran on ONE task otherwise). At cluster scale inputs are
       // many files and the 128 MB default is right.
       .config("spark.sql.files.maxPartitionBytes", "8388608")
+      // Bucketed-layout co-location (round-10, see GraftSession.builder).
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Layout contract (round-6 post-mortem): the loader's ts-unit handling

@@ -141,6 +141,30 @@ object Projections {
       .orderBy("o_custkey")
   }
 
+  /** G2 at scale — identical INTERSECT semantics to [[intersectQ]], spelled
+    * as ONE scan + ONE shuffle: filter to the two branches, partial-agg
+    * per-key presence flags map-side, keep keys seen in both. The operator
+    * form shuffles each branch separately before the semi join (two fact
+    * shuffles); this form shuffles (key, flag) pairs once — at 100 TB it
+    * halves the shuffled volume and is the shape a same-table INTERSECT
+    * should compile to. Same oracle as G2; serves the `set_ops` bench key. */
+  val intersectFused = Q(
+    "intersect",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .groupBy("o_custkey")
+      .agg(
+        max(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("in_f"),
+        max(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("in_o"))
+      .filter(col("in_f") === 1 && col("in_o") === 1)
+      .select("o_custkey")
+      .orderBy("o_custkey")
+  }
+
   /** G3 — except (plans as left-anti). */
   val exceptQ = Q(
     "except",

@@ -19,6 +19,9 @@ object SparkTestSession {
       // independence; only ANALYZEd graft_cbo_* tables carry stats).
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
+      // Bucketed-layout co-location (round-10, see GraftSession.builder).
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
