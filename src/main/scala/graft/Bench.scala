@@ -96,6 +96,12 @@ object Bench {
       // (Tables.materializeBuckets writes one file per bucket).
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // The cache-priming count() below is a bare scan, which the planner's
+      // DisableUnnecessaryBucketedScan would read UNbucketed — baking a
+      // partition-less plan into the InMemoryRelation and forfeiting the
+      // co-located joins every later query would get. Force bucketed reads
+      // so the cache carries HashPartitioning(orderkey, 32).
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -126,6 +132,11 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         timeOnce() // warm-up: JIT + codegen cache
+        // Plan dump for offline audit (comma-separated keys; driver never
+        // sets it, stderr so the stdout JSON contract is untouched).
+        if (sys.env.get("SPARK_GRAFT_BENCH_EXPLAIN")
+            .exists(_.split(",").contains(name)))
+          System.err.println(s"#### $name\n${df.queryExecution.executedPlan}")
         name -> (1 to 3).map(_ => timeOnce()).min
       } catch { case _: Throwable => name -> -1.0 }
     }

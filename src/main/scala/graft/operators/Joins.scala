@@ -305,8 +305,28 @@ object Joins {
         custProj.join(broadcast(asiaNationKeys), col("c_nationkey") === col("an"))
           .select(col("c_custkey"), col("c_nationkey"))
       }
+    // ordAsia join strategy (round-10, the layout rung): shuffling orders
+    // on o_custkey here FORFEITS the orderkey bucketing the layout paid
+    // for — the Q5Probe decomposition showed this arm alone cost 0.6 of
+    // q5's 1.0 s at the 60 M tier. When the REDUCED customer arm is
+    // measurably broadcast-small (one construction-time count of the
+    // semi-joined dim — the AQE runtime-stats pattern, and only run in
+    // the arm where customer itself was NOT broadcastable), broadcast it:
+    // orders then flows scan → broadcast probe → big join with its bucket
+    // partitioning intact, and the whole fact path is exchange-free. At
+    // 100 TB the measured count says no (300 M ASIA customers ≫ any
+    // threshold) and the shuffle_hash build arm stands — which AQE still
+    // upgrades to broadcast when runtime shuffle stats come in small.
+    val custAsiaBroadcastable =
+      custBytes <= bcThreshold || {
+        // 16 B/row = the two projected columns' data width (the same
+        // sizeInBytes convention the optimizer's own gate uses).
+        BigInt(custAsia.count()) * 16 <= bcThreshold
+      }
     val ordAsia = orders
-      .join(custAsia, col("o_custkey") === col("c_custkey"))
+      .join(if (custAsiaBroadcastable) broadcast(custAsia)
+            else custAsia.hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey"))
     // SUPPLIER-FIRST fact reduction (round-8, closes the r7 sf10 plan
     // gap): join lineitem to the broadcast ASIA-supplier build on
