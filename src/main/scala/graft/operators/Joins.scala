@@ -225,13 +225,30 @@ object Joins {
     // 11.7 s at sf10 (the shipdate filter is selective but the estimate
     // is blind to it, and the build side is still millions of rows —
     // exactly the hard-broadcast trap q5's restructure removed).
+    // Broadcast GATE on the BUILDING-customer arm (round-10, the q5 gate
+    // precedent — exposed by the 600 M-row probe, SCALE.md §sf100): the
+    // unconditional broadcast grows linearly with the corpus (3 M rows at
+    // 600 M lineitem; OOM at 100 TB). When the full projected customer
+    // column is already under the broadcast threshold, broadcast without
+    // any job; otherwise ONE construction-time count of the filtered arm
+    // decides (8 B/row, the single projected key column). Past the gate
+    // the arm joins shuffle_hash — orders shuffles once on custkey, still
+    // reduced BEFORE the orderkey fact join.
+    val bldCust = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val custColBytes = t(s, dir, "customer").select("c_custkey")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val bcThresh =
+      BigInt(org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold)
+    val bldBroadcastable = custColBytes <= bcThresh ||
+      BigInt(bldCust.count()) * 8 <= bcThresh
     t(s, dir, "lineitem")
       .filter(to_date(col("l_shipdate")) > lit("1998-06-01"))
       .join(
         t(s, dir, "orders")
           .filter(to_date(col("o_orderdate")) < lit("1998-06-01"))
-          .join(broadcast(
-              t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")),
+          .join(if (bldBroadcastable) broadcast(bldCust)
+                else bldCust.hint("shuffle_hash"),
             col("o_custkey") === col("c_custkey"))
           .hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
