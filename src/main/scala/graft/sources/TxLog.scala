@@ -44,7 +44,8 @@ object TxLog {
       min: Option[String], max: Option[String])
 
   final case class Commit(version: Long, op: String,
-      add: Seq[AddFile], remove: Seq[String])
+      add: Seq[AddFile], remove: Seq[String],
+      txn: Option[(String, Long)] = None)
 
   final case class Meta(schemaDDL: String, statsCol: Option[String])
 
@@ -78,7 +79,10 @@ object TxLog {
     val metaJson = meta.map(m =>
       s""","meta":{"schemaDDL":${jStr(m.schemaDDL)},"statsCol":${
         m.statsCol.map(jStr).getOrElse("null")}}""").getOrElse("")
-    s"""{"version":${c.version},"op":${jStr(c.op)},"add":$adds,"remove":$removes$metaJson}"""
+    val txnJson = c.txn.map { case (app, b) =>
+      s""","txn":{"appId":${jStr(app)},"batchId":$b}"""
+    }.getOrElse("")
+    s"""{"version":${c.version},"op":${jStr(c.op)},"add":$adds,"remove":$removes$metaJson$txnJson}"""
   }
 
   private def parseCommit(json: String): (Commit, Option[Meta]) = {
@@ -92,7 +96,10 @@ object TxLog {
     val meta = Option(n.get("meta")).map(m =>
       Meta(m.get("schemaDDL").asText(),
         Option(m.get("statsCol")).filter(!_.isNull).map(_.asText())))
-    (Commit(n.get("version").asLong(), n.get("op").asText(), add, remove), meta)
+    val txn = Option(n.get("txn")).map(t =>
+      (t.get("appId").asText(), t.get("batchId").asLong()))
+    (Commit(n.get("version").asLong(), n.get("op").asText(), add, remove,
+      txn), meta)
   }
 
   // ---------------------------------------------------------- log state
@@ -150,7 +157,8 @@ object TxLog {
     * TxLogSpec can drive a stale rewrite into the conflict path.) */
   private[graft] def commit(table: String, op: String, add: Seq[AddFile],
       remove: Seq[String], meta: Option[Meta] = None,
-      expectActive: Boolean = false): Long = {
+      expectActive: Boolean = false,
+      txn: Option[(String, Long)] = None): Long = {
     Files.createDirectories(Paths.get(logDir(table)))
     var attempt = 0
     while (true) {
@@ -163,7 +171,7 @@ object TxLog {
       }
       try {
         Files.write(Paths.get(commitPath(table, v)),
-          renderCommit(Commit(v, op, add, remove), meta)
+          renderCommit(Commit(v, op, add, remove, txn), meta)
             .getBytes("UTF-8"),
           StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
         maybeCheckpoint(table, v)
@@ -242,6 +250,31 @@ object TxLog {
   def append(spark: SparkSession, table: String, df: DataFrame): Long = {
     val (_, meta) = state(table)
     commit(table, "append", writeFiles(spark, table, df, meta), Nil)
+  }
+
+  /** Highest batchId this writer appId has committed (-1 if none) — the
+    * Delta setTransaction pattern a streaming sink replays against. */
+  def txnVersion(table: String, appId: String): Long =
+    versions(table).reverse.iterator
+      .map(v => parseCommit(
+        Files.readString(Paths.get(commitPath(table, v))))._1.txn)
+      .collectFirst { case Some((app, b)) if app == appId => b }
+      .getOrElse(-1L)
+
+  /** Idempotent micro-batch append — the foreachBatch exactly-once sink:
+    * a batchId at or below the appId's last committed one is a restart
+    * replay and becomes a no-op, so (at-least-once delivery) × (idempotent
+    * commit) = exactly-once table contents. Structured Streaming runs one
+    * query instance per appId with sequential batchIds, which is the
+    * concurrency contract this relies on (same as Delta's txn action).
+    * Returns true when the batch committed, false when skipped. */
+  def appendBatch(spark: SparkSession, table: String, df: DataFrame,
+      appId: String, batchId: Long): Boolean = {
+    if (txnVersion(table, appId) >= batchId) return false
+    val (_, meta) = state(table)
+    commit(table, "streaming-append", writeFiles(spark, table, df, meta),
+      Nil, txn = Some((appId, batchId)))
+    true
   }
 
   def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {

@@ -432,4 +432,17 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) => save(batch, id) }
       .start()
+
+  /** I7 at production shape — exactly-once lakehouse sink: each micro-batch
+    * appends to a GraftLog table via the idempotent (appId, batchId) txn
+    * commit, so a restart that replays delivered batches leaves the table
+    * contents unchanged — (at-least-once delivery) × (idempotent commit) =
+    * exactly-once, the streaming→Delta pattern without the Delta jar.
+    * TxLogSpec pins both the happy path and the replay no-op. */
+  def txLogSink(spark: SparkSession, df: DataFrame, table: String,
+      checkpointDir: String, appId: String): StreamingQuery =
+    foreachBatchSink(df, checkpointDir) { (batch, id) =>
+      graft.sources.TxLog.appendBatch(spark, table, batch, appId, id)
+      ()
+    }
 }

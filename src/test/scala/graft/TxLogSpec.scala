@@ -136,6 +136,51 @@ class TxLogSpec extends SparkSpec {
       .exists(_.getName.endsWith(".checkpoint.json")))
   }
 
+  test("streaming txLogSink: exactly-once table contents; replayed batch is a no-op") {
+    val tb = fresh("stream")
+    TxLog.create(spark, tb, Tables.events, Some("event_id"))
+    // 3-file feed of the events corpus (the StreamingSpec convention).
+    val feed = java.nio.file.Files
+      .createTempDirectory("graft_txlog_feed").toString
+    val raw = Tables.load(spark, sfDir, "events")
+    (0 until 3).foreach { i =>
+      raw.filter(pmod($"event_id", lit(3)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$feed/f$i")
+    }
+    // File-source streams read a flat directory (the StreamingSpec
+    // flatten convention): move the part files up.
+    locally {
+      val d = new java.io.File(feed)
+      var idx = 0
+      d.listFiles().filter(_.isDirectory).sortBy(_.getName).foreach { sub =>
+        sub.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(d, f"p$idx%03d.parquet").toPath)
+          idx += 1
+        }
+        sub.listFiles().foreach(_.delete()); sub.delete()
+      }
+    }
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_txlog_ckpt").toString
+    val stream = graft.streaming.Streams
+      .eventsStream(spark, feed, maxFilesPerTrigger = 1)
+    graft.streaming.Streams
+      .txLogSink(spark, stream, tb, ckpt, appId = "spec-writer")
+      .awaitTermination()
+    assert(TxLog.snapshot(spark, tb).count() == raw.count())
+    // Restart replay: a batchId at or below the last committed one no-ops.
+    val last = TxLog.txnVersion(tb, "spec-writer")
+    assert(last >= 0)
+    assert(!TxLog.appendBatch(spark, tb, raw.limit(10), "spec-writer", last),
+      "replayed batchId must be skipped")
+    assert(TxLog.snapshot(spark, tb).count() == raw.count(),
+      "replay must not duplicate rows")
+    // A DIFFERENT writer's batchId 0 is independent.
+    assert(TxLog.appendBatch(spark, tb, raw.limit(1), "other-writer", 0L))
+    assert(TxLog.snapshot(spark, tb).count() == raw.count() + 1)
+  }
+
   test("vacuum deletes only orphans; all committed versions still read") {
     val tb = fresh("vacuum")
     TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
