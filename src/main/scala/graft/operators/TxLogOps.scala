@@ -106,5 +106,34 @@ object TxLogOps {
     }.reduce(_ unionByName _).orderBy("version")
   }
 
-  val all: Seq[Q] = Seq(txlogMergeSnapshot, txlogTimeTravel)
+  /** Table-format lifecycle 3 — stats-pruned range read: four key-quartile
+    * append batches (each one file with a tight min/max), then a range
+    * read that must only OPEN the overlapping files (TxLogSpec pins the
+    * file count; this oracle pins the answer). The 100 TB point: a range
+    * lookup on the stats column costs a handful of file opens, not a
+    * table scan — the log's min/max are the coarse index. */
+  val txlogPrunedRead = Q(
+    "txlog_pruned_read",
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${sqlDsum("o_totalprice")} AS sum_price
+       |FROM orders
+       |WHERE o_orderkey BETWEEN 100 AND 399
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val orders = t(s, dir, "orders")
+    val table = freshTable(dir, "orders_pruned")
+    TxLog.create(s, table, Tables.orders, statsCol = Some("o_orderkey"))
+    val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+    val q = (maxKey + 1) / 4 + 1
+    (0L until 4L).foreach { i =>
+      TxLog.append(s, table, orders.filter(
+        col("o_orderkey") >= i * q && col("o_orderkey") < (i + 1) * q)
+        .coalesce(1))
+    }
+    TxLog.snapshotRange(s, table, "100", "399")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val all: Seq[Q] = Seq(txlogMergeSnapshot, txlogTimeTravel, txlogPrunedRead)
 }

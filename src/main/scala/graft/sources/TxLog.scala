@@ -228,8 +228,18 @@ object TxLog {
     * Data lands before any log record: a crash here leaves only orphans. */
   private def writeFiles(spark: SparkSession, table: String, df: DataFrame,
       meta: Meta): Seq[AddFile] = {
+    // Schema contract: the batch must carry exactly the table's columns
+    // (order-insensitive, types equal after nullability erasure) — a
+    // mismatched batch would otherwise write fine and CORRUPT reads,
+    // since snapshots read with the table schema.
+    val want = StructType.fromDDL(meta.schemaDDL)
+      .map(f => f.name -> f.dataType.catalogString).toMap
+    val got = df.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    require(got == want,
+      s"batch schema ${df.schema.toDDL} does not match table schema ${meta.schemaDDL}")
     val staging = s"$table/batch-${java.util.UUID.randomUUID()}"
-    df.write.parquet(staging)
+    df.select(StructType.fromDDL(meta.schemaDDL).fieldNames.map(col): _*)
+      .write.parquet(staging)
     val files = new java.io.File(staging).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
     if (files.isEmpty) return Nil
@@ -318,6 +328,26 @@ object TxLog {
       case (Some(fLo), Some(fHi)) => statsLte(dt, fLo, hi) && statsLte(dt, lo, fHi)
       case _ => true
     })
+  }
+
+  /** Stats-pruned range read: only files whose [min,max] interval overlaps
+    * [lo, hi] on the stats column are OPENED (the data-skipping read path
+    * — at 100 TB a point/range lookup touches a handful of files, not the
+    * table); the exact typed predicate still applies row-level, so files
+    * without stats stay correct. */
+  def snapshotRange(spark: SparkSession, table: String, lo: String,
+      hi: String): DataFrame = {
+    val (_, meta) = state(table)
+    val schema = StructType.fromDDL(meta.schemaDDL)
+    val dt = schema(meta.statsCol.get).dataType
+    val cand = overlappingFiles(table, lo, hi)
+    val base =
+      if (cand.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(cand.map(_.path): _*)
+    base.filter(col(meta.statsCol.get) >= lit(lo).cast(dt) &&
+      col(meta.statsCol.get) <= lit(hi).cast(dt))
   }
 
   /** Copy-on-write DELETE: only files that might contain matching rows

@@ -79,6 +79,26 @@ class TxLogSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("snapshotRange opens only stats-overlapping files; wrong-schema append refuses") {
+    val tb = fresh("range")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.append(spark, tb, orders.filter($"o_orderkey" < 700).coalesce(1))
+    TxLog.append(spark, tb, orders.filter($"o_orderkey" >= 700).coalesce(1))
+    val pruned = TxLog.snapshotRange(spark, tb, "100", "399")
+    assert(pruned.inputFiles.length == 1,
+      s"range [100,399] must open ONE of the two files, got ${pruned.inputFiles.length}")
+    assert(pruned.count() ==
+      orders.filter($"o_orderkey".between(100, 399)).count())
+    // Schema contract: a mis-shaped batch refuses instead of corrupting.
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, tb, orders.drop("o_totalprice"))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, tb,
+        orders.withColumn("extra", lit(1)))
+    }
+  }
+
   test("conflict: a rewrite loses to a concurrent commit that removed its files") {
     val tb = fresh("conflict")
     TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
