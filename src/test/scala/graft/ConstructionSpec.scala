@@ -53,6 +53,11 @@ class ConstructionSpec extends SparkSpec {
     // are selectivity-blind; each is one pruned-column scan.
     "dedup_ngram_jaccard", "dedup_recall_report",
     "decontaminate_embedding", "dedup_incremental_minhash",
+    // GraftLog lifecycle keys: the operator's POINT is the logged table —
+    // construction performs the create/append/mutate commits (bounded
+    // data-prep, the scan_csv_json fixture precedent) and returns the
+    // snapshot read over the result.
+    "txlog_merge_snapshot", "txlog_time_travel", "txlog_pruned_read",
     // Statistics pipeline: first touch registers + ANALYZEs the catalog
     // tables whose stats CBO costing needs (once per JVM; the warehouse
     // ANALYZE-on-ingest shape). Memoized — whether THIS spec sees its
