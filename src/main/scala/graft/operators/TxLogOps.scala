@@ -135,5 +135,33 @@ object TxLogOps {
       .orderBy("o_orderstatus")
   }
 
-  val all: Seq[Q] = Seq(txlogMergeSnapshot, txlogTimeTravel, txlogPrunedRead)
+  /** Table-format lifecycle 4 — incremental change consumption: three
+    * append batches (orders split by status F / O / P), then a change
+    * read of (v1, v3] — exactly the O and P batches, tagged with their
+    * commit versions. This is the tail-the-log shape an incremental
+    * training-data pipeline runs nightly: process only documents ingested
+    * since the last watermark, never rescan the corpus. */
+  val txlogChanges = Q(
+    "txlog_changes_read",
+    s"""SELECT v AS _commit_version, o_orderstatus,
+       |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+       |FROM (
+       |  SELECT 2 AS v, * FROM orders WHERE o_orderstatus = 'O'
+       |  UNION ALL
+       |  SELECT 3 AS v, * FROM orders WHERE o_orderstatus = 'P')
+       |GROUP BY v, o_orderstatus ORDER BY _commit_version""".stripMargin) {
+    (s, dir) =>
+    val orders = t(s, dir, "orders")
+    val table = freshTable(dir, "orders_changes")
+    TxLog.create(s, table, Tables.orders, statsCol = Some("o_orderkey"))
+    Seq("F", "O", "P").foreach(st =>
+      TxLog.append(s, table, orders.filter(col("o_orderstatus") === st)))
+    TxLog.tableChanges(s, table, fromExclusive = 1L, toInclusive = 3L)
+      .groupBy("_commit_version", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("_commit_version")
+  }
+
+  val all: Seq[Q] =
+    Seq(txlogMergeSnapshot, txlogTimeTravel, txlogPrunedRead, txlogChanges)
 }

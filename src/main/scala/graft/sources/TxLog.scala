@@ -429,6 +429,41 @@ object TxLog {
     orphans.size
   }
 
+  /** Incremental change read — rows ADDED in versions (fromExclusive,
+    * toInclusive], each tagged with its commit version: the
+    * consume-only-what's-new primitive an incremental pipeline tails
+    * (e.g. dedup/tokenize only documents ingested since the last run).
+    * Restricted to append-family commits: a copy-on-write rewrite
+    * (delete/merge/compact) re-adds surviving rows, so its adds are NOT
+    * new data — encountering one in the range throws rather than
+    * double-counting (full change-data-feed semantics would need per-row
+    * change tagging at rewrite time; append-only is the ingest shape). */
+  def tableChanges(spark: SparkSession, table: String, fromExclusive: Long,
+      toInclusive: Long): DataFrame = {
+    val (_, meta) = state(table)
+    val schema = StructType.fromDDL(meta.schemaDDL)
+    val appendOps = Set("append", "streaming-append")
+    val adds = versions(table)
+      .filter(v => v > fromExclusive && v <= toInclusive)
+      .flatMap { v =>
+        val (c, _) = parseCommit(
+          Files.readString(Paths.get(commitPath(table, v))))
+        if (c.add.nonEmpty || c.remove.nonEmpty)
+          require(appendOps(c.op),
+            s"tableChanges crosses a '${c.op}' rewrite at v$v — " +
+              "change reads are defined on append-only ranges")
+        c.add.map(v -> _)
+      }
+    if (adds.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.add("_commit_version", "long", nullable = false))
+    adds.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, fs) =>
+      spark.read.schema(schema).parquet(fs.map(_._2.path): _*)
+        .withColumn("_commit_version", lit(v))
+    }.reduce(_ unionByName _)
+  }
+
   /** (version, op, filesAdded, filesRemoved, rowsAdded) per commit. */
   def history(table: String): Seq[(Long, String, Int, Int, Long)] =
     versions(table).map { v =>

@@ -201,6 +201,25 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, tb).count() == raw.count() + 1)
   }
 
+  test("tableChanges tails appended rows by version; refuses rewrite ranges") {
+    val tb = fresh("cdc")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.append(spark, tb, orders.limit(100))                      // v1
+    TxLog.append(spark, tb, orders.filter($"o_orderkey" >= 100)
+      .limit(50))                                                   // v2
+    val ch = TxLog.tableChanges(spark, tb, 1L, 2L)
+    assert(ch.count() == 50)
+    assert(ch.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // Empty range: empty frame, schema intact.
+    assert(TxLog.tableChanges(spark, tb, 2L, 2L).count() == 0)
+    // A COW rewrite inside the range re-adds surviving rows — refuse.
+    TxLog.deleteWhere(spark, tb, $"o_orderkey" > 10)                // v3
+    intercept[IllegalArgumentException] {
+      TxLog.tableChanges(spark, tb, 1L, 3L).count()
+    }
+  }
+
   test("vacuum deletes only orphans; all committed versions still read") {
     val tb = fresh("vacuum")
     TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
