@@ -51,25 +51,43 @@ object BenchProbe {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
         }.min
       }
+      val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+      val stageCount = new java.util.concurrent.atomic.AtomicInteger(0)
+      val taskCount = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobCount.incrementAndGet()
+            stageCount.addAndGet(j.stageInfos.size)
+            taskCount.addAndGet(j.stageInfos.map(_.numTasks).sum)
+          }
+        })
       println(f"${"key"}%-28s ${"bench_ms"}%9s ${"exec_ms"}%9s ${"plan_ms"}%9s " +
-        f"${"analysis"}%9s ${"optim"}%9s ${"physplan"}%9s")
+        f"${"analysis"}%9s ${"optim"}%9s ${"physplan"}%9s " +
+        f"${"jobs"}%5s ${"stages"}%6s ${"tasks"}%6s")
       var (tb, te) = (0.0, 0.0)
       Bench.headline.foreach { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         val bench = bestOf(3) { df.count() }
         val action = SparkEntry.queries(name)(spark, sfDir).groupBy().count()
         val exec = bestOf(3) { action.collect() }
-        // Tracker phase times for ONE fresh count (what each bench action
-        // re-pays): analysis + optimization + physical planning; the
-        // remainder of plan_ms is codegen lookup + job/stage scheduling.
+        // Tracker phase times + scheduler volume for ONE fresh count (what
+        // each bench action re-pays): analysis/optimization/physical
+        // planning, plus the jobs/stages/tasks the action schedules — the
+        // remainder of plan_ms is codegen lookup + that scheduling.
         val fresh = df.groupBy().count()
+        Thread.sleep(150) // listener events are async; settle (probe-grade)
+        jobCount.set(0); stageCount.set(0); taskCount.set(0)
         fresh.collect()
+        Thread.sleep(150)
         val ph = fresh.queryExecution.tracker.phases
         def phMs(k: String) =
           ph.get(k).map(s => (s.endTimeMs - s.startTimeMs).toDouble).getOrElse(-1.0)
         tb += bench; te += exec
         println(f"$name%-28s $bench%9.1f $exec%9.1f ${bench - exec}%9.1f " +
-          f"${phMs("analysis")}%9.1f ${phMs("optimization")}%9.1f ${phMs("planning")}%9.1f")
+          f"${phMs("analysis")}%9.1f ${phMs("optimization")}%9.1f ${phMs("planning")}%9.1f " +
+          f"${jobCount.get()}%5d ${stageCount.get()}%6d ${taskCount.get()}%6d")
       }
       println(f"${"TOTAL"}%-28s $tb%9.1f $te%9.1f ${tb - te}%9.1f")
       spark.stop()
