@@ -109,10 +109,12 @@ object TxLog {
   def versions(table: String): Seq[Long] = {
     val d = Paths.get(logDir(table))
     if (!Files.isDirectory(d)) return Seq.empty
-    Files.list(d).iterator().asScala
+    val s = Files.list(d) // close the stream: this runs per state() read in
+    try s.iterator().asScala // a long-lived driver — leaked handles add up
       .map(_.getFileName.toString)
       .filter(f => f.endsWith(".json") && !f.contains("checkpoint"))
       .map(_.stripSuffix(".json").toLong).toSeq.sorted
+    finally s.close()
   }
 
   def latestVersion(table: String): Long =
@@ -414,17 +416,27 @@ object TxLog {
 
   /** Delete data files referenced by NO version of the log (orphans from
     * failed writers). Never touches referenced files, so time travel to
-    * every committed version survives vacuum. Returns deleted count. */
-  def vacuum(table: String): Int = {
+    * every committed version survives vacuum. `retainMs` protects a LIVE
+    * writer's staged-but-not-yet-committed batch (data lands before the
+    * commit record, so a concurrent writer's in-flight files look exactly
+    * like orphans until its commit lands — the same race Delta's vacuum
+    * retention window exists for): only files older than the window are
+    * eligible. Returns deleted count. */
+  def vacuum(table: String, retainMs: Long = 10 * 60 * 1000L): Int = {
     val referenced = versions(table).flatMap { v =>
       parseCommit(Files.readString(Paths.get(commitPath(table, v))))._1
         .add.map(_.path)
     }.toSet
-    val dataFiles = Files.walk(Paths.get(table)).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") &&
-        !p.toString.contains("_graft_log"))
-      .map(_.toAbsolutePath.toString).toSeq
+    val cutoff = System.currentTimeMillis() - retainMs
+    val w = Files.walk(Paths.get(table))
+    val dataFiles =
+      try w.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          !p.toString.contains("_graft_log"))
+        .map(_.toAbsolutePath.toString).toSeq
+      finally w.close()
     val orphans = dataFiles.filterNot(referenced)
+      .filter(p => new java.io.File(p).lastModified() < cutoff)
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
     orphans.size
   }

@@ -227,7 +227,11 @@ class TxLogSpec extends SparkSpec {
     TxLog.overwrite(spark, tb, orders.limit(10))
     // Orphan: a failed writer's data files (no commit record).
     orders.limit(7).write.parquet(s"$tb/batch-failed-writer")
-    val deleted = TxLog.vacuum(tb)
+    // Default retention protects a LIVE writer's fresh staged files —
+    // these orphans are seconds old, so the default window keeps them.
+    assert(TxLog.vacuum(tb) == 0,
+      "retention window must protect fresh (possibly in-flight) files")
+    val deleted = TxLog.vacuum(tb, retainMs = -1000L) // force-expire window
     assert(deleted >= 1, "the failed writer's files are orphans")
     assert(TxLog.snapshot(spark, tb, Some(1L)).count() == 100,
       "historical versions survive vacuum")
