@@ -30,7 +30,7 @@ object SparkEntry {
       Udx.all ++ DocAssembly.all ++ StreamingBatch.all ++ AnnOps.all ++
       Analytics.all ++ SqlEntry.all ++ TextCluster.all ++ CorpusOps.all ++
       EventsOps.all ++ LayoutOps.all ++ TableOps.all ++ TxLogOps.all ++
-      SketchOps.all ++
+      DsirOps.all ++ SketchOps.all ++
       DssOps.all ++ DssOps2.all ++ MiningOps.all ++ ClusterOps.all ++
       RelevanceOps.all ++ CurationOps.all ++ CurationOps2.all ++
       CurationOps3.all ++ RelevanceOps2.all ++ PipelineOps.all ++
