@@ -51,7 +51,8 @@ object PlanAudit {
     "events_rfm_segments", // 1-row max-date broadcast
     "events_stickiness_wau", // ≤366-row day-frame range self-join
     "events_funnel_windowed", // cross of three 1-row stage counts
-    "join_interval_overlap") // 5-row promo-window dim broadcast
+    "join_interval_overlap", // 5-row promo-window dim broadcast
+    "corpus_dsir_weights")   // 1-row corpus-totals broadcast into ratio
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
