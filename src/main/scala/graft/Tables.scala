@@ -217,15 +217,14 @@ object Tables {
     }
   }
 
-  /** Session-scoped registration guard (the catalog is per-session). */
-  private val registered =
-    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
-
   /** Return the bucketed copy as a catalog-backed DataFrame when present,
     * fresh, and not disabled via SPARK_GRAFT_BUCKETED=false. Registration
     * is an external-table DDL over the copy's files — Spark re-derives
     * bucket ids from the writer's file names, so the metadata round-trips
-    * across sessions without a persistent metastore. */
+    * across sessions without a persistent metastore. The guard is the
+    * session CATALOG itself (tableExists — one driver-side lookup per
+    * load), not a JVM-wide map: identity-hash keys could collide across
+    * GC'd sessions and silently skip the DDL (review round-10). */
   private def loadBucketed(spark: SparkSession, dir: String,
       name: String): Option[DataFrame] =
     bucketKeys.get(name).filter(_ =>
@@ -233,15 +232,12 @@ object Tables {
         bucketedValid(dir, name))
       .map { key =>
         val table = s"graft_b_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$name"
-        val sessionKey = s"${System.identityHashCode(spark)}/$table"
-        registered.computeIfAbsent(sessionKey, { _ =>
+        if (!spark.catalog.tableExists(table))
           spark.sql(
             s"""CREATE TABLE IF NOT EXISTS $table (${schemas(name).toDDL})
                |USING PARQUET
                |CLUSTERED BY ($key) SORTED BY ($key) INTO $BucketCount BUCKETS
                |LOCATION '${bucketedPath(dir, name)}'""".stripMargin)
-          true
-        })
         spark.table(table)
       }
 

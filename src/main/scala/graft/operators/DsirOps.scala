@@ -60,11 +60,16 @@ object DsirOps {
        |FROM docb d JOIN ratio USING (bucket)
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
     val docs = t(s, dir, "documents")
-    // Bigram explode: one pass, (doc_id, lang, bucket) rows.
+    // Bigram explode: one pass, (doc_id, lang, bucket) rows. The <2-token
+    // filter is CORRECTNESS, not just hygiene: sequence(1, size-1) on a
+    // single-token doc is the DESCENDING [1, 0] and the lambda would
+    // evaluate element_at(tk, 0)/element_at(tk, 2) — a crash (review
+    // round-10; the oracle's i+1 self-join naturally omits such docs).
     val big = docs
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
       .select(col("doc_id"), col("lang"), explode(expr(
-        """transform(sequence(1, greatest(size(tk) - 1, 0)),
+        """transform(sequence(1, size(tk) - 1),
           |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"""
           .stripMargin)).as("bigram"))
       .select(col("doc_id"), col("lang"),

@@ -18,16 +18,25 @@ import Parity._
 object TxLogOps {
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
-  /** Fresh scratch table dir per (corpus dir, name) — rebuilt each
-    * construction so the declared key is idempotent. */
+  /** Fresh UNIQUE scratch table dir per construction: a fixed shared path
+    * would let two concurrent constructions of the same key (e.g. Verify
+    * and a test JVM over the same corpus) delete each other's live table
+    * mid-lifecycle (review round-10; the TxLogProbe UUID convention).
+    * Stale siblings from earlier constructions are pruned best-effort
+    * once they are old enough to be provably dead. */
   private def freshTable(dir: String, name: String): String = {
-    val p = s"/tmp/graft_txlog/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
-    val root = java.nio.file.Paths.get(p)
-    if (java.nio.file.Files.exists(root)) {
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    }
-    p
+    val root = java.nio.file.Paths
+      .get(s"/tmp/graft_txlog/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(root)
+    val cutoff = System.currentTimeMillis() - 2 * 3600 * 1000L
+    Option(root.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(s"$name-") && f.lastModified < cutoff)
+      .foreach { f =>
+        java.nio.file.Files.walk(f.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    s"$root/$name-${java.util.UUID.randomUUID()}"
   }
 
   /** Table-format lifecycle 1 — MERGE through the log: two append batches,

@@ -66,15 +66,19 @@ object TxLog {
     val t = mapper.writeValueAsString(n); t.substring(5, t.length - 1)
   }
 
+  /** Single renderer for AddFile entries — commit records AND checkpoints
+    * serialize through this one function so the two can never drift. */
+  private def addFileJson(a: AddFile): String = {
+    val mm = (a.min, a.max) match {
+      case (Some(lo), Some(hi)) =>
+        s""","min":${jStr(lo)},"max":${jStr(hi)}"""
+      case _ => ""
+    }
+    s"""{"path":${jStr(a.path)},"rows":${a.rows}$mm}"""
+  }
+
   private def renderCommit(c: Commit, meta: Option[Meta]): String = {
-    val adds = c.add.map { a =>
-      val mm = (a.min, a.max) match {
-        case (Some(lo), Some(hi)) =>
-          s""","min":${jStr(lo)},"max":${jStr(hi)}"""
-        case _ => ""
-      }
-      s"""{"path":${jStr(a.path)},"rows":${a.rows}$mm}"""
-    }.mkString("[", ",", "]")
+    val adds = c.add.map(addFileJson).mkString("[", ",", "]")
     val removes = c.remove.map(jStr).mkString("[", ",", "]")
     val metaJson = meta.map(m =>
       s""","meta":{"schemaDDL":${jStr(m.schemaDDL)},"statsCol":${
@@ -172,10 +176,21 @@ object TxLog {
           s"conflict: ${lost.size} file(s) removed by a concurrent commit")
       }
       try {
-        Files.write(Paths.get(commitPath(table, v)),
+        // Publish atomically for READERS too, not just claimers: a direct
+        // CREATE_NEW write makes the file name visible before its bytes,
+        // so a concurrent versions()/state() could parse a half-written
+        // commit. Stage the full record under a dot-temp name (invisible
+        // to versions()' *.json filter), then claim the version with a
+        // HARD LINK — link() is atomic AND fails with EEXIST on a taken
+        // name (an ATOMIC_MOVE rename would silently REPLACE the race
+        // winner's commit on POSIX), so the name appears only with its
+        // content complete.
+        val tmp = Files.createTempFile(Paths.get(logDir(table)), s".stage-$v-", ".tmp")
+        Files.write(tmp,
           renderCommit(Commit(v, op, add, remove, txn), meta)
-            .getBytes("UTF-8"),
-          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+            .getBytes("UTF-8"))
+        try Files.createLink(Paths.get(commitPath(table, v)), tmp)
+        finally Files.deleteIfExists(tmp)
         maybeCheckpoint(table, v)
         return v
       } catch {
@@ -190,27 +205,53 @@ object TxLog {
 
   private def maybeCheckpoint(table: String, v: Long): Unit =
     try doCheckpoint(table, v)
-    catch { // a concurrent committer may have checkpointed the same v;
-      // the commit itself already succeeded, so never propagate.
-      case _: java.nio.file.FileAlreadyExistsException => ()
+    catch { // The commit record already landed durably; a checkpoint is a
+      // pure read-path optimization, so NOTHING thrown here may propagate
+      // — a caller treating the "failed" append as uncommitted would
+      // retry and duplicate the batch (review round-10). The next
+      // multiple-of-interval commit simply checkpoints instead.
+      case scala.util.control.NonFatal(_) => ()
     }
+
+  /** Per-appId txn high-water marks committed at-or-before `upTo` —
+    * replayed from the newest checkpoint's stored map + the commit tail,
+    * so [[txnVersion]] is O(interval), not O(history). */
+  private def txnMarks(table: String, upTo: Long): Map[String, Long] = {
+    val vs = versions(table).filter(_ <= upTo)
+    val cp = vs.reverse.find(v =>
+      Files.exists(Paths.get(checkpointPath(table, v))))
+    val base: Map[String, Long] = cp.map { v =>
+      val n = mapper.readTree(Files.readString(Paths.get(checkpointPath(table, v))))
+      Option(n.get("txns")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap)
+        .getOrElse(Map.empty[String, Long])
+    }.getOrElse(Map.empty)
+    vs.filter(v => v >= cp.map(_ + 1).getOrElse(0L)).foldLeft(base) { (m, v) =>
+      parseCommit(Files.readString(Paths.get(commitPath(table, v))))._1.txn
+        match {
+          case Some((app, b)) => m + (app -> math.max(b, m.getOrElse(app, -1L)))
+          case None => m
+        }
+    }
+  }
 
   private def doCheckpoint(table: String, v: Long): Unit =
     if (v > 0 && v % CheckpointInterval == 0) {
       val (files, meta) = state(table, Some(v))
-      val fJson = files.map { a =>
-        val mm = (a.min, a.max) match {
-          case (Some(lo), Some(hi)) =>
-            s""","min":${jStr(lo)},"max":${jStr(hi)}"""
-          case _ => ""
-        }
-        s"""{"path":${jStr(a.path)},"rows":${a.rows}$mm}"""
-      }.mkString("[", ",", "]")
+      val fJson = files.map(addFileJson).mkString("[", ",", "]")
       val metaJson = s"""{"schemaDDL":${jStr(meta.schemaDDL)},"statsCol":${
         meta.statsCol.map(jStr).getOrElse("null")}}"""
-      Files.write(Paths.get(checkpointPath(table, v)),
-        s"""{"version":$v,"files":$fJson,"meta":$metaJson}""".getBytes("UTF-8"),
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      val txnsJson = txnMarks(table, v)
+        .map { case (app, b) => s"${jStr(app)}:$b" }.mkString("{", ",", "}")
+      // Same atomic-publication discipline as commit records: stage then
+      // hard-link, so a reader's exists()-then-read never sees a torn
+      // checkpoint.
+      val tmp = Files.createTempFile(Paths.get(logDir(table)), s".ckpt-$v-", ".tmp")
+      Files.write(tmp,
+        s"""{"version":$v,"files":$fJson,"meta":$metaJson,"txns":$txnsJson}"""
+          .getBytes("UTF-8"))
+      try Files.createLink(Paths.get(checkpointPath(table, v)), tmp)
+      finally Files.deleteIfExists(tmp)
     }
 
   // --------------------------------------------------------------- DDL/DML
@@ -265,13 +306,15 @@ object TxLog {
   }
 
   /** Highest batchId this writer appId has committed (-1 if none) — the
-    * Delta setTransaction pattern a streaming sink replays against. */
-  def txnVersion(table: String, appId: String): Long =
-    versions(table).reverse.iterator
-      .map(v => parseCommit(
-        Files.readString(Paths.get(commitPath(table, v))))._1.txn)
-      .collectFirst { case Some((app, b)) if app == appId => b }
-      .getOrElse(-1L)
+    * Delta setTransaction pattern a streaming sink replays against.
+    * O(checkpoint interval): marks are folded into every checkpoint, so
+    * only the tail commits are parsed (a full-history scan per micro-batch
+    * made long-running sink ingest quadratic — review round-10). */
+  def txnVersion(table: String, appId: String): Long = {
+    val vs = versions(table)
+    if (vs.isEmpty) -1L
+    else txnMarks(table, vs.last).getOrElse(appId, -1L)
+  }
 
   /** Idempotent micro-batch append — the foreachBatch exactly-once sink:
     * a batchId at or below the appId's last committed one is a restart
@@ -318,18 +361,26 @@ object TxLog {
     case _ => a <= b
   }
 
-  /** Files whose [min,max] stats interval overlaps [lo,hi] on the stats
-    * column. Files without stats are always candidates — skipping is
-    * sound, never assumed. */
-  def overlappingFiles(table: String, lo: String, hi: String): Seq[AddFile] = {
-    val (files, meta) = state(table)
-    require(meta.statsCol.nonEmpty, s"no statsCol on $table")
+  /** Pure stats-overlap filter over an already-read state — mutators pass
+    * their own (files, meta) so one log read serves both the plan and the
+    * conflict-check baseline (a second read doubled log-replay I/O and
+    * opened a needless TOCTOU window — review round-10). Files without
+    * stats are always candidates — skipping is sound, never assumed. */
+  def overlapping(files: Seq[AddFile], meta: Meta, lo: String,
+      hi: String): Seq[AddFile] = {
+    require(meta.statsCol.nonEmpty, "no statsCol on this table")
     val dt = StructType.fromDDL(meta.schemaDDL)
       .apply(meta.statsCol.get).dataType
     files.filter(f => (f.min, f.max) match {
       case (Some(fLo), Some(fHi)) => statsLte(dt, fLo, hi) && statsLte(dt, lo, fHi)
       case _ => true
     })
+  }
+
+  /** Convenience form reading the latest state. */
+  def overlappingFiles(table: String, lo: String, hi: String): Seq[AddFile] = {
+    val (files, meta) = state(table)
+    overlapping(files, meta, lo, hi)
   }
 
   /** Stats-pruned range read: only files whose [min,max] interval overlaps
@@ -339,10 +390,10 @@ object TxLog {
     * without stats stay correct. */
   def snapshotRange(spark: SparkSession, table: String, lo: String,
       hi: String): DataFrame = {
-    val (_, meta) = state(table)
+    val (files, meta) = state(table)
     val schema = StructType.fromDDL(meta.schemaDDL)
     val dt = schema(meta.statsCol.get).dataType
-    val cand = overlappingFiles(table, lo, hi)
+    val cand = overlapping(files, meta, lo, hi)
     val base =
       if (cand.isEmpty)
         spark.createDataFrame(
@@ -360,7 +411,7 @@ object TxLog {
     val (files, meta) = state(table)
     val schema = StructType.fromDDL(meta.schemaDDL)
     val touched = statsBounds match {
-      case Some((lo, hi)) => overlappingFiles(table, lo, hi)
+      case Some((lo, hi)) => overlapping(files, meta, lo, hi)
       case None => files
     }
     if (touched.isEmpty) return latestVersion(table)
@@ -386,7 +437,7 @@ object TxLog {
     val bounds = source.agg(min(col(key)).cast("string"),
       max(col(key)).cast("string")).head()
     if (bounds.isNullAt(0)) return latestVersion(table) // empty source
-    val touched = overlappingFiles(table, bounds.getString(0), bounds.getString(1))
+    val touched = overlapping(files, meta, bounds.getString(0), bounds.getString(1))
     val touchedDf =
       if (touched.isEmpty)
         spark.createDataFrame(
