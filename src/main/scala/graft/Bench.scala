@@ -42,7 +42,7 @@ object Bench {
       // one-per-core scheduling overhead. At 100 TB this knob is sized to
       // data volume (SCALE.md), never to a constant.
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE", "8"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE", "4"))
       // df.count() re-optimizes per action; constraint propagation is the
       // costliest optimizer phase on these multi-join plans and derives
       // nothing the explicit filters don't already state.
@@ -91,6 +91,13 @@ object Bench {
       // likewise uncompressed at this scale.
       .config("spark.sql.inMemoryColumnarStorage.compression",
         sys.env.getOrElse("SPARK_GRAFT_BENCH_CACHE_COMPRESS", "false"))
+      // Static conf, effective because this is the JVM's first session:
+      // the suite's ~20 queries × several codegen units per query exceed
+      // the 100-entry default Janino class cache, so fresh per-run counts
+      // would re-COMPILE evicted units (tens of ms each) instead of
+      // hitting the cache. Sized to hold the whole suite with headroom.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_CODEGEN_CACHE", "4096"))
       // Bucketed-layout co-location (round-10, see GraftSession.builder):
       // subset co-partitioning + trustworthy per-bucket sort metadata
       // (Tables.materializeBuckets writes one file per bucket).

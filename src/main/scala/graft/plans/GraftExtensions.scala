@@ -20,6 +20,10 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(session => new SimilarityRewrite(session))
     ext.injectOptimizerRule(session => new DistinctBitmapRewrite(session))
+    // Plan-time-materialized dim arms (graft.Dims): broadcast builds over
+    // driver-held rows run zero jobs (see plans/LocalDim.scala).
+    ext.injectPlannerStrategy(_ =>
+      org.apache.spark.sql.execution.graft.LocalDimStrategy)
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       graft.functions.CosineSimilarity.info,

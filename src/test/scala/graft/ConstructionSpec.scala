@@ -64,12 +64,25 @@ class ConstructionSpec extends SparkSpec {
     // ANALYZE-on-ingest shape). Memoized — whether THIS spec sees its
     // jobs depends on suite order, so it is excluded from the stale
     // check below.
-    "cbo_join_reorder")
+    "cbo_join_reorder",
+    // Dims.localizeSmall arms (round-11): gate-proven-small dimension
+    // sides are materialized at plan time (one bounded collect, the same
+    // memory contract as the broadcast build it replaces) and MEMOIZED
+    // per (dir, arm) — so only the first construction per JVM pays, and
+    // aliases sharing an arm pay nothing (hence oncePerJvm).
+    "q3_shipping_priority", "q5_local_supplier",
+    "join_semi", "semi_join_exists", "join_anti", "anti_join",
+    "win_rank_topn", "window_rank_topn",
+    "text_tokenize_tfidf", "text_tokenize_tf")
 
   /** Exempt keys whose construction jobs run once per JVM: a prior suite
     * may have paid them already, so a zero here is not a stale entry. */
   private val oncePerJvm: Set[String] =
-    Set("cbo_join_reorder", "join_partition_pruned")
+    Set("cbo_join_reorder", "join_partition_pruned",
+      "q3_shipping_priority", "q5_local_supplier",
+      "join_semi", "semi_join_exists", "join_anti", "anti_join",
+      "win_rank_topn", "window_rank_topn",
+      "text_tokenize_tfidf", "text_tokenize_tf")
 
   test("constructing every declared query launches zero Spark jobs " +
       "(documented exemptions aside)") {

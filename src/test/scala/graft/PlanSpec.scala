@@ -42,9 +42,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(400))
   }
 
-  test("q5: star joins are all broadcast, fact side never pre-shuffled") {
+  test("q5: dim arms localize at plan time, fact side never pre-shuffled") {
     val p = plan("q5_local_supplier")
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5, "5 dims -> >=5 BHJ")
+    // Round-11: the gate-proven-small dim arms (ASIA suppliers, customer
+    // projection) ship with the plan as local relations, so the dim-side
+    // joins collapse out of the physical plan; the two joins the fact
+    // path still performs are broadcast hash (never a fact shuffle), and
+    // the big orderkey join is hash, not sort-merge.
+    assert(p.contains("LocalDimScan"), "gated dim arms materialize at plan time")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, "fact-path joins stay BHJ")
     assert(!p.contains("SortMergeJoin"), "no SMJ in the star join")
   }
 
