@@ -189,21 +189,48 @@ object Tables {
 
   val BucketCount = 32
 
-  /** Conventional location of the bucketed copy for `dir`/`name`. */
-  def bucketedPath(dir: String, name: String): String =
-    s"/tmp/graft_bucketed/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
+  /** Conventional location of the bucketed copy for `dir`/`name` — under
+    * the invoking user's home (owner-only), NOT a world-writable /tmp
+    * path: a predictable shared-tmp location plus a computable fingerprint
+    * would let any local user plant substitute data the loader then serves
+    * (advice round-11). The source corpus dir itself is read-only here. */
+  def bucketedPath(dir: String, name: String): String = {
+    val root = s"${sys.props("user.home")}/.graft/layout"
+    s"$root/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
+  }
 
-  /** Source-identity fingerprint: length+mtime of every data file under
-    * the source parquet path. Cheap (driver-side listing, no scan) and
-    * catches the regeneration case — content hashing would re-read TBs. */
+  /** Source-identity fingerprint: name+length+mtime of every data file
+    * under the source parquet path, PLUS file count, total bytes, and an
+    * md5 of each file's head+tail 1 KiB (the parquet header/footer — where
+    * schema + row-group metadata live). The content sample defeats a
+    * same-second regeneration with identical sizes (and any planted
+    * substitute whose metadata differs) while still reading only ~2 KiB
+    * per file — full content hashing would re-read TBs at warehouse scale
+    * (fingerprint hardening, round-11). */
   private def fingerprint(src: String): String = {
     val f = new java.io.File(src)
     val files =
       if (f.isDirectory)
         f.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       else Array(f)
-    files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
-      .mkString("|")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val entries = files.map { x =>
+      md.reset()
+      val raf = new java.io.RandomAccessFile(x, "r")
+      try {
+        val head = new Array[Byte](math.min(1024L, raf.length()).toInt)
+        raf.readFully(head); md.update(head)
+        if (raf.length() > 1024) {
+          val tail = new Array[Byte](math.min(1024L, raf.length() - 1024).toInt)
+          raf.seek(raf.length() - tail.length); raf.readFully(tail)
+          md.update(tail)
+        }
+      } finally raf.close()
+      val sample = md.digest().map("%02x".format(_)).mkString
+      s"${x.getName}:${x.length}:${x.lastModified}:$sample"
+    }
+    s"n=${files.length};bytes=${files.map(_.length).sum};" +
+      entries.mkString("|")
   }
 
   /** True when a bucketed copy exists and its recorded source fingerprint

@@ -110,10 +110,23 @@ object Verify {
           lines += s"""${q(key)}: {"error": ${q(String.valueOf(e.getMessage))}, "pass": false}"""
           System.err.println(s"[verify] selfcheck $key failed: ${e.getMessage}")
         }
-      def relLine(err: Double, tol: Double) =
-        s"""{"max_rel_err": $err, "tolerance": $tol, "pass": ${err <= tol}}"""
-      def recallLine(r: Double, floor: Double, extra: String = "") =
-        s"""{"recall": $r, "floor": $floor$extra, "pass": ${r >= floor}}"""
+      // Raw Double interpolation would emit NaN/Infinity — unparseable
+      // JSON, and `NaN >= floor` is silently false — so non-finite values
+      // become an explicit thrown error (check() turns it into a parseable
+      // {"error": ..., "pass": false} line) instead of a corrupt artifact
+      // (advice round-11).
+      def finite(label: String, v: Double): Double = {
+        require(!v.isNaN && !v.isInfinite, s"non-finite $label: $v")
+        v
+      }
+      def relLine(err: Double, tol: Double) = {
+        val e = finite("rel_err", err)
+        s"""{"max_rel_err": $e, "tolerance": $tol, "pass": ${e <= tol}}"""
+      }
+      def recallLine(r: Double, floor: Double, extra: String = "") = {
+        val rr = finite("recall", r)
+        s"""{"recall": $rr, "floor": $floor$extra, "pass": ${rr >= floor}}"""
+      }
 
       // Sketch aggregates vs exact twins (tolerance = 3× configured rsd,
       // the VectorSpec convention).
@@ -159,8 +172,11 @@ object Verify {
         val approx = SparkEntry.queries("ann_lsh_topk")(spark, sfDir)
           .select("a_id", "b_id")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        recallLine(
-          approx.intersect(exactTop100).size.toDouble / exactTop100.size, 0.3)
+        // Empty truth = vacuous recall 1.0 (the dedup convention), never
+        // a 0/0 NaN.
+        val rec = if (exactTop100.isEmpty) 1.0
+          else approx.intersect(exactTop100).size.toDouble / exactTop100.size
+        recallLine(rec, 0.3)
       }
       check("ann_recall_report") {
         // The declared query IS a recall report — surface its k=100 row.

@@ -159,7 +159,9 @@ object TxLog {
   // ------------------------------------------------------------ commits
 
   /** Claim the next version atomically; rewrite ops pass the files they
-    * remove for the Delta-style conflict re-validation. (graft-private so
+    * remove for the Delta-style conflict re-validation. Returns the
+    * committed version, or -1 when a `txn` idempotency mark proves the
+    * batch already committed (replay/zombie skip). (graft-private so
     * TxLogSpec can drive a stale rewrite into the conflict path.) */
   private[graft] def commit(table: String, op: String, add: Seq[AddFile],
       remove: Seq[String], meta: Option[Meta] = None,
@@ -169,6 +171,17 @@ object TxLog {
     var attempt = 0
     while (true) {
       val v = latestVersion(table) + 1
+      // Idempotency mark re-validated INSIDE the claim loop (advice
+      // round-11): appendBatch's pre-check is check-then-act, so a zombie
+      // instance of the same appId racing its restarted replacement could
+      // pass the pre-check and double-append. Like Delta's txn conflict
+      // check, a batchId at or below the appId's committed high-water mark
+      // AT CLAIM TIME turns the commit into a skip — re-verified on every
+      // lost race before retrying.
+      txn.foreach { case (app, b) =>
+        if (v > 0 && txnMarks(table, v - 1).getOrElse(app, -1L) >= b)
+          return -1L
+      }
       if (expectActive && remove.nonEmpty) {
         val activeNow = state(table)._1.map(_.path).toSet
         val lost = remove.filterNot(activeNow)
@@ -295,10 +308,23 @@ object TxLog {
         meta.statsCol.map(c => max(col(c)).cast("string").as("hi"))
           .getOrElse(lit(null).cast("string").as("hi")))
     statsDf.collect().map { r =>
-      AddFile(r.getString(0).replaceFirst("^file:(//)?", ""), r.getLong(1),
+      AddFile(decodeFileUri(r.getString(0)), r.getLong(1),
         Option(r.getString(2)), Option(r.getString(3)))
     }.sortBy(_.path).toSeq
   }
+
+  /** input_file_name() yields a percent-ENCODED file: URI; AddFile.path
+    * must be the decoded OS path, or vacuum's Files.walk comparison (and
+    * any read of a table path containing a space/%-escaped character)
+    * diverges from the recorded name — silent data loss at vacuum time
+    * (advice round-11). */
+  private def decodeFileUri(raw: String): String =
+    try {
+      val u = new java.net.URI(raw)
+      Option(u.getPath).getOrElse(raw.replaceFirst("^file:(//)?", ""))
+    } catch { case _: java.net.URISyntaxException =>
+      raw.replaceFirst("^file:(//)?", "")
+    }
 
   def append(spark: SparkSession, table: String, df: DataFrame): Long = {
     val (_, meta) = state(table)
@@ -325,11 +351,16 @@ object TxLog {
     * Returns true when the batch committed, false when skipped. */
   def appendBatch(spark: SparkSession, table: String, df: DataFrame,
       appId: String, batchId: Long): Boolean = {
+    // Cheap pre-check (skips the batch write entirely on an obvious
+    // replay); the AUTHORITATIVE check re-runs inside commit()'s claim
+    // loop, which closes the zombie-writer race — two instances of one
+    // appId both passing this line still commit the batch exactly once
+    // (the loser's commit degrades to a skip, leaving only orphan files
+    // for vacuum).
     if (txnVersion(table, appId) >= batchId) return false
     val (_, meta) = state(table)
     commit(table, "streaming-append", writeFiles(spark, table, df, meta),
-      Nil, txn = Some((appId, batchId)))
-    true
+      Nil, txn = Some((appId, batchId))) >= 0
   }
 
   def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
@@ -434,9 +465,21 @@ object TxLog {
     require(meta.statsCol.contains(key),
       s"merge key $key must be the table's statsCol")
     val schema = StructType.fromDDL(meta.schemaDDL)
+    // ONE pass computes the pruning bounds AND detects duplicate source
+    // keys: a duplicated key would silently insert duplicate rows after
+    // the anti-join instead of upserting — Delta MERGE raises on multiple
+    // source matches, and so do we (advice round-11). Null keys are
+    // rejected too (they match nothing and would accumulate as inserts).
     val bounds = source.agg(min(col(key)).cast("string"),
-      max(col(key)).cast("string")).head()
-    if (bounds.isNullAt(0)) return latestVersion(table) // empty source
+      max(col(key)).cast("string"), count(lit(1)), count(col(key)),
+      count_distinct(col(key))).head()
+    if (bounds.isNullAt(0) && bounds.getLong(2) == 0)
+      return latestVersion(table) // empty source
+    require(bounds.getLong(3) == bounds.getLong(2),
+      s"merge source has ${bounds.getLong(2) - bounds.getLong(3)} null $key key(s)")
+    require(bounds.getLong(4) == bounds.getLong(3),
+      s"merge source has duplicate $key keys " +
+        s"(${bounds.getLong(3)} rows, ${bounds.getLong(4)} distinct)")
     val touched = overlapping(files, meta, bounds.getString(0), bounds.getString(1))
     val touchedDf =
       if (touched.isEmpty)
@@ -474,9 +517,13 @@ object TxLog {
     * retention window exists for): only files older than the window are
     * eligible. Returns deleted count. */
   def vacuum(table: String, retainMs: Long = 10 * 60 * 1000L): Int = {
+    // Both sides of the membership test canonicalize through nio Path —
+    // AddFile.path is recorded decoded (decodeFileUri), and normalizing
+    // here keeps the comparison sound even against a log written by an
+    // older build that recorded percent-encoded names.
     val referenced = versions(table).flatMap { v =>
       parseCommit(Files.readString(Paths.get(commitPath(table, v))))._1
-        .add.map(_.path)
+        .add.map(a => Paths.get(a.path).toAbsolutePath.normalize.toString)
     }.toSet
     val cutoff = System.currentTimeMillis() - retainMs
     val w = Files.walk(Paths.get(table))
@@ -484,7 +531,7 @@ object TxLog {
       try w.iterator().asScala
         .filter(p => p.toString.endsWith(".parquet") &&
           !p.toString.contains("_graft_log"))
-        .map(_.toAbsolutePath.toString).toSeq
+        .map(_.toAbsolutePath.normalize.toString).toSeq
       finally w.close()
     val orphans = dataFiles.filterNot(referenced)
       .filter(p => new java.io.File(p).lastModified() < cutoff)

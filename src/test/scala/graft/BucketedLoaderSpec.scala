@@ -68,4 +68,30 @@ class BucketedLoaderSpec extends SparkSpec {
     assert(Tables.load(spark, dir, "lineitem").queryExecution.executedPlan
       .toString.contains("graft_b_"))
   }
+
+  test("a same-name same-size same-mtime regeneration with different " +
+      "CONTENT invalidates the copy (fingerprint content sample, round-11)") {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_bucket_content").toString
+    Seq("orders", "lineitem").foreach { n =>
+      spark.read.schema(Tables.schemas(n)).parquet(s"$sfDir/$n.parquet")
+        .write.mode("overwrite").parquet(s"$d/$n.parquet")
+    }
+    Tables.materializeBuckets(spark, d)
+    assert(Tables.load(spark, d, "orders").queryExecution.executedPlan
+      .toString.contains("graft_b_"))
+    // Flip one byte INSIDE a data file, then restore name/size/mtime —
+    // the length:mtime fingerprint alone would still validate.
+    val f = new java.io.File(s"$d/orders.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val mtime = f.lastModified()
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    try { raf.seek(100); val b = raf.read(); raf.seek(100); raf.write(b ^ 0xff) }
+    finally raf.close()
+    assert(f.setLastModified(mtime))
+    val plan2 = Tables.load(spark, d, "orders")
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains(s"graft_b_${d.replaceAll("[^a-zA-Z0-9]", "_")}"),
+      s"content-changed source must invalidate the copy:\n$plan2")
+  }
 }

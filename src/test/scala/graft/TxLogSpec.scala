@@ -237,4 +237,58 @@ class TxLogSpec extends SparkSpec {
       "historical versions survive vacuum")
     assert(TxLog.snapshot(spark, tb, Some(2L)).count() == 10)
   }
+
+  test("vacuum is path-encoding-safe: a table dir with a space never loses " +
+      "live files (advice round-11)") {
+    // input_file_name() percent-encodes the space; AddFile.path must be the
+    // decoded OS path or every referenced file looks like an orphan.
+    val base = java.nio.file.Files.createTempDirectory("graft_txspec_sp")
+    val tb = s"$base/my tbl"
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.append(spark, tb, orders.limit(100))
+    assert(TxLog.vacuum(tb, retainMs = -1000L) == 0,
+      "no orphans exist — deleting anything here is deleting live data")
+    assert(TxLog.snapshot(spark, tb).count() == 100,
+      "committed rows survive vacuum under a URI-escapable table path")
+  }
+
+  test("zombie writer: a stale (appId, batchId) is re-checked inside the " +
+      "commit claim loop, not only at the pre-check (advice round-11)") {
+    val tb = fresh("zombie")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    assert(TxLog.appendBatch(spark, tb, orders.limit(10), "app", 5L))
+    val v = TxLog.latestVersion(tb)
+    // Simulate the zombie that already passed appendBatch's pre-check
+    // (its txnVersion read happened before the replacement committed):
+    // drive the private commit directly with the stale mark — the in-loop
+    // re-check must turn it into a -1 skip, not a duplicate append.
+    val rc = TxLog.commit(tb, "streaming-append", Nil, Nil,
+      txn = Some(("app", 5L)))
+    assert(rc == -1L, "stale txn mark must skip inside the claim loop")
+    assert(TxLog.latestVersion(tb) == v, "no commit record may land")
+    assert(TxLog.snapshot(spark, tb).count() == 10, "no duplicate rows")
+    // A genuinely newer batch still commits.
+    assert(TxLog.appendBatch(spark, tb, orders.limit(3), "app", 6L))
+    assert(TxLog.snapshot(spark, tb).count() == 13)
+  }
+
+  test("merge fails fast on duplicate or null source keys (Delta MERGE " +
+      "multiple-match semantics)") {
+    val tb = fresh("dupkeys")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.append(spark, tb, orders.limit(50))
+    val rows = TxLog.snapshot(spark, tb).count()
+    val dup = orders.limit(1).unionAll(orders.limit(1))
+    val e = intercept[IllegalArgumentException] {
+      TxLog.merge(spark, tb, dup, "o_orderkey")
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+    val withNull = orders.limit(1)
+      .withColumn("o_orderkey", lit(null).cast("bigint"))
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, tb, withNull, "o_orderkey")
+    }
+    assert(TxLog.snapshot(spark, tb).count() == rows,
+      "a rejected merge must not mutate the table")
+  }
 }
