@@ -115,12 +115,15 @@ object TxLogOps {
     }.reduce(_ unionByName _).orderBy("version")
   }
 
-  /** Table-format lifecycle 3 — stats-pruned range read: four key-quartile
-    * append batches (each one file with a tight min/max), then a range
-    * read that must only OPEN the overlapping files (TxLogSpec pins the
-    * file count; this oracle pins the answer). The 100 TB point: a range
-    * lookup on the stats column costs a handful of file opens, not a
-    * table scan — the log's min/max are the coarse index. */
+  /** Table-format lifecycle 3 — CLUSTERED ingest + stats-pruned range
+    * read: ONE append with `clusterBy = o_orderkey` range-clusters the
+    * batch into four files with tight, near-disjoint min/max intervals
+    * (the first-class form of the TxLogProbe result: merge write-amp
+    * 19.5× → 1.8×), then a range read that must only OPEN the overlapping
+    * files (TxLogSpec pins the open count; this oracle pins the answer).
+    * The 100 TB point: a range lookup on the stats column costs a handful
+    * of file opens, not a table scan — the log's min/max are the coarse
+    * index, and clustered ingest is what makes them tight. */
   val txlogPrunedRead = Q(
     "txlog_pruned_read",
     s"""SELECT o_orderstatus, COUNT(*) AS n,
@@ -131,13 +134,8 @@ object TxLogOps {
     val orders = t(s, dir, "orders")
     val table = freshTable(dir, "orders_pruned")
     TxLog.create(s, table, Tables.orders, statsCol = Some("o_orderkey"))
-    val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
-    val q = (maxKey + 1) / 4 + 1
-    (0L until 4L).foreach { i =>
-      TxLog.append(s, table, orders.filter(
-        col("o_orderkey") >= i * q && col("o_orderkey") < (i + 1) * q)
-        .coalesce(1))
-    }
+    TxLog.append(s, table, orders,
+      clusterBy = Some("o_orderkey"), targetFiles = 4)
     TxLog.snapshotRange(s, table, "100", "399")
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
@@ -171,6 +169,39 @@ object TxLogOps {
       .orderBy("_commit_version")
   }
 
+  /** Table-format lifecycle 5 — schema evolution: v1 appends the F orders
+    * under the base schema, an `evolve` commit ADDs a nullable o_band
+    * column (no data rewrite), v3 appends the remaining orders WITH the
+    * column populated. The snapshot reads both generations under the
+    * evolved schema — pre-evolve rows surface NULL o_band — and the
+    * oracle replays the same two-generation union as plain SQL. */
+  val txlogEvolve = Q(
+    "txlog_evolve",
+    s"""SELECT COALESCE(o_band, '(pre-evolve)') AS o_band,
+       |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+       |FROM (
+       |  SELECT CAST(NULL AS VARCHAR) AS o_band, o_totalprice
+       |  FROM orders WHERE o_orderstatus = 'F'
+       |  UNION ALL
+       |  SELECT CASE WHEN o_totalprice >= 200000 THEN 'HI' ELSE 'LO' END,
+       |         o_totalprice
+       |  FROM orders WHERE o_orderstatus <> 'F')
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val orders = t(s, dir, "orders")
+    val table = freshTable(dir, "orders_evolve")
+    TxLog.create(s, table, Tables.orders, statsCol = Some("o_orderkey"))
+    TxLog.append(s, table, orders.filter(col("o_orderstatus") === "F")) // v1
+    TxLog.addColumn(table, "o_band", "string")                          // v2
+    TxLog.append(s, table, orders.filter(col("o_orderstatus") =!= "F")
+      .withColumn("o_band",
+        when(col("o_totalprice") >= 200000, "HI").otherwise("LO")))     // v3
+    TxLog.snapshot(s, table)
+      .groupBy(coalesce(col("o_band"), lit("(pre-evolve)")).as("o_band"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_band")
+  }
+
   val all: Seq[Q] =
-    Seq(txlogMergeSnapshot, txlogTimeTravel, txlogPrunedRead, txlogChanges)
+    Seq(txlogMergeSnapshot, txlogTimeTravel, txlogPrunedRead, txlogChanges,
+      txlogEvolve)
 }

@@ -272,6 +272,63 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, tb).count() == 13)
   }
 
+  test("schema evolution: add-column reads old files with nulls, time " +
+      "travel keeps the old schema, stale-schema appends refuse") {
+    val tb = fresh("evolve")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.append(spark, tb, orders.limit(100))                    // v1
+    TxLog.addColumn(tb, "o_band", "string")                       // v2
+    // Appends must now carry the evolved schema — the v1-shaped batch
+    // would silently corrupt reads if accepted.
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, tb, orders.limit(1))
+    }
+    TxLog.append(spark, tb, orders.orderBy($"o_orderkey".desc)
+      .limit(50).withColumn("o_band", lit("NEW")))                // v3
+    val snap = TxLog.snapshot(spark, tb)
+    assert(snap.schema.fieldNames.contains("o_band"))
+    assert(snap.count() == 150)
+    assert(snap.filter($"o_band".isNull).count() == 100,
+      "pre-evolve rows must read as NULL in the new column")
+    assert(snap.filter($"o_band" === "NEW").count() == 50)
+    // Time travel to the pre-evolve version reads the ORIGINAL schema.
+    val v1 = TxLog.snapshot(spark, tb, Some(1L))
+    assert(!v1.schema.fieldNames.contains("o_band"))
+    assert(v1.count() == 100)
+    // Evolution survives a checkpoint: push past the interval and re-read.
+    (0 until TxLog.CheckpointInterval).foreach { i =>
+      TxLog.append(spark, tb, orders.limit(1).withColumn("o_band", lit(s"b$i")))
+    }
+    assert(TxLog.snapshot(spark, tb).schema.fieldNames.contains("o_band"))
+    // Duplicate column add refuses.
+    intercept[IllegalArgumentException] { TxLog.addColumn(tb, "o_band", "string") }
+  }
+
+  test("clustered append writes tight near-disjoint file ranges; range " +
+      "read opens only overlapping files") {
+    val tb = fresh("cluster")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.append(spark, tb, orders, clusterBy = Some("o_orderkey"),
+      targetFiles = 4)
+    val (files, meta) = TxLog.state(tb)
+    assert(files.size == 4, s"targetFiles=4 → 4 files, got ${files.size}")
+    // Range-clustered files must be pairwise key-disjoint.
+    val ranges = files.map(f => (BigDecimal(f.min.get), BigDecimal(f.max.get)))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"clustered file ranges overlap: $ranges")
+    case _ => }
+    // A narrow range read opens exactly the one overlapping file.
+    val lo = ranges.head._1
+    val cand = TxLog.overlapping(files, meta, lo.toString, lo.toString)
+    assert(cand.size == 1, s"point lookup must open 1 file, got ${cand.size}")
+    // Contents are unchanged by clustering (decimal sum: order-exact).
+    def dsum(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum($"o_totalprice".cast("decimal(18,4)"))).head.getDecimal(0)
+    assert(dsum(TxLog.snapshot(spark, tb)) == dsum(orders))
+    assert(TxLog.snapshot(spark, tb).count() == orders.count())
+  }
+
   test("merge fails fast on duplicate or null source keys (Delta MERGE " +
       "multiple-match semantics)") {
     val tb = fresh("dupkeys")
