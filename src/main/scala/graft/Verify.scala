@@ -128,17 +128,45 @@ object Verify {
         s"""{"recall": $rr, "floor": $floor$extra, "pass": ${rr >= floor}}"""
       }
 
+      /** Order-insensitive content checksum of a full result set — the
+        * determinism evidence for codec/vocab keys: two independent
+        * constructions+executions must produce the identical multiset of
+        * rows. Decimal accumulation (no long-sum overflow under ANSI). */
+      def contentHash(df: org.apache.spark.sql.DataFrame): String =
+        String.valueOf(df.agg(sum(
+          xxhash64(struct(df.columns.map(col): _*)).cast("decimal(38,0)")))
+          .head.getDecimal(0))
+      /** Determinism + per-key law line: `violations` counts rows breaking
+        * the key's structural invariant (lawSql over the result). */
+      def codecLine(key: String, lawSql: String): String = {
+        val a = SparkEntry.queries(key)(spark, sfDir)
+        val b = SparkEntry.queries(key)(spark, sfDir)
+        val (ha, hb) = (contentHash(a), contentHash(b))
+        val bad = a.filter(expr(lawSql)).count()
+        s"""{"determinism_match": ${ha == hb}, "content_hash": "$ha", """ +
+          s""""law_violations": $bad, "pass": ${ha == hb && bad == 0L}}"""
+      }
+
       // Sketch aggregates vs exact twins (tolerance = 3× configured rsd,
       // the VectorSpec convention).
-      check("agg_approx_distinct") {
+      def approxDistinctLine(key: String): String = {
         val orders = Tables.load(spark, sfDir, "orders")
         val exactD = orders.groupBy("o_orderstatus")
           .agg(countDistinct(col("o_custkey")).as("exact"))
-        val relD = SparkEntry.queries("agg_approx_distinct")(spark, sfDir)
+        val relD = SparkEntry.queries(key)(spark, sfDir)
           .join(exactD, "o_orderstatus")
           .agg(max(abs(col("approx_cust") - col("exact")) / col("exact")))
           .head.getDouble(0)
         relLine(relD, 3 * 0.02)
+      }
+      check("agg_approx_distinct")(approxDistinctLine("agg_approx_distinct"))
+      check("approx_distinct")(approxDistinctLine("approx_distinct"))
+      check("agg_hll_sketch") {
+        // The declared output is its own ledger (hll_est, n_exact,
+        // rel_err); lgK = 14 → rsd ≈ 1.04/√2^14 ≈ 0.0081, 3× bound.
+        val mx = SparkEntry.queries("agg_hll_sketch")(spark, sfDir)
+          .agg(max("rel_err")).head.getDouble(0)
+        relLine(mx, 3 * 0.0081)
       }
       check("agg_approx_percentile") {
         val orders = Tables.load(spark, sfDir, "orders")
@@ -200,6 +228,126 @@ object Verify {
         val rec = if (truth.isEmpty) 1.0
           else got.intersect(truth).size.toDouble / truth.size
         recallLine(rec, 0.5, s""", "n_truth": ${truth.size}""")
+      }
+
+      // Incremental minhash ≡ the batch pairs restricted to cross
+      // (batch × history) pairs — the Curation3Spec equivalence law,
+      // machine-readable: every cross pair's batch-side doc must be
+      // flagged by the incremental path.
+      check("dedup_incremental_minhash") {
+        val pairs = SparkEntry.queries("dedup_near_minhash")(spark, sfDir)
+          .select("a_id", "b_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val expectFlagged = pairs
+          .filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }
+          .map { case (a, b) => if (a % 10 == 0) a else b }.toSet
+        val flagged = SparkEntry.queries("dedup_incremental_minhash")(spark, sfDir)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val missed = expectFlagged.diff(flagged)
+        val rec = if (expectFlagged.isEmpty) 1.0
+          else 1.0 - missed.size.toDouble / expectFlagged.size
+        recallLine(rec, 1.0,
+          s""", "n_cross_truth": ${expectFlagged.size}, "n_flagged": ${flagged.size}""")
+      }
+
+      // Index builds: row accounting against their source tables.
+      check("ann_index_build") {
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val idx = SparkEntry.queries("ann_index_build")(spark, sfDir)
+        val n = emb.count(); val rows = idx.count()
+        val missing = emb.select("vec_id").except(idx.select("vec_id")).count()
+        val codeLens = idx.select(size(split(col("pq_codes"), ","))
+          .as("m")).distinct().count()
+        s"""{"rows": $rows, "n_vectors": $n, "missing": $missing, """ +
+          s""""code_len_variants": $codeLens, "pass": ${
+            rows == n && missing == 0L && codeLens == 1L}}"""
+      }
+      check("ann_upsert_ivf") {
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val up = SparkEntry.queries("ann_upsert_ivf")(spark, sfDir)
+        val n = emb.count()
+        val nNew = emb.filter(col("vec_id") % 10 === 0).count()
+        val rows = up.count()
+        val gotNew = up.filter(col("src") === "new").count()
+        val missing = emb.select("vec_id").except(up.select("vec_id")).count()
+        s"""{"rows": $rows, "n_vectors": $n, "new_rows": $gotNew, """ +
+          s""""expect_new": $nNew, "missing": $missing, "pass": ${
+            rows == n && gotNew == nNew && missing == 0L}}"""
+      }
+      check("minhash_index_build") {
+        val docs = Tables.load(spark, sfDir, "documents")
+        val eligible = docs.filter(size(split(col("text"), " ")) >= 3).count()
+        val idx = SparkEntry.queries("minhash_index_build")(spark, sfDir)
+        val rows = idx.count()
+        val badSig = idx.filter(size(split(col("sig_csv"), ",")) =!= 32).count()
+        s"""{"rows": $rows, "eligible_docs": $eligible, """ +
+          s""""bad_signatures": $badSig, "pass": ${
+            rows == eligible && badSig == 0L}}"""
+      }
+
+      // The recall report IS its own ledger — surface + bound it.
+      check("dedup_recall_report") {
+        val r = SparkEntry.queries("dedup_recall_report")(spark, sfDir).head
+        val nTruth = r.getAs[Long]("n_truth")
+        if (nTruth == 0)
+          s"""{"n_truth": 0, "recall": 1.0, "pass": true}"""
+        else {
+          val rec = r.getAs[Double]("recall")
+          val prec = Option(r.getAs[Any]("precision"))
+            .map(_.asInstanceOf[Double]).getOrElse(1.0)
+          s"""{"n_truth": $nTruth, "recall": ${finite("recall", rec)}, """ +
+            s""""precision": $prec, "pass": ${rec >= 0.5 && prec >= 0.999}}"""
+        }
+      }
+
+      // BPE trainer laws over the real corpus (the spec-frozen expected
+      // sequence lives in BpeSpec's hand corpus): merged = left+right,
+      // pair counts non-increasing (any post-merge pair is bounded by the
+      // merge that created its symbol), all counts positive.
+      check("bpe_train_merges") {
+        val rows = SparkEntry.queries("bpe_train_merges")(spark, sfDir)
+          .orderBy("rank").collect()
+        val badMerge = rows.count(r =>
+          r.getAs[String]("merged") != r.getAs[String]("left") + r.getAs[String]("right"))
+        val counts = rows.map(_.getAs[Long]("pair_count"))
+        val nonInc = counts.zip(counts.drop(1)).forall { case (a, b) => a >= b }
+        val pos = counts.forall(_ > 0)
+        s"""{"n_merges": ${rows.length}, "bad_merges": $badMerge, """ +
+          s""""counts_non_increasing": $nonInc, "pass": ${
+            badMerge == 0 && nonInc && pos && rows.length == 8}}"""
+      }
+      check("text_token_bpe") {
+        val docs = Tables.load(spark, sfDir, "documents")
+        val toks = SparkEntry.queries("text_token_bpe")(spark, sfDir)
+        val empty = toks.join(docs, "doc_id")
+          .filter(length(trim(col("text"))) > 0 &&
+            col("n_subword_tokens") === 0).count()
+        val (ha, hb) = (contentHash(toks),
+          contentHash(SparkEntry.queries("text_token_bpe")(spark, sfDir)))
+        s"""{"determinism_match": ${ha == hb}, "content_hash": "$ha", """ +
+          s""""empty_tokenizations": $empty, "pass": ${ha == hb && empty == 0L}}"""
+      }
+
+      // Multimodal codec keys: determinism hash (two independent
+      // executions, order-insensitive row checksum) + the per-key
+      // structural law the codec guarantees.
+      check("multimodal_decode")(codecLine("multimodal_decode",
+        "width != 16 or height != 16 or n_bytes <= 0"))
+      check("multimodal_resize")(codecLine("multimodal_resize",
+        "width != 8 or height != 8 or resized_bytes <= 0"))
+      check("multimodal_audio_features")(codecLine("multimodal_audio_features",
+        "sample_rate != 8000 or rms < 0 or rms > 1 or n_samples < 0"))
+      check("multimodal_framesample")(codecLine("multimodal_framesample",
+        "frame_idx % 4 != 0 or frame_idx < 0"))
+      check("multimodal_phash") {
+        val df = SparkEntry.queries("multimodal_phash")(spark, sfDir)
+        val sentinel = df.filter(col("a_id") === -2L && col("b_id") === -1L &&
+          col("hamming") === 0L).count()
+        val (ha, hb) = (contentHash(df),
+          contentHash(SparkEntry.queries("multimodal_phash")(spark, sfDir)))
+        s"""{"determinism_match": ${ha == hb}, "content_hash": "$ha", """ +
+          s""""sentinel_pair_found": ${sentinel == 1L}, "pass": ${
+            ha == hb && sentinel == 1L}}"""
       }
 
       // SimHash exact-twin property: identical texts MUST fingerprint
