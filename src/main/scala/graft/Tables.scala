@@ -289,6 +289,76 @@ object Tables {
         java.nio.file.Paths.get(s"$target/_graft_layout"),
         fingerprint(src).getBytes("UTF-8"))
     }
+
+  // ------------------------------------------------------------------
+  // Date-partitioned events layout (round-11, VERDICT r10 item 6): the
+  // stream-shaped fact re-laid out as the standard warehouse layout —
+  // hive-partitioned by (event_date, event_type) — behind the same
+  // source-fingerprint freshness guard as the bucketed copies. At 100 TB
+  // this IS how an events fact lands (daily ingest partitions); here the
+  // partition-pruned keys (static date range, dynamic type-dim DPP) read
+  // a REAL partitioned source instead of a per-query /tmp fixture.
+  // ------------------------------------------------------------------
+
+  /** Conventional location of the partitioned events copy for `dir`. */
+  def partitionedEventsPath(dir: String): String = {
+    val root = s"${sys.props("user.home")}/.graft/layout"
+    s"$root/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events_bydate"
+  }
+
+  private def partitionedEventsValid(dir: String): Boolean = {
+    val marker =
+      new java.io.File(s"${partitionedEventsPath(dir)}/_graft_layout")
+    marker.isFile && {
+      val recorded = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      recorded == fingerprint(s"$dir/events.parquet")
+    }
+  }
+
+  /** Pay-once re-layout of events as (event_date, event_type) hive
+    * partitions, one file per leaf (repartition by the partition columns
+    * aligns write tasks with directories). */
+  def materializePartitionedEvents(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val target = partitionedEventsPath(dir)
+    loadEvents(spark, s"$dir/events.parquet")
+      .withColumn("event_date", to_date(col("ts")))
+      .repartition(col("event_date"), col("event_type"))
+      .write.mode("overwrite")
+      .partitionBy("event_date", "event_type")
+      .parquet(target)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$target/_graft_layout"),
+      fingerprint(s"$dir/events.parquet").getBytes("UTF-8"))
+  }
+
+  /** The partitioned copy when present and fresh (None → caller falls
+    * back or materializes). Carries the extra `event_date` partition
+    * column; row content is otherwise exactly [[loadEvents]]. */
+  def loadEventsPartitioned(spark: SparkSession, dir: String)
+      : Option[DataFrame] =
+    if (sys.env.getOrElse("SPARK_GRAFT_BUCKETED", "true") != "false" &&
+        partitionedEventsValid(dir))
+      Some(spark.read.parquet(partitionedEventsPath(dir))
+        .select("event_id", "ts", "user_id", "event_type", "value",
+          "props", "event_date"))
+    else None
+
+  /** Serve the partitioned copy, materializing it first if absent/stale
+    * (the scan_csv_json bounded-fixture convention — events is the
+    * smallest fact; the declared pruning keys call this). */
+  def ensurePartitionedEvents(spark: SparkSession, dir: String): DataFrame = {
+    if (sys.env.getOrElse("SPARK_GRAFT_BUCKETED", "true") != "false" &&
+        loadEventsPartitioned(spark, dir).isEmpty)
+      materializePartitionedEvents(spark, dir)
+    loadEventsPartitioned(spark, dir).getOrElse(
+      // SPARK_GRAFT_BUCKETED=false disables layout serving entirely —
+      // derive the partition column on the fly (no pruning, same rows).
+      loadEvents(spark, s"$dir/events.parquet").withColumn("event_date",
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts"))))
+  }
 }
 
 /** CLI: materialize the bucketed fact-table layout for one or more sf

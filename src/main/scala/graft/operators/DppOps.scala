@@ -26,16 +26,16 @@ object DppOps {
   private val laidOut =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Events re-laid out as a partitioned table (once per dir per JVM). */
+  /** Events served from the Tables layout rung — the fingerprint-guarded
+    * (event_date, event_type) hive-partitioned copy (round-11: this used
+    * to be a per-query /tmp fixture partitioned by type only; the loader
+    * copy is the real warehouse layout shared with scan_date_pruned).
+    * event_date is dropped here so the DPP join's output schema is
+    * unchanged — the scan still prunes on event_type, which remains a
+    * partition column at the second directory level. */
   private[graft] def partitionedEvents(s: SparkSession, dir: String)
-      : DataFrame = {
-    val base = s"/tmp/graft_dpp_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    if (laidOut.add(base)) {
-      Tables.load(s, dir, "events")
-        .write.mode("overwrite").partitionBy("event_type").parquet(base)
-    }
-    s.read.schema(Tables.events).parquet(base)
-  }
+      : DataFrame =
+    Tables.ensurePartitionedEvents(s, dir).drop("event_date")
 
   /** The dim: event_type → category, engagement = the 2-of-5 selective
     * arm. Fixture-known domain (FIXTURES.md). Written to parquet and read
@@ -78,5 +78,33 @@ object DppOps {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(joinPartitionPruned)
+  /** STATIC partition pruning over the same layout copy: a foldable date
+    * range on the partition column reaches the scan as PartitionFilters,
+    * so whole day directories outside [2024-01-10, 2024-01-16] are never
+    * listed into the scan (FIXTURES: ts spans 2024-01-01..30 at every
+    * sf). At 100 TB this is the default shape of every dashboard query —
+    * the 7-day window reads 7/30ths of the partitions at any corpus
+    * size. PlanSpec pins the PartitionFilters; the oracle replays the
+    * semantics from the raw table. */
+  val scanDatePruned = Q(
+    "scan_date_pruned",
+    s"""SELECT CAST(ts AS DATE) AS event_date,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+       |    AS sum_value
+       |FROM events
+       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.ensurePartitionedEvents(s, dir)
+      .filter(col("event_date").between(
+        lit("2024-01-10").cast("date"), lit("2024-01-16").cast("date")))
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Parity.dsum(col("value")).as("sum_value"))
+      .orderBy("event_date")
+  }
+
+  val all: Seq[Q] = Seq(joinPartitionPruned, scanDatePruned)
 }

@@ -37,7 +37,7 @@ class ConstructionSpec extends SparkSpec {
     "scan_csv_json", "scan_orc", "scan_csv_malformed", "scan_merge_schema",
     "sink_jsonl_sharded",
     "sink_manifest_checksums", "layout_bucket_join",
-    "join_partition_pruned",
+    "join_partition_pruned", "scan_date_pruned",
     // Exact-kernel matrix broadcast: below the byte guard the collected
     // (≤512 MB) matrix IS the plan's build side — one bounded collect,
     // the same memory contract as a broadcast-join build.
@@ -58,7 +58,7 @@ class ConstructionSpec extends SparkSpec {
     // data-prep, the scan_csv_json fixture precedent) and returns the
     // snapshot read over the result.
     "txlog_merge_snapshot", "txlog_time_travel", "txlog_pruned_read",
-    "txlog_changes_read",
+    "txlog_changes_read", "txlog_evolve",
     // Statistics pipeline: first touch registers + ANALYZEs the catalog
     // tables whose stats CBO costing needs (once per JVM; the warehouse
     // ANALYZE-on-ingest shape). Memoized — whether THIS spec sees its
@@ -78,7 +78,7 @@ class ConstructionSpec extends SparkSpec {
   /** Exempt keys whose construction jobs run once per JVM: a prior suite
     * may have paid them already, so a zero here is not a stale entry. */
   private val oncePerJvm: Set[String] =
-    Set("cbo_join_reorder", "join_partition_pruned",
+    Set("cbo_join_reorder", "join_partition_pruned", "scan_date_pruned",
       "q3_shipping_priority", "q5_local_supplier",
       "join_semi", "semi_join_exists", "join_anti", "anti_join",
       "win_rank_topn", "window_rank_topn",

@@ -17,7 +17,7 @@ class DppSpec extends SparkSpec {
     }
     resolved.collect { case f: FileSourceScanExec => f }
       .filter(_.relation.location.rootPaths.exists(
-        _.toString.contains("graft_dpp_")))
+        _.toString.contains("events_bydate")))
   }
 
   test("fact scan carries dynamicpruning and reads only joined partitions") {
@@ -34,10 +34,16 @@ class DppSpec extends SparkSpec {
       val scan = scans.head
       assert(scan.partitionFilters.mkString.contains("dynamicpruning"),
         s"fact scan lacks a dynamicpruning filter: ${scan.partitionFilters}")
-      // Metrics: 2 of 5 event_type partitions survive the runtime filter.
+      // Metrics: 2 of 5 event_type leaves survive the runtime filter in
+      // EVERY date directory — the layout copy is (event_date,
+      // event_type) two-level, so expected = nDates × 2 of nDates × 5.
+      val nDates = operators.DppOps.partitionedEvents(spark, sfDir)
+        .select(org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts"))).distinct().count()
       val read = scan.metrics.get("numPartitions").map(_.value)
-      assert(read.contains(2L),
-        s"expected 2 partitions read (view, click), metrics said " +
+      assert(read.contains(2L * nDates),
+        s"expected ${2 * nDates} leaf partitions read (view, click × " +
+          s"$nDates days), metrics said " +
           s"${scan.metrics.view.mapValues(_.value).toMap}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }

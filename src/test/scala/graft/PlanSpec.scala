@@ -54,6 +54,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "no SMJ in the star join")
   }
 
+  test("scan_date_pruned: the date range reaches the layout copy's scan " +
+      "as PartitionFilters (whole day directories skipped at plan time)") {
+    val p = plan("scan_date_pruned")
+    val scanSection = p.linesIterator
+      .dropWhile(!_.contains("Scan parquet")).mkString("\n")
+    assert(scanSection.contains("events_bydate"),
+      s"scan must read the layout-served partitioned copy:\n${p.take(900)}")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_date"),
+      s"date bounds must land in PartitionFilters, got: $pf")
+    assert(pf.contains("2024-01-10") && pf.contains("2024-01-16"), pf)
+  }
+
+  test("join_partition_pruned: the fact scan reads the layout copy and " +
+      "carries a dynamicpruning subquery on event_type") {
+    val p = plan("join_partition_pruned")
+    assert(p.contains("events_bydate"), p.take(900))
+    assert(p.contains("dynamicpruning"),
+      s"type-dim join must induce DPP on the partition column:\n${p.take(1200)}")
+  }
+
   test("join_sortmerge keeps the large-large join as SMJ") {
     assert(plan("join_sortmerge").contains("SortMergeJoin"))
   }
