@@ -547,21 +547,61 @@ object AnnOps {
       codebooks: Array[Array[Seq[Double]]])
 
   /** Fit both quantizers once (the ingest-time model build). */
+  /** Fit both quantizers once (the ingest-time model build). Above
+    * `fitSampleCap` rows the quantizers train on a deterministic
+    * hash-sampled subset, MATERIALIZED once (Stage): kmeans iterations and
+    * the m per-subspace codebook refinements then scan the bounded sample
+    * instead of re-reading the corpus m+iters times — quantizer quality
+    * needs a representative sample, not the population (the FAISS train/
+    * add split), and at 100 TB re-scanning the corpus 96× for codebooks
+    * is the difference between a model fit and a cluster outage. Below
+    * the cap (every verify tier) nothing changes — the replay oracles
+    * stay byte-identical. */
   def fitAnnModel(s: SparkSession, emb: DataFrame, nLists: Int = 8,
-      m: Int = 8, dsub: Int = 8, ksub: Int = 16): AnnModel =
-    AnnModel(nLists, ivfFit(s, emb, nLists), m, dsub, ksub,
-      pqFit(s, emb, m, dsub, ksub))
+      m: Int = 8, dsub: Int = 8, ksub: Int = 16,
+      fitSampleCap: Long = 200000L): AnnModel = {
+    import graft.Stage.StagedOps
+    val n = graft.plans.PlanStats.estRows(emb, 16L)
+    val fitSet =
+      if (n <= BigInt(fitSampleCap)) emb
+      else {
+        val f = ((n + fitSampleCap - 1) / fitSampleCap).toLong
+        emb.filter(pmod(xxhash64(col("vec_id")), lit(f)) === 0).staged
+      }
+    AnnModel(nLists, ivfFit(s, fitSet, nLists), m, dsub, ksub,
+      pqFit(s, fitSet, m, dsub, ksub))
+  }
 
   /** Materialized per-vector index rows: (vec_id, list_id, codes) — ONE
     * scan of the corpus computing both quantizations; written as a table
-    * this is the ingest-time precompute [[pqKnn]]'s scaladoc describes. */
+    * this is the ingest-time precompute [[pqKnn]]'s scaladoc describes.
+    *
+    * Round-11: both quantizations run through the native kernels
+    * ([[graft.functions.PqCodes]] / [[graft.functions.NearestCentroid]]).
+    * The column forms (codeCol × m, assignExpr over k centroids) generate
+    * m·ksub (+k) dot loops in ONE projection — at 768-d / m=96 Janino
+    * dies on method size and the build fails outright (annscale probe).
+    * The kernels are bit-identical to the column forms (same sequential
+    * double accumulation, same ties-to-higher argmax, same null
+    * contract — AnnSpec's from-index ≡ direct equivalence pins it) and
+    * ship the model with the plan as literal arrays. */
   def annIndex(s: SparkSession, emb: DataFrame, model: AnnModel): DataFrame = {
     VectorOps.registerFns(s)
-    val codes = array((0 until model.m).map(mm =>
-      codeCol(mm, model.dsub, model.ksub, model.codebooks)): _*)
+    val dims = model.centroids.head._2.length
+    val cids = model.centroids.map(_._1)
+    val centFlat = model.centroids.flatMap(_._2)
+    // Codebook entries pad to dsub with zeros: dot terms ×0 vanish, so the
+    // padded kernel score equals the column form's min-length dot exactly.
+    val cbFlat = (0 until model.m).flatMap(mm => (0 until model.ksub)
+      .flatMap(j => model.codebooks(mm)(j).padTo(model.dsub, 0.0)))
+    val pos = call_function("nearest_centroid", col("embedding"),
+      typedLit(centFlat), lit(cids.length), lit(dims))
     emb.select(col("vec_id"),
-      assignExpr(model.centroids, col("embedding")).as("list_id"),
-      codes.as("codes"))
+      // The kernel returns the POSITION in the sorted centroid matrix;
+      // translate to the model's cid (identical when cids are 0..k-1).
+      element_at(typedLit(cids), pos + 1).as("list_id"),
+      call_function("pq_codes", col("embedding"), typedLit(cbFlat),
+        lit(model.m), lit(model.dsub), lit(model.ksub)).as("codes"))
   }
 
   /** IVF kNN over a STORED index: probes prune on the stored list_id, the

@@ -74,6 +74,14 @@ object VectorOps {
       org.apache.spark.sql.catalyst.FunctionIdentifier("srp_band_keys"),
       graft.functions.SrpBandKeys.info,
       graft.functions.SrpBandKeys.builder)
+    s.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("pq_codes"),
+      graft.functions.PqCodes.info,
+      graft.functions.PqCodes.builder)
+    s.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("nearest_centroid"),
+      graft.functions.NearestCentroid.info,
+      graft.functions.NearestCentroid.builder)
   }
 
   private val pairOracle =

@@ -48,6 +48,14 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("topk_agg"),
       graft.functions.TopKAgg.info,
       graft.functions.TopKAgg.builder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("pq_codes"),
+      graft.functions.PqCodes.info,
+      graft.functions.PqCodes.builder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("nearest_centroid"),
+      graft.functions.NearestCentroid.info,
+      graft.functions.NearestCentroid.builder))
   }
 }
 

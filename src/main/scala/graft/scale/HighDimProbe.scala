@@ -202,10 +202,72 @@ object HighDimProbe {
     }
   }
 
+  /** ANN build + serve scaling at realistic width (round-11, VERDICT r10
+    * item 5): for each corpus prefix size, time the MODEL FIT (IVF kmeans
+    * + PQ codebooks — sampled, so ~flat in n), the INDEX BUILD (one full
+    * quantization pass, written to parquet — the ingest-time cost that
+    * must scale linearly), and the per-query serve path over the STORED
+    * index (ivf/pqKnnFromIndex — the production read shape), with
+    * recall@20 vs the exact scan. nLists scales ~√(n/1000) so list sizes
+    * grow sub-linearly, the knob a 100 TB deployment turns. */
+  private def annScale(s: SparkSession, dir: String, dims: Int,
+      sizes: Seq[Long]): Unit = {
+    import s.implicits._
+    val full = emb(s, dir)
+    VectorOps.registerFns(s)
+    val queries = Seq(0L, 7L, 63L, 128L, 999L)
+    sizes.foreach { n =>
+      val e = full.filter(col("vec_id") < n)
+      val nLists = math.max(8, math.sqrt(n / 1000.0).toInt)
+      val (model, tFit) = time {
+        AnnOps.fitAnnModel(s, e, nLists = nLists, m = dims / 8,
+          dsub = 8, ksub = 16)
+      }
+      val idxPath = s"/tmp/graft_annscale_idx_$n"
+      val (_, tBuild) = time {
+        AnnOps.annIndex(s, e, model).write.mode("overwrite").parquet(idxPath)
+      }
+      val stored = s.read.parquet(idxPath)
+      def exactTop(q: Long): Set[Long] = {
+        val qv = e.filter(col("vec_id") === q).select(col("embedding").as("qe"))
+        e.filter(col("vec_id") =!= q).crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            call_function("cosine_sim", col("embedding"), col("qe")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id")).limit(20)
+          .select("vec_id").as[Long].collect().toSet
+      }
+      val truth = queries.map(q => q -> exactTop(q)).toMap
+      val nProbe = math.max(3, nLists / 8)
+      val (ivfR, tIvf) = time {
+        queries.map { q =>
+          val got = AnnOps.ivfKnnFromIndex(s, e, stored, model, q, k = 20,
+              nProbe = nProbe)
+            .select("vec_id").as[Long].collect().toSet
+          (got & truth(q)).size / 20.0
+        }
+      }
+      val (pqR, tPq) = time {
+        queries.map { q =>
+          val got = AnnOps.pqKnnFromIndex(s, e, stored, model, q, k = 20)
+            .select("vec_id").as[Long].collect().toSet
+          (got & truth(q)).size / 20.0
+        }
+      }
+      println(f"[annscale] n=$n dims=$dims nLists=$nLists nProbe=$nProbe " +
+        f"fit=$tFit%.1fs build=$tBuild%.1fs " +
+        f"ivfQ=${tIvf / queries.size}%.2fs/q recall@20=${
+          ivfR.sum / ivfR.size}%.3f " +
+        f"pqQ=${tPq / queries.size}%.2fs/q recall@20=${pqR.sum / pqR.size}%.3f")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val s = session()
     try args(0) match {
       case "gen" => gen(s, args(1), args(2).toLong, args(3).toInt)
+      case "annscale" =>
+        annScale(s, args(1), args(2).toInt,
+          args(3).split(",").toSeq.map(_.toLong))
       case "guard" => guard(s, args(1))
       case "recall" => recall(s, args(1), args(2).toInt)
       case "knn" => knn(s, args(1), args(2).toInt)
