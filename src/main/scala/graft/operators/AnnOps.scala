@@ -398,17 +398,25 @@ object AnnOps {
       }
     }
 
-  /** Dimension-adaptive ADC candidate-pool default (round-10, VERDICT r9
-    * item 4): PQ distortion grows with width, so a fixed 100-candidate
-    * re-rank pool silently starves recall at realistic dims — measured at
-    * 768-d (SCALE.md §PQ candidate-pool knob): recall@20 =
-    * 0.47 / 0.78 / 1.000 / 1.000 at nCandidates = 100 / 200 / 400 / 800.
-    * The curve saturates at dims/2 rounded up to the next 100; the 64-d
-    * corpus saturates at the 100 floor (which keeps the declared
-    * `ann_pq_knn` and its replay oracle byte-identical). Explicit caller
-    * values always win — this only replaces the blind constant. */
-  def pqPoolFor(dims: Int): Int =
-    math.max(100, (math.ceil(dims / 200.0) * 100).toInt)
+  /** Dimension- AND corpus-adaptive ADC candidate-pool default (round-10
+    * VERDICT r9 item 4; corpus term round-11): PQ distortion grows with
+    * width — measured at 768-d (SCALE.md §PQ candidate-pool knob):
+    * recall@20 = 0.47 / 0.78 / 1.000 / 1.000 at nCandidates =
+    * 100 / 200 / 400 / 800 on a 20 k corpus, i.e. the curve saturates
+    * around 2 % of the corpus — and the ADC noise floor scales with the
+    * number of competitors, so a width-only pool silently starves recall
+    * as the corpus grows: the 2 M × 768-d annscale probe measured
+    * recall@20 = 0.12 / 0.05 at 0.25–2 M rows with the fixed 400-pool
+    * (SCALE.md §ann-sf100). The default is now max(width term, n/50) —
+    * the measured 2 % saturation point — with n from zero-job plan/footer
+    * stats. The 64-d verify corpora stay at the 100 floor (500/5 000 rows
+    * → n/50 = 10/100), keeping the declared `ann_pq_knn` replay oracle
+    * byte-identical. Explicit caller values always win. */
+  def pqPoolFor(dims: Int, nRows: BigInt = 0): Int = {
+    val widthTerm = math.max(100, (math.ceil(dims / 200.0) * 100).toInt)
+    val corpusTerm = (nRows / 50).min(BigInt(1000000)).toInt
+    math.max(widthTerm, corpusTerm)
+  }
 
   def pqKnn(s: SparkSession, emb: DataFrame, queryId: Long, k: Int,
       m: Int = 8, dsub: Int = 8, ksub: Int = 16,
@@ -421,7 +429,8 @@ object AnnOps {
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"))
     val qVec = q.as[Seq[Float]].head()
-    val pool = if (nCandidates > 0) nCandidates else pqPoolFor(qVec.size)
+    val pool = if (nCandidates > 0) nCandidates
+      else pqPoolFor(qVec.size, graft.plans.PlanStats.estRows(emb, 16L))
     val lut = adcLut(codebooks, m, dsub, ksub, qVec)
     val adc = (0 until m).map { mm =>
       element_at(typedLit(lut(mm)), codeCol(mm, dsub, ksub, codebooks) + 1)
@@ -637,7 +646,8 @@ object AnnOps {
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"))
     val qVec = q.as[Seq[Float]].head()
-    val pool = if (nCandidates > 0) nCandidates else pqPoolFor(qVec.size)
+    val pool = if (nCandidates > 0) nCandidates
+      else pqPoolFor(qVec.size, graft.plans.PlanStats.estRows(index, 16L))
     val lut = adcLut(model.codebooks, model.m, model.dsub, model.ksub, qVec)
     val adc = (0 until model.m).map { mm =>
       element_at(typedLit(lut(mm)), element_at(col("codes"), mm + 1) + 1)

@@ -171,7 +171,19 @@ object TextOps {
     // parquet-footer-stats count per session, amortized across every
     // query that folds it.
     val nDocs = graft.Dims.memoCount(docs, s"$dir#documents.count")
-    vocabJoin(tf, df, "token")
+    // Vocab arm localized under the byte gate (round-11, same discipline
+    // as the join dims): a natural-language df table is tiny, and its
+    // per-action cost was a full derived-aggregate execution + broadcast
+    // build — the biggest remaining floor-payer in the bench suite. The
+    // gate-passing arm is evaluated ONCE per (dir) at construction and
+    // ships with the plan; over the gate (100 TB noisy-token vocab) the
+    // vocabJoin broadcast-vs-shuffle logic stands unchanged.
+    val dfArm = graft.Dims.localizeSmall(df, s"$dir#tfidf.df", 24)
+    val joined = dfArm match {
+      case Some(local) => tf.join(broadcast(local), Seq("token"))
+      case None => vocabJoin(tf, df, "token")
+    }
+    joined
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         round(col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0), 6)
           .as("tfidf"))
