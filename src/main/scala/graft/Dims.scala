@@ -39,8 +39,17 @@ object Dims {
 
   private case class Small(rows: Array[UnsafeRow], attrs: Seq[Attribute])
   private case object TooBig
-  private val memo = new ConcurrentHashMap[String, AnyRef]()
-  private val counts = new ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Lazy memo cell: computeIfAbsent only ALLOCATES the holder (cheap, no
+    * Spark work under the map's bin lock — a multi-second gate count
+    * inside computeIfAbsent would block unrelated tags hashing to the
+    * same bin and throw 'Recursive update' on re-entrant construction);
+    * the action evaluates under the holder's own monitor, so concurrent
+    * requests for the SAME arm still compute once (code review
+    * round-11). */
+  private final class Cell(f: () => AnyRef) { lazy val value: AnyRef = f() }
+  private val memo = new ConcurrentHashMap[String, Cell]()
+  private val counts = new ConcurrentHashMap[String, Cell]()
 
   /** Test hook: forget all memoized arms (used by specs that need to
     * observe first-construction behavior deterministically). */
@@ -56,8 +65,12 @@ object Dims {
     */
   def localizeSmall(df: DataFrame, tag: String, rowBytes: Int): Option[DataFrame] = {
     val spark = df.sparkSession
-    memo.computeIfAbsent(tag, _ => {
-      val threshold = SQLConf.get.autoBroadcastJoinThreshold
+    // The threshold participates in the MEMO KEY: a session that lowers
+    // (or disables) autoBroadcastJoinThreshold mid-run re-decides under
+    // the new gate instead of serving a decision baked in at first
+    // construction (code review round-11).
+    val threshold = SQLConf.get.autoBroadcastJoinThreshold
+    memo.computeIfAbsent(s"$tag@$threshold", _ => new Cell(() => {
       if (threshold <= 0) TooBig
       else {
         val statBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -74,7 +87,7 @@ object Dims {
             .getOrElse(TooBig)
         } else TooBig
       }
-    }) match {
+    })).value match {
       case Small(rows, attrs) => Some(LocalDimBridge.ofRows(spark, attrs, rows))
       case _ => None
     }
@@ -85,5 +98,7 @@ object Dims {
     * broadcast-build job per action. At 100 TB this is one footer-stats
     * count per session, amortized over every query that folds it. */
   def memoCount(df: DataFrame, tag: String): Long =
-    counts.computeIfAbsent(tag, _ => java.lang.Long.valueOf(df.count())).longValue()
+    counts.computeIfAbsent(tag, _ => new Cell(() =>
+      java.lang.Long.valueOf(df.count()))).value
+      .asInstanceOf[java.lang.Long].longValue()
 }

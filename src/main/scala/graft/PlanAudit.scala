@@ -21,7 +21,9 @@ object PlanAudit {
     "knn_query", "ann_ivf_knn", "ann_pq_knn", // 1-row query-vector broadcast
     "embedding_truncate_recall", // 5-row query-sample broadcast (eval op)
     "graph_label_propagation", // 1-row doc-count broadcast (edges CTE)
-    "text_tokenize_tf", "text_tokenize_tfidf", // 1-row corpus-count broadcast
+    // text_tokenize_tf/tfidf: formerly exempt for a 1-row corpus-count
+    // broadcast; round-11 folded the count as a plan-time literal, so a
+    // BNLJ reappearing in those plans is now a REGRESSION the audit flags.
     "bm25_topk",         // 1-row (N, avgdl) stats broadcast
     "rank_fusion_rrf",   // 1-row query-vector + 1-row bm25-stats broadcasts
     "relevance_ndcg", "relevance_prk", // 3-row query-terms broadcast

@@ -213,24 +213,34 @@ object Tables {
       if (f.isDirectory)
         f.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       else Array(f)
-    val md = java.security.MessageDigest.getInstance("MD5")
     val entries = files.map { x =>
-      md.reset()
-      val raf = new java.io.RandomAccessFile(x, "r")
-      try {
-        val head = new Array[Byte](math.min(1024L, raf.length()).toInt)
-        raf.readFully(head); md.update(head)
-        if (raf.length() > 1024) {
-          val tail = new Array[Byte](math.min(1024L, raf.length() - 1024).toInt)
-          raf.seek(raf.length() - tail.length); raf.readFully(tail)
-          md.update(tail)
-        }
-      } finally raf.close()
-      val sample = md.digest().map("%02x".format(_)).mkString
+      val sample = sampleDigest(x)
       s"${x.getName}:${x.length}:${x.lastModified}:$sample"
     }
     s"n=${files.length};bytes=${files.map(_.length).sum};" +
       entries.mkString("|")
+  }
+
+  /** Head+tail 1 KiB digest. Deliberately NOT memoized by (path, length,
+    * mtime): a same-size same-mtime content change is exactly the
+    * staleness the sample exists to catch (BucketedLoaderSpec pins it),
+    * and a memo on the identity triple would serve the stale digest for
+    * the life of the JVM. The cost is ~2 KiB of page-cached read per
+    * source file per load — bounded by the handful of corpus files. */
+  private def sampleDigest(x: java.io.File): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val raf = new java.io.RandomAccessFile(x, "r")
+    try {
+      val head = new Array[Byte](math.min(1024L, raf.length()).toInt)
+      raf.readFully(head); md.update(head)
+      if (raf.length() > 1024) {
+        val tail =
+          new Array[Byte](math.min(1024L, raf.length() - 1024).toInt)
+        raf.seek(raf.length() - tail.length); raf.readFully(tail)
+        md.update(tail)
+      }
+    } finally raf.close()
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** True when a bucketed copy exists and its recorded source fingerprint
@@ -345,19 +355,35 @@ object Tables {
           "props", "event_date"))
     else None
 
+  /** Per-dir materialization locks: two concurrent first-touch
+    * constructions (parallel test suites, a multi-threaded harness) must
+    * not race two mode("overwrite") writes into one target — the second
+    * overwrite deletes the first writer's in-flight files (code review
+    * round-11; the old per-query fixture had a once-per-JVM claim set). */
+  private val layoutLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Serve the partitioned copy, materializing it first if absent/stale
     * (the scan_csv_json bounded-fixture convention — events is the
     * smallest fact; the declared pruning keys call this). */
   def ensurePartitionedEvents(spark: SparkSession, dir: String): DataFrame = {
-    if (sys.env.getOrElse("SPARK_GRAFT_BUCKETED", "true") != "false" &&
-        loadEventsPartitioned(spark, dir).isEmpty)
-      materializePartitionedEvents(spark, dir)
-    loadEventsPartitioned(spark, dir).getOrElse(
-      // SPARK_GRAFT_BUCKETED=false disables layout serving entirely —
-      // derive the partition column on the fly (no pruning, same rows).
-      loadEvents(spark, s"$dir/events.parquet").withColumn("event_date",
-        org.apache.spark.sql.functions.to_date(
-          org.apache.spark.sql.functions.col("ts"))))
+    if (sys.env.getOrElse("SPARK_GRAFT_BUCKETED", "true") == "false")
+      // Layout serving disabled — derive the partition column on the fly
+      // (no pruning, same rows).
+      return loadEvents(spark, s"$dir/events.parquet").withColumn(
+        "event_date", org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")))
+    layoutLocks.computeIfAbsent(partitionedEventsPath(dir), _ => new Object)
+      .synchronized {
+        // Validity evaluated ONCE per call (it reads+digests source
+        // files); re-checked under the lock so a concurrent materializer
+        // that just finished is observed instead of overwritten.
+        if (!partitionedEventsValid(dir))
+          materializePartitionedEvents(spark, dir)
+      }
+    loadEventsPartitioned(spark, dir).getOrElse(sys.error(
+      s"partitioned events copy invalid immediately after materialization" +
+        s" for $dir"))
   }
 }
 

@@ -429,8 +429,13 @@ object AnnOps {
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"))
     val qVec = q.as[Seq[Float]].head()
+    // Row width = id + the float payload: the estimator's byte fallback
+    // divides sizeInBytes by this, so a too-small width on a ~3 KB-wide
+    // 768-d row would overcount ~200x and peg the pool at its cap (code
+    // review round-11); footer/rowCount paths are exact and unaffected.
     val pool = if (nCandidates > 0) nCandidates
-      else pqPoolFor(qVec.size, graft.plans.PlanStats.estRows(emb, 16L))
+      else pqPoolFor(qVec.size, graft.plans.PlanStats.estRows(
+        emb, 16L + qVec.size * 4L, decompressionFactor = 1))
     val lut = adcLut(codebooks, m, dsub, ksub, qVec)
     val adc = (0 until m).map { mm =>
       element_at(typedLit(lut(mm)), codeCol(mm, dsub, ksub, codebooks) + 1)
@@ -570,12 +575,22 @@ object AnnOps {
       m: Int = 8, dsub: Int = 8, ksub: Int = 16,
       fitSampleCap: Long = 200000L): AnnModel = {
     import graft.Stage.StagedOps
-    val n = graft.plans.PlanStats.estRows(emb, 16L)
+    // The zero-job footer estimate is filter-blind (whole-table counts),
+    // so it only serves as the CHEAP ADMISSION test; when it says "over
+    // the cap" the sampling fraction is derived from one EXACT count —
+    // a filtered frame (estimate 2 M, actual 250 k) would otherwise train
+    // on est/cap-fold fewer rows than the cap intends, degenerating the
+    // quantizers with no error (code review round-11). One linear count
+    // at model-fit time is ingest-class cost, dwarfed by the fit itself.
     val fitSet =
-      if (n <= BigInt(fitSampleCap)) emb
+      if (graft.plans.PlanStats.estRows(emb, 16L) <= BigInt(fitSampleCap)) emb
       else {
-        val f = ((n + fitSampleCap - 1) / fitSampleCap).toLong
-        emb.filter(pmod(xxhash64(col("vec_id")), lit(f)) === 0).staged
+        val actual = emb.count()
+        if (actual <= fitSampleCap) emb
+        else {
+          val f = (actual + fitSampleCap - 1) / fitSampleCap
+          emb.filter(pmod(xxhash64(col("vec_id")), lit(f)) === 0).staged
+        }
       }
     AnnModel(nLists, ivfFit(s, fitSet, nLists), m, dsub, ksub,
       pqFit(s, fitSet, m, dsub, ksub))
@@ -646,8 +661,10 @@ object AnnOps {
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"))
     val qVec = q.as[Seq[Float]].head()
+    // Index row width = id + list + m int codes (see pqKnn's width note).
     val pool = if (nCandidates > 0) nCandidates
-      else pqPoolFor(qVec.size, graft.plans.PlanStats.estRows(index, 16L))
+      else pqPoolFor(qVec.size, graft.plans.PlanStats.estRows(
+        index, 20L + model.m * 4L, decompressionFactor = 1))
     val lut = adcLut(model.codebooks, model.m, model.dsub, model.ksub, qVec)
     val adc = (0 until model.m).map { mm =>
       element_at(typedLit(lut(mm)), element_at(col("codes"), mm + 1) + 1)

@@ -555,13 +555,18 @@ object TxLog {
     * retention window exists for): only files older than the window are
     * eligible. Returns deleted count. */
   def vacuum(table: String, retainMs: Long = 10 * 60 * 1000L): Int = {
-    // Both sides of the membership test canonicalize through nio Path —
-    // AddFile.path is recorded decoded (decodeFileUri), and normalizing
-    // here keeps the comparison sound even against a log written by an
-    // older build that recorded percent-encoded names.
+    // Both sides of the membership test canonicalize through nio Path,
+    // and referenced paths additionally pass through decodeFileUri: a log
+    // written by a pre-round-11 build recorded input_file_name()'s
+    // percent-ENCODED names ('/tmp/my%20tbl/...'), which normalize alone
+    // would NOT reconcile with Files.walk's decoded twin — and vacuum's
+    // failure mode is silent deletion of live data, so legacy logs get
+    // the decode here even though new logs store decoded paths already
+    // (decodeFileUri is a no-op on them).
     val referenced = versions(table).flatMap { v =>
       parseCommit(Files.readString(Paths.get(commitPath(table, v))))._1
-        .add.map(a => Paths.get(a.path).toAbsolutePath.normalize.toString)
+        .add.map(a => Paths.get(decodeFileUri(a.path))
+          .toAbsolutePath.normalize.toString)
     }.toSet
     val cutoff = System.currentTimeMillis() - retainMs
     val w = Files.walk(Paths.get(table))
