@@ -249,8 +249,18 @@ object Joins {
     // reduced BEFORE the orderkey fact join.
     val bldCust = t(s, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    // Refusal fallback mirrors q5's: Dims' row cap is stricter than the
+    // optimizer's byte estimate, so a stats-small arm the optimizer would
+    // broadcast keeps the distributed broadcast; only a stats-big arm
+    // (100 TB) takes the custkey shuffle.
+    val bldStats = bldCust.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bldThresh =
+      BigInt(org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold)
     val bldArm = graft.Dims.localizeSmall(bldCust, s"$dir#q3.bldCust", 8)
-      .map(broadcast).getOrElse(bldCust.hint("shuffle_hash"))
+      .map(broadcast).getOrElse {
+        if (bldStats <= bldThresh) broadcast(bldCust)
+        else bldCust.hint("shuffle_hash")
+      }
     t(s, dir, "lineitem")
       .filter(to_date(col("l_shipdate")) > lit("1998-06-01"))
       .join(
@@ -349,12 +359,21 @@ object Joins {
     // threshold) and the shuffle_hash build arm stands — which AQE still
     // upgrades to broadcast when runtime shuffle stats come in small.
     // Round-11: the gate + measured count live in Dims.localizeSmall
-    // (16 B/row = the two projected columns' data width, the same
-    // sizeInBytes convention the optimizer's own gate uses); a passing
-    // arm ships with the plan, so its broadcast-build job leaves the
-    // timed action, and the count is memoized per (dir, arm).
+    // (16 B/row = the two projected columns' data width); a passing arm
+    // ships with the plan, so its broadcast-build job leaves the timed
+    // action, and the count is memoized per (dir, arm). Dims' row cap is
+    // STRICTER than the optimizer's byte estimate (in-memory width vs
+    // parquet-encoded stats), so refusal must NOT force the shuffle arm:
+    // an arm the optimizer itself would broadcast (stats ≤ threshold —
+    // the 60 M tier's 1.5 M-row customer, 4 MB by stats) still gets the
+    // r10 distributed broadcast; only a stats-big arm takes shuffle_hash
+    // (sf10 A/B caught the unconditional shuffle fallback: q5 0.75 →
+    // 9.5 s — orders paid two full exchanges).
     val custArm = graft.Dims.localizeSmall(custAsia, s"$dir#q5.custAsia", 16)
-      .map(broadcast).getOrElse(custAsia.hint("shuffle_hash"))
+      .map(broadcast).getOrElse {
+        if (custBytes <= bcThreshold) broadcast(custAsia)
+        else custAsia.hint("shuffle_hash")
+      }
     val ordAsia = orders
       .join(custArm, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey"))
