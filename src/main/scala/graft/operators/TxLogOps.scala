@@ -201,7 +201,44 @@ object TxLogOps {
       .orderBy("o_band")
   }
 
+  /** Table-format lifecycle 6 — STREAMING tail of the log: three append
+    * commits, then a real Structured Streaming query over the `graftlog`
+    * source ([[graft.sources.GraftLogSource]]) drains them into a memory
+    * sink; the declared output aggregates the drained rows per commit
+    * version. The oracle replays the same three-generation union as
+    * plain SQL — a hash match proves the source delivered every append
+    * commit's rows exactly once with correct version tags, through the
+    * REAL streaming engine (offsets, micro-batches, sink), not a batch
+    * twin. TxLogSpec additionally pins restart-from-checkpoint
+    * exactly-once and the fail-on-rewrite contract. */
+  val txlogStreamTail = Q(
+    "txlog_stream_tail",
+    s"""SELECT v AS _commit_version, o_orderstatus,
+       |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+       |FROM (
+       |  SELECT 1 AS v, * FROM orders WHERE o_orderstatus = 'F'
+       |  UNION ALL
+       |  SELECT 2 AS v, * FROM orders WHERE o_orderstatus = 'O'
+       |  UNION ALL
+       |  SELECT 3 AS v, * FROM orders WHERE o_orderstatus = 'P')
+       |GROUP BY v, o_orderstatus ORDER BY _commit_version""".stripMargin) {
+    (s, dir) =>
+    val orders = t(s, dir, "orders")
+    val table = freshTable(dir, "orders_tail")
+    TxLog.create(s, table, Tables.orders, statsCol = Some("o_orderkey"))
+    Seq("F", "O", "P").foreach(st =>
+      TxLog.append(s, table, orders.filter(col("o_orderstatus") === st)))
+    val qn = s"graft_tail_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = s.readStream.format("graftlog").option("path", table).load()
+      .writeStream.format("memory").queryName(qn).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn)
+      .groupBy("_commit_version", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("_commit_version")
+  }
+
   val all: Seq[Q] =
     Seq(txlogMergeSnapshot, txlogTimeTravel, txlogPrunedRead, txlogChanges,
-      txlogEvolve)
+      txlogEvolve, txlogStreamTail)
 }

@@ -16,4 +16,19 @@ object GraftSqlBridge {
   /** The analyzed logical plan of a DataFrame (no optimization pass). */
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Wrap an InternalRow RDD as a STREAMING DataFrame — what a V1
+    * streaming Source's getBatch must return (the FileStreamSource
+    * pattern); `internalCreateDataFrame` is private[sql]. */
+  def streamingDataFrame(session: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    session.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The physical RDD of a batch DataFrame (private[sql] queryExecution
+    * on the classic Dataset). */
+  def toRdd(df: DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
 }

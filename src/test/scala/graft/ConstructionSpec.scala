@@ -58,7 +58,7 @@ class ConstructionSpec extends SparkSpec {
     // data-prep, the scan_csv_json fixture precedent) and returns the
     // snapshot read over the result.
     "txlog_merge_snapshot", "txlog_time_travel", "txlog_pruned_read",
-    "txlog_changes_read", "txlog_evolve",
+    "txlog_changes_read", "txlog_evolve", "txlog_stream_tail",
     // Statistics pipeline: first touch registers + ANALYZEs the catalog
     // tables whose stats CBO costing needs (once per JVM; the warehouse
     // ANALYZE-on-ingest shape). Memoized — whether THIS spec sees its

@@ -329,6 +329,58 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, tb).count() == orders.count())
   }
 
+  test("graftlog streaming source: tails append commits exactly once, " +
+      "tags versions, survives restart from checkpoint, fails on rewrites") {
+    val tb = fresh("stream")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.append(spark, tb, orders.filter($"o_orderstatus" === "F")) // v1
+    TxLog.append(spark, tb, orders.filter($"o_orderstatus" === "O")) // v2
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    val seen = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, Long)]() // (commit_version, o_orderkey)
+    def run(): Unit = {
+      val q = spark.readStream.format("graftlog").option("path", tb).load()
+        .select("_commit_version", "o_orderkey")
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => seen.add((r.getLong(0), r.getLong(1))))
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    val nF = orders.filter($"o_orderstatus" === "F").count()
+    val nO = orders.filter($"o_orderstatus" === "O").count()
+    assert(seen.size == nF + nO, s"expected ${nF + nO}, saw ${seen.size}")
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.map(_._1).toSet == Set(1L, 2L),
+      "rows must carry their commit versions")
+    // Incremental tail after restart: ONLY the new commit arrives (the
+    // checkpointed offset proves exactly-once across restarts).
+    TxLog.append(spark, tb, orders.filter($"o_orderstatus" === "P")) // v3
+    run()
+    val nP = orders.filter($"o_orderstatus" === "P").count()
+    assert(seen.size == nF + nO + nP,
+      s"restart must deliver exactly the new commit (saw ${seen.size})")
+    assert(seen.asScala.map(_._1).toSet == Set(1L, 2L, 3L))
+    // A copy-on-write rewrite inside the tail range fails the stream
+    // (append-only change semantics — the tableChanges contract).
+    TxLog.deleteWhere(spark, tb, $"o_totalprice" > 100000)            // v4
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graftlog").option("path", tb).load()
+        .writeStream.option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(err.getMessage.contains("rewrite") ||
+      Option(err.getCause).exists(_.getMessage.contains("rewrite")),
+      s"rewrite in range must fail the stream: ${err.getMessage}")
+  }
+
   test("merge fails fast on duplicate or null source keys (Delta MERGE " +
       "multiple-match semantics)") {
     val tb = fresh("dupkeys")
