@@ -381,6 +381,45 @@ class TxLogSpec extends SparkSpec {
       s"rewrite in range must fail the stream: ${err.getMessage}")
   }
 
+  test("log -> transform -> log: exactly-once on BOTH ends (graftlog " +
+      "source + txLogSink), incremental across restarts, replay no-op") {
+    import org.apache.spark.sql.types.StructType
+    val src = fresh("pipe_src")
+    val dst = fresh("pipe_dst")
+    TxLog.create(spark, src, Tables.orders, Some("o_orderkey"))
+    TxLog.create(spark, dst, StructType.fromDDL(
+      "o_orderkey bigint, o_custkey bigint, o_totalprice double"),
+      Some("o_orderkey"))
+    TxLog.append(spark, src, orders.filter($"o_orderstatus" === "F")) // v1
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pipe_ckpt")
+    def runPipe(checkpoint: String = ckpt.toString): Unit = {
+      val in = spark.readStream.format("graftlog").option("path", src).load()
+      val out = in.filter($"o_totalprice" > 100000)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val q = streaming.Streams.txLogSink(spark, out, dst, checkpoint,
+        appId = "pipe-app")
+      q.awaitTermination()
+    }
+    runPipe()
+    def expect(statuses: String*): Long = orders
+      .filter($"o_orderstatus".isin(statuses: _*) && $"o_totalprice" > 100000)
+      .count()
+    assert(TxLog.snapshot(spark, dst).count() == expect("F"))
+    // Incremental: a new source commit flows through on the next run —
+    // ONLY the delta is read (checkpointed source offset) and appended
+    // (idempotent sink txn).
+    TxLog.append(spark, src, orders.filter($"o_orderstatus" === "O")) // v2
+    runPipe()
+    assert(TxLog.snapshot(spark, dst).count() == expect("F", "O"))
+    // Restart-replay: a FRESH checkpoint re-delivers the full source as
+    // replayed batch ids; the sink's (appId, batchId) high-water mark
+    // turns every replay into a no-op — destination contents unchanged.
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_pipe_ckpt2")
+    runPipe(ckpt2.toString)
+    assert(TxLog.snapshot(spark, dst).count() == expect("F", "O"),
+      "replayed batches must not duplicate destination rows")
+  }
+
   test("merge fails fast on duplicate or null source keys (Delta MERGE " +
       "multiple-match semantics)") {
     val tb = fresh("dupkeys")
