@@ -99,6 +99,39 @@ object TxLogProbe {
     println(f"[txprobe] clustered merge write amplification = $rew2 / $srcN" +
       f" = ${rew2.toDouble / srcN}%.1fx")
     require(TxLog.snapshot(spark, tb2).count() == n)
+
+    // Streaming tail (round-11, the graftlog source): an APPEND-ONLY
+    // ingest table (the source's contract — tb/tb2 carry merge rewrites,
+    // which the source correctly refuses) drained through the real
+    // streaming engine into a foreachBatch counter, then ONE incremental
+    // commit tailed from the checkpoint — the nightly-delta shape.
+    // Measures end-to-end drain throughput and the per-micro-batch
+    // constant.
+    val tb3 = s"/tmp/graft_txprobe/${java.util.UUID.randomUUID()}"
+    TxLog.create(spark, tb3, Tables.orders, Some("o_orderkey"))
+    time("8 appends for the streaming-tail table") {
+      (0L until 8L).foreach { i =>
+        TxLog.append(spark, tb3, orders.filter(
+          col("o_orderkey") >= i * width && col("o_orderkey") < (i + 1) * width))
+      }
+    }
+    val ckpt = s"/tmp/graft_txprobe/ckpt-${java.util.UUID.randomUUID()}"
+    val drained = new java.util.concurrent.atomic.AtomicLong(0)
+    def tailOnce(label: String): Unit = time(label) {
+      val q = spark.readStream.format("graftlog").option("path", tb3).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          drained.addAndGet(b.count()); ()
+        }.start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    tailOnce(s"stream-drain of 8 commits (~$n rows)")
+    require(drained.get() == n, s"drained ${drained.get()} != $n")
+    TxLog.append(spark, tb3, orders.limit(100000))
+    tailOnce("incremental tail of ONE 100k-row commit")
+    require(drained.get() == n + 100000)
+    println(s"[txprobe] stream-drained rows = ${drained.get()}")
     spark.stop()
   }
 }
