@@ -232,10 +232,18 @@ object TxLogOps {
     val q = s.readStream.format("graftlog").option("path", table).load()
       .writeStream.format("memory").queryName(qn).start()
     try q.processAllAvailable() finally q.stop()
-    s.table(qn)
+    // Materialize the 3-row aggregate and DROP the memory sink's temp
+    // view — otherwise every construction pins the full drained corpus
+    // in driver memory for the session lifetime (review round-11).
+    val agg = s.table(qn)
       .groupBy("_commit_version", "o_orderstatus")
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
       .orderBy("_commit_version")
+    val rows = agg.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), agg.schema)
+    s.catalog.dropTempView(qn)
+    out
   }
 
   val all: Seq[Q] =

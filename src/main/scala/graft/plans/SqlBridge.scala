@@ -17,9 +17,9 @@ object GraftSqlBridge {
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 
-  /** Wrap an InternalRow RDD as a STREAMING DataFrame — what a V1
-    * streaming Source's getBatch must return (the FileStreamSource
-    * pattern); `internalCreateDataFrame` is private[sql]. */
+  /** Wrap an InternalRow RDD as a STREAMING DataFrame — the V1 source
+    * fallback for plans with no file relation to re-tag (empty ranges);
+    * `internalCreateDataFrame` is private[sql]. */
   def streamingDataFrame(session: SparkSession,
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
       schema: org.apache.spark.sql.types.StructType): DataFrame =
@@ -31,4 +31,20 @@ object GraftSqlBridge {
   def toRdd(df: DataFrame)
       : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
+
+  /** Re-tag a batch DataFrame's file relations as streaming — what a V1
+    * Source's getBatch must return. This is FileStreamSource's OWN
+    * pattern (`LogicalRelation(..., isStreaming = true)`): because the
+    * plan stays a logical file relation (never a pre-planned opaque RDD),
+    * the engine's per-micro-batch optimization still pushes the query's
+    * filters and projections into the parquet scan. Plans with no file
+    * relation (empty ranges) fall back to a streaming-tagged empty RDD. */
+  def asStreaming(session: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val plan = analyzed(df).transform {
+      case lr: LogicalRelation if !lr.isStreaming => lr.copy(isStreaming = true)
+    }
+    if (plan.isStreaming) ofRows(session, plan)
+    else streamingDataFrame(session, toRdd(df), df.schema)
+  }
 }

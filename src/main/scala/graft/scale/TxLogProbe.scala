@@ -128,9 +128,11 @@ object TxLogProbe {
     }
     tailOnce(s"stream-drain of 8 commits (~$n rows)")
     require(drained.get() == n, s"drained ${drained.get()} != $n")
-    TxLog.append(spark, tb3, orders.limit(100000))
-    tailOnce("incremental tail of ONE 100k-row commit")
-    require(drained.get() == n + 100000)
+    val delta = math.min(n, 100000L).toInt
+    TxLog.append(spark, tb3, orders.limit(delta))
+    tailOnce(s"incremental tail of ONE $delta-row commit")
+    require(drained.get() == n + delta,
+      s"incremental tail drained ${drained.get()}, expected ${n + delta}")
     println(s"[txprobe] stream-drained rows = ${drained.get()}")
     spark.stop()
   }

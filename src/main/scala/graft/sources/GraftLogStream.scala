@@ -20,30 +20,42 @@ import org.apache.spark.sql.types.StructType
   *    (delete/merge/compact/overwrite) inside the range FAILS the stream
   *    rather than silently re-emitting rewritten rows (Delta's default
   *    without ignoreChanges). Appends and streaming-appends flow through.
+  *  - **`startingVersion` option** (default 0 = full history): a table
+  *    that carried maintenance rewrites in its PAST is still tailable —
+  *    `"latest"` starts from the log head at source creation (only new
+  *    commits flow), a number starts at that version inclusive. Without
+  *    it, one historical compact would make a fresh stream permanently
+  *    fail its first batch.
   *  - **Exactly-once**: the engine checkpoints the last committed offset;
   *    a restart replays from it, and version ranges are immutable (the
   *    log is append-only, commits are atomic CREATE_NEW claims), so the
   *    replayed batch is byte-identical. Combined with [[TxLog.appendBatch]]
   *    ([[graft.streaming.Streams.txLogSink]]) this closes the
   *    log → transform → log pipeline with exactly-once on BOTH ends.
+  *  - **Pushdown preserved**: getBatch keeps the commit range as LOGICAL
+  *    file relations re-tagged streaming (FileStreamSource's own
+  *    pattern, GraftSqlBridge.asStreaming), so the streaming query's
+  *    filters and projections still reach each micro-batch's parquet
+  *    scan — at warehouse scale per-batch full-column decode would be
+  *    the dominant wasted cost.
   *  - **100 TB**: getOffset is a log-directory listing (never the data
   *    dir); getBatch opens only the files the tailed commits added —
   *    incremental pipelines (dedup, tokenize, index) process deltas,
   *    never rescan the corpus.
   *
-  * Schema is fixed at source creation (state's schemaDDL +
-  * `_commit_version long`); an ADD COLUMN evolution mid-stream requires
-  * a stream restart, same as Delta. V1 Source API by design: getBatch
-  * returns a DataFrame built from the committed parquet file list, which
-  * is exactly the V1 contract (the FileStreamSource pattern); the DSv2
-  * MicroBatchStream would force a hand-rolled parquet reader for no
-  * additional semantics on a single-table source.
+  * Schema is fixed at source creation ([[TxLog.changesSchema]]); an ADD
+  * COLUMN evolution mid-stream is DETECTED at the next batch and fails
+  * with an explicit restart-the-stream error (not the engine's opaque
+  * output-arity assert), same contract as Delta. V1 Source API by
+  * design: getBatch returns a DataFrame over the committed file list,
+  * which is exactly the V1 contract; a DSv2 MicroBatchStream would force
+  * a hand-rolled parquet reader for no additional semantics on a
+  * single-table source.
   */
-class GraftLogSource(sqlContext: SQLContext, table: String) extends Source {
+class GraftLogSource(sqlContext: SQLContext, table: String,
+    startingVersion: Long) extends Source {
 
-  override val schema: StructType =
-    StructType.fromDDL(TxLog.state(table)._2.schemaDDL)
-      .add("_commit_version", "long", nullable = false)
+  override val schema: StructType = TxLog.changesSchema(table)
 
   private def versionOf(o: OffsetV1): Long = o match {
     case l: LongOffset => l.offset
@@ -57,14 +69,21 @@ class GraftLogSource(sqlContext: SQLContext, table: String) extends Source {
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val from = start.map(versionOf).getOrElse(-1L) // exclusive
+    // start is EXCLUSIVE; a fresh stream begins at startingVersion
+    // inclusive (startingVersion - 1 exclusive).
+    val from = start.map(versionOf).getOrElse(startingVersion - 1)
     val to = versionOf(end)
     val batch = TxLog.tableChanges(sqlContext.sparkSession, table, from, to)
-    // The engine requires a STREAMING DataFrame; rebase the batch plan's
-    // physical RDD under a streaming-tagged relation (FileStreamSource
-    // does the same internally).
-    GraftSqlBridge.streamingDataFrame(sqlContext.sparkSession,
-      GraftSqlBridge.toRdd(batch), batch.schema)
+    // Nullability-erased comparison: file reads surface asNullable while
+    // the log DDL carries NOT NULL — only a name/type change (an evolve
+    // commit) is a real schema change.
+    def shape(s: StructType) = s.map(f => (f.name, f.dataType))
+    if (shape(batch.schema) != shape(schema))
+      throw new IllegalStateException(
+        s"GraftLog table $table changed schema mid-stream (declared " +
+          s"${schema.toDDL}, commits now carry ${batch.schema.toDDL}); " +
+          "schema evolution requires a stream restart")
+    GraftSqlBridge.asStreaming(sqlContext.sparkSession, batch)
   }
 
   override def commit(end: OffsetV1): Unit = ()
@@ -83,15 +102,33 @@ class GraftLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
       throw new IllegalArgumentException(
         "graftlog source requires .option(\"path\", <table dir>)"))
 
+  /** The log defines the schema; a user-supplied one would be silently
+    * wrong (the Kafka/rate fixed-schema-source convention is to refuse). */
+  private def rejectUserSchema(schema: Option[StructType]): Unit =
+    schema.foreach(s => throw new IllegalArgumentException(
+      s"graftlog source defines its own schema from the table log; " +
+        s"remove .schema(${s.simpleString})"))
+
+  private def startingVersion(parameters: Map[String, String],
+      table: String): Long =
+    parameters.get("startingversion").orElse(parameters.get("startingVersion"))
+      .map {
+        case "latest" => TxLog.latestVersion(table) + 1
+        case v => v.toLong
+      }.getOrElse(0L)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(),
-      StructType.fromDDL(TxLog.state(tablePath(parameters))._2.schemaDDL)
-        .add("_commit_version", "long", nullable = false))
+      parameters: Map[String, String]): (String, StructType) = {
+    rejectUserSchema(schema)
+    (shortName(), TxLog.changesSchema(tablePath(parameters)))
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
-    new GraftLogSource(sqlContext, tablePath(parameters))
+      parameters: Map[String, String]): Source = {
+    rejectUserSchema(schema)
+    val table = tablePath(parameters)
+    new GraftLogSource(sqlContext, table, startingVersion(parameters, table))
+  }
 }

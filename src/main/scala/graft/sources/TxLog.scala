@@ -591,6 +591,14 @@ object TxLog {
     * new data — encountering one in the range throws rather than
     * double-counting (full change-data-feed semantics would need per-row
     * change tagging at rewrite time; append-only is the ingest shape). */
+  /** Schema of a change read: the table's CURRENT schema plus the
+    * `_commit_version` tag — the single definition [[tableChanges]] and
+    * the streaming source both build from (three hand-copies drifted
+    * apart would fail streams with an opaque engine assert). */
+  def changesSchema(table: String): StructType =
+    StructType.fromDDL(state(table)._2.schemaDDL)
+      .add("_commit_version", "long", nullable = false)
+
   def tableChanges(spark: SparkSession, table: String, fromExclusive: Long,
       toInclusive: Long): DataFrame = {
     val (_, meta) = state(table)
@@ -610,7 +618,7 @@ object TxLog {
     if (adds.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema.add("_commit_version", "long", nullable = false))
+        changesSchema(table))
     adds.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, fs) =>
       spark.read.schema(schema).parquet(fs.map(_._2.path): _*)
         .withColumn("_commit_version", lit(v))

@@ -338,13 +338,20 @@ class TxLogSpec extends SparkSpec {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
     val seen = java.util.concurrent.ConcurrentHashMap
       .newKeySet[(Long, Long)]() // (commit_version, o_orderkey)
+    // Raw delivery COUNT alongside the set: the set dedups, so it only
+    // proves no-loss — the counter catches double delivery too (review
+    // round-11).
+    val delivered = new java.util.concurrent.atomic.AtomicLong(0)
     def run(): Unit = {
       val q = spark.readStream.format("graftlog").option("path", tb).load()
         .select("_commit_version", "o_orderkey")
         .writeStream
         .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-          df.collect().foreach(r => seen.add((r.getLong(0), r.getLong(1))))
+          df.collect().foreach { r =>
+            seen.add((r.getLong(0), r.getLong(1)))
+            delivered.incrementAndGet()
+          }
           ()
         }
         .start()
@@ -355,6 +362,8 @@ class TxLogSpec extends SparkSpec {
     val nF = orders.filter($"o_orderstatus" === "F").count()
     val nO = orders.filter($"o_orderstatus" === "O").count()
     assert(seen.size == nF + nO, s"expected ${nF + nO}, saw ${seen.size}")
+    assert(delivered.get() == nF + nO,
+      s"rows delivered MORE than once: ${delivered.get()} vs ${nF + nO}")
     import scala.jdk.CollectionConverters._
     assert(seen.asScala.map(_._1).toSet == Set(1L, 2L),
       "rows must carry their commit versions")
@@ -365,6 +374,8 @@ class TxLogSpec extends SparkSpec {
     val nP = orders.filter($"o_orderstatus" === "P").count()
     assert(seen.size == nF + nO + nP,
       s"restart must deliver exactly the new commit (saw ${seen.size})")
+    assert(delivered.get() == nF + nO + nP,
+      s"restart re-delivered rows: ${delivered.get()} vs ${nF + nO + nP}")
     assert(seen.asScala.map(_._1).toSet == Set(1L, 2L, 3L))
     // A copy-on-write rewrite inside the tail range fails the stream
     // (append-only change semantics — the tableChanges contract).
@@ -379,6 +390,63 @@ class TxLogSpec extends SparkSpec {
     assert(err.getMessage.contains("rewrite") ||
       Option(err.getCause).exists(_.getMessage.contains("rewrite")),
       s"rewrite in range must fail the stream: ${err.getMessage}")
+  }
+
+  test("graftlog startingVersion: a table with a HISTORICAL rewrite is " +
+      "tailable from past it; user-supplied schemas are refused") {
+    val tb = fresh("startver")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.append(spark, tb, orders.limit(100))                 // v1
+    TxLog.deleteWhere(spark, tb, $"o_orderkey" > 50)           // v2: rewrite
+    TxLog.append(spark, tb, orders.orderBy($"o_orderkey".desc)
+      .limit(30))                                              // v3
+    // Default (full history) fails on the v2 rewrite...
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graftlog").option("path", tb).load()
+        .writeStream
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // ...but startingVersion = 3 tails the appends past it,
+    val got = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.format("graftlog").option("path", tb)
+      .option("startingVersion", "3").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.addAndGet(df.count()); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.get() == 30, s"startingVersion=3 must deliver exactly v3's " +
+      s"30 rows, got ${got.get()}")
+    // ...and a user schema is rejected up front, not silently ignored.
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graftlog").option("path", tb)
+        .schema(Tables.orders).load()
+    }
+  }
+
+  test("graftlog detects mid-stream schema evolution with an explicit " +
+      "restart error, not the engine's opaque arity assert") {
+    val tb = fresh("evostream")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.append(spark, tb, orders.limit(10))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graftlog").option("path", tb).load()
+        .writeStream
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      try {
+        q.processAllAvailable() // v1 drains fine
+        TxLog.addColumn(tb, "o_band", "string") // evolve mid-stream
+        TxLog.append(spark, tb, orders.limit(5).withColumn("o_band", lit("x")))
+        q.processAllAvailable() // next batch must fail CLEARLY
+      } finally q.stop()
+    }
+    val msg = err.getMessage +
+      Option(err.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("restart"), s"expected a restart-the-stream error: $msg")
   }
 
   test("log -> transform -> log: exactly-once on BOTH ends (graftlog " +
