@@ -25,6 +25,9 @@ object PlanAudit {
     // broadcast; round-11 folded the count as a plan-time literal, so a
     // BNLJ reappearing in those plans is now a REGRESSION the audit flags.
     "bm25_topk",         // 1-row (N, avgdl) stats broadcast
+    "search_query_elevation", "search_field_collapse", // same bm25 kernel
+    // (elevation additionally full-outer-joins a 2-row editorial map;
+    // full outer cannot broadcast-hash, so the tiny side rides the NLJ)
     "rank_fusion_rrf",   // 1-row query-vector + 1-row bm25-stats broadcasts
     "relevance_ndcg", "relevance_prk", // 3-row query-terms broadcast
     "corpus_mixture_stats", // 1-row token-total broadcast

@@ -463,7 +463,81 @@ object CorpusOps {
       .orderBy("lang", "doc_id")
   }
 
+  /** Solr QueryElevationComponent semantics: a curated elevation map pins
+    * specific documents at the top in CURATED order (even when they score
+    * 0 for the query — coalesced via the full outer join), an exclusion
+    * list removes documents entirely, and organic BM25 ranking fills the
+    * rest. The elevation/exclusion maps are editorial config — tiny by
+    * nature, broadcast literals here, a broadcast dim table at 100 TB;
+    * the organic arm is bm25_topk's scale shape unchanged, and the final
+    * ranking is TakeOrderedAndProject. */
+  val searchQueryElevation = Q(
+    "search_query_elevation",
+    s"""WITH $Bm25OracleCtes,
+       |elev AS (SELECT * FROM (VALUES (CAST(7 AS BIGINT), 1),
+       |                               (CAST(42 AS BIGINT), 2)) e(doc_id, elev_rank)),
+       |exc AS (SELECT CAST(13 AS BIGINT) AS doc_id),
+       |cand AS (
+       |  SELECT COALESCE(b.doc_id, e.doc_id) AS doc_id,
+       |    COALESCE(b.bm25, 0.0) AS bm25, e.elev_rank
+       |  FROM bm b FULL OUTER JOIN elev e ON b.doc_id = e.doc_id)
+       |SELECT doc_id, CAST(elev_rank IS NOT NULL AS BIGINT) AS elevated, bm25
+       |FROM cand WHERE doc_id NOT IN (SELECT doc_id FROM exc)
+       |ORDER BY elevated DESC, elev_rank ASC NULLS LAST, bm25 DESC, doc_id
+       |LIMIT 20""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val organic = bm25Scores(t(s, dir, "documents"))
+    val elev = Seq((7L, 1), (42L, 2)).toDF("e_doc_id", "elev_rank")
+    organic.join(broadcast(elev), col("doc_id") === col("e_doc_id"),
+        "full_outer")
+      .select(coalesce(col("doc_id"), col("e_doc_id")).as("doc_id"),
+        coalesce(col("bm25"), lit(0.0)).as("bm25"), col("elev_rank"))
+      .filter(col("doc_id") =!= 13L)
+      .select(col("doc_id"),
+        col("elev_rank").isNotNull.cast("long").as("elevated"), col("bm25"))
+      .orderBy(col("elevated").desc, col("elev_rank").asc_nulls_last,
+        col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Solr field collapsing (collapse + expand counts): one result row per
+    * `source` group — the group's best-scoring document for the query —
+    * plus the collapsed group size. The per-group pick is max_by over a
+    * keyed aggregation (one shuffle on the collapse field, no window);
+    * group count rides the same aggregation. At 100 TB the shuffle
+    * carries only query-term-matching docs (bm25_topk's term-filter-first
+    * shape upstream). */
+  val searchFieldCollapse = Q(
+    "search_field_collapse",
+    s"""WITH $Bm25OracleCtes,
+       |scored AS (
+       |  SELECT d.source, b.doc_id, b.bm25
+       |  FROM bm b JOIN documents d USING (doc_id))
+       |SELECT source,
+       |  (ARRAY_AGG(doc_id ORDER BY bm25 DESC, doc_id))[1] AS top_doc_id,
+       |  MAX(bm25) AS top_bm25,
+       |  COUNT(*) AS n_collapsed
+       |FROM scored GROUP BY source
+       |ORDER BY top_bm25 DESC, source""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    bm25Scores(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(
+        // max_by with an explicit (bm25, -doc_id) struct: DETERMINISTIC
+        // tie-break to the lowest doc_id (bare max_by ties are
+        // partition-order-dependent).
+        max(struct(col("bm25"), (-col("doc_id")).as("neg_id")))
+          .getField("neg_id").unary_-.as("top_doc_id"),
+        max(col("bm25")).as("top_bm25"),
+        count(lit(1)).as("n_collapsed"))
+      .select(col("source"), col("top_doc_id"), col("top_bm25"),
+        col("n_collapsed"))
+      .orderBy(col("top_bm25").desc, col("source"))
+  }
+
   val all: Seq[Q] = Seq(bm25TopK, decontaminateNgram, textRepetition,
     mixtureStats, embeddingQuantize, textNormalize, textHeavyHitters,
-    textTokenEntropy, dedupParagraph, packSequences)
+    textTokenEntropy, dedupParagraph, packSequences, searchQueryElevation,
+    searchFieldCollapse)
 }
