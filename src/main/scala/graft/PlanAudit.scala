@@ -26,6 +26,7 @@ object PlanAudit {
     // BNLJ reappearing in those plans is now a REGRESSION the audit flags.
     "bm25_topk",         // 1-row (N, avgdl) stats broadcast
     "search_query_elevation", "search_field_collapse", // same bm25 kernel
+    "search_cursor_page", // + a 1-row cursor-anchor broadcast
     // (elevation additionally full-outer-joins a 2-row editorial map;
     // full outer cannot broadcast-hash, so the tiny side rides the NLJ)
     "rank_fusion_rrf",   // 1-row query-vector + 1-row bm25-stats broadcasts

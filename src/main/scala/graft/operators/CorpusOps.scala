@@ -536,8 +536,38 @@ object CorpusOps {
       .orderBy(col("top_bm25").desc, col("source"))
   }
 
+  /** Solr cursorMark semantics — OFFSET-free deep paging: the cursor is
+    * the last row's full sort tuple (bm25, doc_id), and the next page is
+    * a FILTER on the total order + top-k, so page N costs the same
+    * one filtered top-k pass as page 1. At 100 TB this is the difference
+    * between deep paging and a job that materializes-and-discards
+    * offset·pagesize rows per request (why Solr deprecated start= for
+    * deep pages). The cursor here is the 5th-ranked row's tuple, derived
+    * IN-PLAN (a 1-row broadcast of the anchor subquery — no driver
+    * round-trip), returning ranks 6–15. */
+  val searchCursorPage = Q(
+    "search_cursor_page",
+    s"""WITH $Bm25OracleCtes,
+       |anchor AS (
+       |  SELECT bm25, doc_id FROM bm
+       |  ORDER BY bm25 DESC, doc_id LIMIT 1 OFFSET 4)
+       |SELECT b.doc_id, b.bm25 FROM bm b, anchor a
+       |WHERE b.bm25 < a.bm25 OR (b.bm25 = a.bm25 AND b.doc_id > a.doc_id)
+       |ORDER BY b.bm25 DESC, b.doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+    val scored = bm25Scores(t(s, dir, "documents"))
+    val anchor = scored.orderBy(col("bm25").desc, col("doc_id"))
+      .limit(5).orderBy(col("bm25").asc, col("doc_id").desc).limit(1)
+      .select(col("bm25").as("a_bm25"), col("doc_id").as("a_doc_id"))
+    scored.crossJoin(broadcast(anchor))
+      .filter(col("bm25") < col("a_bm25") ||
+        (col("bm25") === col("a_bm25") && col("doc_id") > col("a_doc_id")))
+      .select("doc_id", "bm25")
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(bm25TopK, decontaminateNgram, textRepetition,
     mixtureStats, embeddingQuantize, textNormalize, textHeavyHitters,
     textTokenEntropy, dedupParagraph, packSequences, searchQueryElevation,
-    searchFieldCollapse)
+    searchFieldCollapse, searchCursorPage)
 }
