@@ -79,6 +79,25 @@ class DimsSpec extends SparkSpec {
     }
   }
 
+  test("a localized arm feeds non-broadcast consumers correctly " +
+      "(doExecute path: aggregates, shuffles)") {
+    Dims.clear()
+    val src = Tables.load(spark, sfDir, "nation")
+      .select("n_nationkey", "n_regionkey")
+    val local = Dims.localizeSmall(src, "dimspec-exec", 16).get
+    // Aggregate over the local relation — runs through doExecute
+    // (parallelize), not the overridden collect paths.
+    val got = local.groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n")).orderBy("n_regionkey")
+      .collect().map(r => (r.get(0), r.getLong(1))).toSeq
+    val want = src.groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n")).orderBy("n_regionkey")
+      .collect().map(r => (r.get(0), r.getLong(1))).toSeq
+    assert(got == want)
+    // And through a repartition (shuffle write/read of the local rows).
+    assert(local.repartition(4).count() == src.count())
+  }
+
   test("second construction of q3/q5 runs zero jobs (VERDICT r10 item 2)") {
     SparkEntry.queries("q3_shipping_priority")(spark, sfDir)
     SparkEntry.queries("q5_local_supplier")(spark, sfDir)
