@@ -77,7 +77,14 @@ object SortedIntersectCount {
       if (va.isNullAt(i) || vb.isNullAt(j)) return c // null tail: no matches
       val x = va.getUTF8String(i)
       val y = vb.getUTF8String(j)
-      val cmp = x.compareTo(y)
+      // binaryCompare, NEVER compareTo: Spark 4's compareTo re-reads the
+      // SPARK_TESTING env var on EVERY call (System.getenv — a
+      // synchronized map + ASCII encode) and throws under test
+      // environments. On the sfx100 dedup-verify cartesian this single
+      // call turned a minutes-pass into a 32-thread getenv contention
+      // stall (jstack round-11); identical ordering semantics —
+      // compareTo itself just delegates to binaryCompare.
+      val cmp = x.binaryCompare(y)
       if (cmp < 0) i += 1
       else if (cmp > 0) j += 1
       else { c += 1; i += 1; j += 1 }
