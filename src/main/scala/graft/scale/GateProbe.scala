@@ -4,6 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables
 
+/** Diagnostic: print every input to q5's customer-arm gate decision at a
+  * given corpus dir (plan-stats bytes, measured counts, the
+  * Dims.localizeSmall outcome + its wall cost). Round-11 used it to pin
+  * the sfx100 regression where localize refusal forced an
+  * optimizer-broadcastable arm onto shuffle_hash — keep it for future
+  * gate forensics. Usage: GateProbe <sfDir>. */
 object GateProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
