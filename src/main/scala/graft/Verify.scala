@@ -104,7 +104,10 @@ object Verify {
     // (500 k docs) that is 10^11 pair comparisons and a targeted scale
     // run of two pruning keys hung for 15 minutes in the selfcheck block
     // (round-11). Skip them, loudly, above the verify tiers.
-    val selfcheckCap = 100000L
+    // 10 k covers the driver tiers exactly (sf0.01 = 500 docs, sf0.1 =
+    // 5 000); the next replica tier (50 k docs) already means ~1.25e9
+    // forced-exact pairs — measured as a multi-hundred-second stall.
+    val selfcheckCap = 10000L
     val selfcheckDocs = Tables.load(spark, sfDir, "documents").count()
     if (selfcheckDocs > selfcheckCap)
       println(s"[verify] selfchecks SKIPPED at $selfcheckDocs docs " +
