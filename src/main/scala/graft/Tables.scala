@@ -187,7 +187,26 @@ object Tables {
   val bucketKeys: Map[String, String] =
     Map("orders" -> "o_orderkey", "lineitem" -> "l_orderkey")
 
+  /** Ceiling for the per-dir bucket count (one bucket ≈ one scan task on
+    * the bucketed copies; 32 matches the local[32] harness). */
   val BucketCount = 32
+
+  /** Bucket count for `dir`, sized to the LARGEST fact's source bytes
+    * (~2 MB/bucket, the same split target the bench uses) and clamped to
+    * [4, BucketCount]. Both facts share the count — co-located joins need
+    * matching bucket counts. Sizing to volume, not a constant, is the
+    * round-1 doctrine: at sf0.1 a 32-bucket layout planned 32 scan TASKS
+    * per fact scan for <1 ms of work each — pure dispatch constant
+    * (NOTES_r11 floor table); at sf1+ the clamp restores full-width
+    * parallelism. At 100 TB the analogous knob is files-per-partition. */
+  def bucketCountFor(dir: String): Int = {
+    val bytes = bucketKeys.keys.map { n =>
+      val f = new java.io.File(s"$dir/$n.parquet")
+      if (f.isDirectory) f.listFiles().map(_.length).sum else f.length
+    }.max
+    math.max(4, math.min(BucketCount.toLong,
+      (bytes + (2L << 20) - 1) / (2L << 20))).toInt
+  }
 
   /** Conventional location of the bucketed copy for `dir`/`name` — under
     * the invoking user's home (owner-only), NOT a world-writable /tmp
@@ -243,16 +262,30 @@ object Tables {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  /** True when a bucketed copy exists and its recorded source fingerprint
-    * matches the current source files. */
-  private def bucketedValid(dir: String, name: String): Boolean = {
+  /** Marker content: the bucket count the copy was written with + the
+    * source fingerprint. Pre-round-12 markers (bare fingerprint) fail the
+    * compare and the copy regenerates under the sized count. */
+  private def bucketedMarker(dir: String, name: String, buckets: Int): String =
+    s"buckets=$buckets;${fingerprint(s"$dir/$name.parquet")}"
+
+  /** The bucket count recorded in a copy's marker, when the copy is fresh
+    * (fingerprint matches the current source files). */
+  private def bucketedCount(dir: String, name: String): Option[Int] = {
     val marker = new java.io.File(s"${bucketedPath(dir, name)}/_graft_layout")
-    marker.isFile && {
+    if (!marker.isFile) None
+    else {
       val recorded = new String(
         java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
-      recorded == fingerprint(s"$dir/$name.parquet")
+      "^buckets=(\\d+);".r.findFirstMatchIn(recorded)
+        .map(_.group(1).toInt)
+        .filter(n => recorded == bucketedMarker(dir, name, n))
     }
   }
+
+  /** True when a bucketed copy exists and its recorded source fingerprint
+    * matches the current source files. */
+  private def bucketedValid(dir: String, name: String): Boolean =
+    bucketedCount(dir, name).isDefined
 
   /** Return the bucketed copy as a catalog-backed DataFrame when present,
     * fresh, and not disabled via SPARK_GRAFT_BUCKETED=false. Registration
@@ -264,16 +297,20 @@ object Tables {
     * GC'd sessions and silently skip the DDL (review round-10). */
   private def loadBucketed(spark: SparkSession, dir: String,
       name: String): Option[DataFrame] =
-    bucketKeys.get(name).filter(_ =>
-        sys.env.getOrElse("SPARK_GRAFT_BUCKETED", "true") != "false" &&
-        bucketedValid(dir, name))
-      .map { key =>
-        val table = s"graft_b_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$name"
+    bucketKeys.get(name)
+      .filter(_ => sys.env.getOrElse("SPARK_GRAFT_BUCKETED", "true") != "false")
+      .flatMap(key => bucketedCount(dir, name).map((key, _)))
+      .map { case (key, buckets) =>
+        // Table name carries the bucket count: a mid-JVM regeneration
+        // under a different sizing must not be served through stale
+        // CREATE TABLE IF NOT EXISTS metadata registered for the old one.
+        val table =
+          s"graft_b_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${name}_b$buckets"
         if (!spark.catalog.tableExists(table))
           spark.sql(
             s"""CREATE TABLE IF NOT EXISTS $table (${schemas(name).toDDL})
                |USING PARQUET
-               |CLUSTERED BY ($key) SORTED BY ($key) INTO $BucketCount BUCKETS
+               |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
                |LOCATION '${bucketedPath(dir, name)}'""".stripMargin)
         spark.table(table)
       }
@@ -283,22 +320,30 @@ object Tables {
     * tasks with bucket ids (same murmur hash + modulus), so each bucket is
     * ONE file and the SORTED BY metadata stays usable — Spark ignores
     * per-bucket sort order when a bucket has multiple files. */
-  def materializeBuckets(spark: SparkSession, dir: String): Unit =
+  def materializeBuckets(spark: SparkSession, dir: String): Unit = {
+    // A materialization only runs when the source fingerprint changed (or
+    // no copy existed) — the one signal the engine gets that `dir`'s
+    // content may have been regenerated mid-JVM. Memoized dimension arms
+    // and gate counts over that dir are stale the same way the layout copy
+    // was; drop them so the next construction re-reads (advice round-12).
+    Dims.clear()
+    val buckets = bucketCountFor(dir)
     bucketKeys.foreach { case (name, key) =>
       val target = bucketedPath(dir, name)
       val src = s"$dir/$name.parquet"
       val tmpTable = s"graft_build_${name}_${System.nanoTime()}"
       spark.read.schema(schemas(name)).parquet(src)
-        .repartition(BucketCount, org.apache.spark.sql.functions.col(key))
+        .repartition(buckets, org.apache.spark.sql.functions.col(key))
         .write.mode("overwrite")
-        .bucketBy(BucketCount, key).sortBy(key)
+        .bucketBy(buckets, key).sortBy(key)
         .option("path", target)
         .saveAsTable(tmpTable)
       spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // files stay (external)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$target/_graft_layout"),
-        fingerprint(src).getBytes("UTF-8"))
+        bucketedMarker(dir, name, buckets).getBytes("UTF-8"))
     }
+  }
 
   // ------------------------------------------------------------------
   // Date-partitioned events layout (round-11, VERDICT r10 item 6): the
@@ -331,6 +376,7 @@ object Tables {
     * aligns write tasks with directories). */
   def materializePartitionedEvents(spark: SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.functions.{col, to_date}
+    Dims.clear() // same staleness signal as materializeBuckets (advice r12)
     val target = partitionedEventsPath(dir)
     loadEvents(spark, s"$dir/events.parquet")
       .withColumn("event_date", to_date(col("ts")))

@@ -107,13 +107,15 @@ object Verify {
     // 10 k covers the driver tiers exactly (sf0.01 = 500 docs, sf0.1 =
     // 5 000); the next replica tier (50 k docs) already means ~1.25e9
     // forced-exact pairs — measured as a multi-hundred-second stall.
+    // Only the FORCED-EXACT ground-truth passes are quadratic; the linear
+    // checks (codec determinism hashes, index row accounting, BPE laws,
+    // sketch tolerances, recall ledgers) run at EVERY tier — gating the
+    // whole block dropped verification coverage to zero at replica tiers
+    // instead of just skipping the quadratic passes (advice round-12).
     val selfcheckCap = 10000L
     val selfcheckDocs = Tables.load(spark, sfDir, "documents").count()
-    if (selfcheckDocs > selfcheckCap)
-      println(s"[verify] selfchecks SKIPPED at $selfcheckDocs docs " +
-        s"(> $selfcheckCap): their forced-exact ground-truth passes are " +
-        "quadratic by design; the driver's sf0.01 tier runs them")
-    else locally {
+    val selfcheckEmb = Tables.load(spark, sfDir, "embeddings").count()
+    locally {
       import org.apache.spark.sql.functions._
       val lines = scala.collection.mutable.ArrayBuffer.empty[String]
       def check(key: String)(body: => String): Unit =
@@ -125,6 +127,19 @@ object Verify {
           lines += s"""${q(key)}: {"error": ${q(String.valueOf(e.getMessage))}, "pass": false}"""
           System.err.println(s"[verify] selfcheck $key failed: ${e.getMessage}")
         }
+      // Quadratic-by-design ground truth (all-pairs Jaccard / forced-exact
+      // top-100 over the whole corpus): 10 k covers the driver tiers
+      // exactly (sf0.01 = 500 docs, sf0.1 = 5 000); the next replica tier
+      // (50 k docs) already means ~1.25e9 forced-exact pairs — measured as
+      // a multi-hundred-second stall (round-11). Skip THESE loudly above
+      // the verify tiers; everything linear still runs.
+      def checkQuadratic(key: String, n: Long)(body: => String): Unit =
+        if (n > selfcheckCap) {
+          val l = s"""{"skipped": true, "reason": "forced-exact ground """ +
+            s"""truth is quadratic by design", "n": $n, "cap": $selfcheckCap}"""
+          lines += s"""${q(key)}: $l"""
+          println(s"[verify-selfcheck] $key $l")
+        } else check(key)(body)
       // Raw Double interpolation would emit NaN/Infinity — unparseable
       // JSON, and `NaN >= floor` is silently false — so non-finite values
       // become an explicit thrown error (check() turns it into a parseable
@@ -211,7 +226,7 @@ object Verify {
           .select("a_id", "b_id")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       }
-      check("ann_lsh_topk") {
+      checkQuadratic("ann_lsh_topk", selfcheckEmb) {
         val approx = SparkEntry.queries("ann_lsh_topk")(spark, sfDir)
           .select("a_id", "b_id")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -231,7 +246,7 @@ object Verify {
       // MinHash-LSH dedup recall vs the exact n-gram Jaccard pass (forced
       // exact; every minhash pair is already exact-Jaccard-verified, so
       // precision is 1.0 by construction and recall is the open number).
-      check("dedup_near_minhash") {
+      checkQuadratic("dedup_near_minhash", selfcheckDocs) {
         val docs = Tables.load(spark, sfDir, "documents")
         val truth = graft.operators.TextOps
           .ngramJaccardPairs(docs, 0.4, maxExactRows = Long.MaxValue)

@@ -15,12 +15,14 @@ import graft.{Parity, Q, Tables}
   * skipped before any row is read.
   *
   * The corpus ships unpartitioned single files, so the declared query
-  * first re-lays events out partitioned by `event_type` (one bounded
-  * fixture write per (dir, JVM) — the scan_csv_json convention), then
-  * runs the canonical DPP shape: fact ⋈ dim on the partition column with
-  * the selective filter on the DIM ONLY. DppSpec asserts the fact scan
-  * carries `dynamicpruning` and that only the joined partitions' files
-  * are read; the oracle replays the semantics from the original table.
+  * reads the fingerprint-guarded (event_date, event_type) hive-partitioned
+  * Tables layout copy ([[graft.Tables.ensurePartitionedEvents]] — the same
+  * warehouse layout `scan_date_pruned` reads; round-11 replaced the old
+  * per-query /tmp fixture), then runs the canonical DPP shape: fact ⋈ dim
+  * on the partition column with the selective filter on the DIM ONLY.
+  * DppSpec asserts the fact scan carries `dynamicpruning` and that only
+  * the joined partitions' files are read; the oracle replays the
+  * semantics from the original table.
   */
 object DppOps {
   private val laidOut =

@@ -228,22 +228,36 @@ object TxLogOps {
     TxLog.create(s, table, Tables.orders, statsCol = Some("o_orderkey"))
     Seq("F", "O", "P").foreach(st =>
       TxLog.append(s, table, orders.filter(col("o_orderstatus") === st)))
-    val qn = s"graft_tail_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // Aggregate INSIDE foreachBatch (advice round-12): a memory sink holds
+    // every drained row in driver memory until the view drops — at a
+    // replica tier (150 M-row probes) that is a driver OOM by
+    // construction. Here each micro-batch reduces DISTRIBUTED to its
+    // group-level partials (exact DECIMAL sums — no per-batch rounding,
+    // so the final round-once matches the single-pass dsum bit-for-bit on
+    // the cent grid) and the driver only ever buffers those few rows per
+    // batch; peak driver memory is O(batches × groups), not O(corpus).
+    val partials = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.Row]())
+    @volatile var pSchema: org.apache.spark.sql.types.StructType = null
     val q = s.readStream.format("graftlog").option("path", table).load()
-      .writeStream.format("memory").queryName(qn).start()
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val p = batch.groupBy("_commit_version", "o_orderstatus")
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice")
+                .cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("s"))
+          if (pSchema == null) pSchema = p.schema
+          partials.addAll(java.util.Arrays.asList(p.collect(): _*))
+          ()
+      }.start()
     try q.processAllAvailable() finally q.stop()
-    // Materialize the 3-row aggregate and DROP the memory sink's temp
-    // view — otherwise every construction pins the full drained corpus
-    // in driver memory for the session lifetime (review round-11).
-    val agg = s.table(qn)
+    require(pSchema != null, "graftlog stream tail produced no micro-batch")
+    s.createDataFrame(partials, pSchema)
       .groupBy("_commit_version", "o_orderstatus")
-      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .agg(sum(col("n")).as("n"),
+        round(sum(col("s")), 2)
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_price"))
       .orderBy("_commit_version")
-    val rows = agg.collect()
-    val out = s.createDataFrame(
-      java.util.Arrays.asList(rows: _*), agg.schema)
-    s.catalog.dropTempView(qn)
-    out
   }
 
   val all: Seq[Q] =

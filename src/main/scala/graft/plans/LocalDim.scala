@@ -36,14 +36,21 @@ case class LocalDimRelation(output: Seq[Attribute], rows: Array[UnsafeRow])
 
 case class LocalDimScanExec(output: Seq[Attribute], rows: Array[UnsafeRow])
     extends LeafExecNode {
+  // Every collect-shaped path returns COPIES: the backing array is
+  // memoized for the JVM lifetime (graft.Dims), so a consumer that
+  // mutates or retains-and-rewrites a returned row would corrupt every
+  // later plan built from the same memoized arm (advice round-12).
+  // UnsafeRow.copy is a bounded byte-array clone and the arm is under the
+  // broadcast byte gate by construction, so the per-action cost is at
+  // most a few MB of driver memcpy — still zero jobs.
   override def executeCollect(): Array[InternalRow] =
-    rows.asInstanceOf[Array[InternalRow]]
+    rows.map(_.copy(): InternalRow)
   override def executeCollectIterator(): (Long, Iterator[InternalRow]) =
-    (rows.length.toLong, rows.iterator)
+    (rows.length.toLong, rows.iterator.map(_.copy(): InternalRow))
   override def executeTake(n: Int): Array[InternalRow] =
-    rows.take(n).asInstanceOf[Array[InternalRow]]
+    rows.take(n).map(_.copy(): InternalRow)
   override def executeTail(n: Int): Array[InternalRow] =
-    rows.takeRight(n).asInstanceOf[Array[InternalRow]]
+    rows.takeRight(n).map(_.copy(): InternalRow)
   protected override def doExecute(): RDD[InternalRow] =
     sparkContext.parallelize(rows.toIndexedSeq, numSlices = 1)
       .map(_.asInstanceOf[InternalRow])
