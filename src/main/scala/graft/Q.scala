@@ -81,4 +81,25 @@ object Parity {
     s"CAST(ROUND(SUM(CAST($expr AS DECIMAL(18,4))), 2) AS DOUBLE)"
   /** SQL twin of [[ravg]]. */
   def sqlRavg(expr: String): String = s"ROUND(AVG($expr), 4)"
+
+  /** Global ORDER BY of a DOMAIN-BOUNDED final result.
+    *
+    * For a result whose cardinality is fixed by a column DOMAIN (status /
+    * flag / nation / event-type groupings — a few to a few hundred rows at
+    * ANY corpus size), a range-exchange sort is the wrong plan: it adds a
+    * whole extra shuffle stage (plus, for non-aggregate inputs, a
+    * range-sampling job) to order rows that fit in one task at 100 TB as
+    * surely as at sf0.001. `coalesce(1)` is a NARROW dependency over the
+    * final-aggregate partitions — the merge task reads the (already
+    * partially-aggregated, domain-bounded) shuffle output and sorts it
+    * in-stage, so the plan is scan → one shuffle → merge+sort: one stage
+    * and ~45 ms of per-action dispatch less than the range-exchange form
+    * (NOTES_r11 floor table). The distributed aggregation below the sort
+    * is untouched — this is a FINAL-RESULT merge, the same single-stream
+    * tail every engine's ORDER-BY-tiny-result plan has.
+    *
+    * Do NOT use on corpus-linear outputs (per-doc, per-customer rows):
+    * those need the distributed range sort. */
+  def sortedSmall(df: DataFrame, cols: Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols: _*)
 }

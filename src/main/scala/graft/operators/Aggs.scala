@@ -63,7 +63,7 @@ object Aggs {
       t(s, dir, "orders")
         .groupBy("o_orderstatus")
         .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))
-        .orderBy("o_orderstatus")
+        .transform(sortedSmall(_, col("o_orderstatus")))
   }
 
   /** D4 — HLL++ approximate distinct. No SQL oracle (engine-specific HLL
@@ -72,7 +72,7 @@ object Aggs {
     t(s, dir, "orders")
       .groupBy("o_orderstatus")
       .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
-      .orderBy("o_orderstatus")
+      .transform(sortedSmall(_, col("o_orderstatus")))
   }
 
   /** D5 — rollup subtotal hierarchy. */
@@ -86,8 +86,8 @@ object Aggs {
       t(s, dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
-        .orderBy(col("o_orderstatus").asc_nulls_first,
-          col("o_orderpriority").asc_nulls_first)
+        .transform(sortedSmall(_, col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first))
   }
 
   /** D6 — cube: all grouping combinations. */

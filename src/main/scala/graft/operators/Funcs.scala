@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{Parity, Q, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -165,7 +165,7 @@ object Funcs {
         .agg(
           count(lit(1)).as("n"),
           sum(k).as("sum_k"), min(k).as("min_k"), max(k).as("max_k"))
-        .orderBy("event_type")
+        .transform(Parity.sortedSmall(_, col("event_type")))
   }
 
   /** H3-adjacent — bitwise surface: AND/OR/XOR, shifts, popcount — the

@@ -400,7 +400,7 @@ object Joins {
       .groupBy("n_name")
       .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
         .cast("double").as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      .transform(sortedSmall(_, col("revenue").desc, col("n_name")))
   }
 
   /** C-adjacent — NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM):

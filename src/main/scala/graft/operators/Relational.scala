@@ -55,7 +55,7 @@ object Relational {
         ravg(col("l_extendedprice")).as("avg_price"),
         ravg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .transform(sortedSmall(_, col("l_returnflag"), col("l_linestatus")))
   }
 
   /** B2/D2 — TPC-H q6 forecast revenue: tight scan-filter-global-agg. */

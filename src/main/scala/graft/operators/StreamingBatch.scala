@@ -29,7 +29,10 @@ object StreamingBatch {
           sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
         .select(col("window.start").as("hour_start"), col("event_type"),
           col("n"), col("sum_value"))
-        .orderBy("hour_start", "event_type")
+        // Time-domain-bounded result (hours × event types — grows with
+        // calendar span, not corpus rows): final-merge sort, Parity.
+        .transform(graft.Parity.sortedSmall(_, col("hour_start"),
+          col("event_type")))
   }
 
   /** I2 — sliding windows: 1 hour wide, every 15 minutes (each event lands
