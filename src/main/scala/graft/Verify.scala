@@ -236,6 +236,19 @@ object Verify {
           else approx.intersect(exactTop100).size.toDouble / exactTop100.size
         recallLine(rec, 0.3)
       }
+      // Composed IVF+PQ serve (round-12): recall@20 of the pruned
+      // (nProbe = 3 of 8 lists) ADC serve vs the exact cosine top-20 for
+      // the same query — LINEAR cost (one query vs corpus), runs at every
+      // tier. AnnSpec pins the full-probe ≡ flat-ADC equivalence.
+      check("ann_ivfpq_knn") {
+        val exactIds = graft.operators.VectorOps.knnQuery.fn(spark, sfDir)
+          .collect().map(_.getLong(0)).toSet
+        val got = SparkEntry.queries("ann_ivfpq_knn")(spark, sfDir)
+          .collect().map(_.getLong(0)).toSet
+        val rec = if (exactIds.isEmpty) 1.0
+          else got.intersect(exactIds).size.toDouble / exactIds.size
+        recallLine(rec, 0.25)
+      }
       check("ann_recall_report") {
         // The declared query IS a recall report — surface its k=100 row.
         val r = SparkEntry.queries("ann_recall_report")(spark, sfDir)

@@ -371,21 +371,32 @@ object AnnOps {
       Array.tabulate(m)(mm => Array.tabulate(ksub)(j =>
         seeds(j).slice(mm * dsub, (mm + 1) * dsub).map(_.toDouble).toSeq))
     val centroid = udaf(Udx.centroidAgg)
-    Array.tabulate(m) { mm =>
-      val means = emb
-        .select(codeCol(mm, dsub, ksub, init).as("code"),
-          subCol(mm, dsub).as("sub"))
-        .groupBy("code").agg(centroid(col("sub")).as("c"))
-        .as[(Int, Seq[Double])].collect().toMap
-      // Refined means round to the 1e-6 grid (round-8, the kmeansFit
-      // precedent): pins the codebook — and everything downstream of it —
-      // against cross-engine/merge-order summation drift, which is what
-      // makes the ann_pq_knn replay oracle possible. Seeds stay raw.
-      Array.tabulate(ksub)(j => means.get(j)
-        .map(_.map(x => BigDecimal(x)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-        .getOrElse(init(mm)(j)))
-    }
+    // FUSED refinement (round-12, VERDICT r11 item 7): the old form ran
+    // ONE corpus/sample scan PER SUBSPACE (m scans — 96 at 768-d, the
+    // dominant term of the 141–205 s fit at the 2 M tier). One pass now
+    // computes all m codes per row through the native pq_codes kernel
+    // (bit-identical to the column form — AnnSpec's kernel equivalence),
+    // posexplodes to (mm, code, sub-vector) and aggregates every
+    // (subspace, code) mean in ONE shuffle. Means are identical to the
+    // per-subspace loop: centroidAgg's finish already rounds each
+    // component to the 1e-6 grid (the drift-proofing that makes the
+    // ann_pq_knn replay oracle possible — its hash-match is the direct
+    // proof the fusion preserves the codebooks). Seeds stay raw.
+    val cbFlat = (0 until m).flatMap(mm => (0 until ksub)
+      .flatMap(j => init(mm)(j).padTo(dsub, 0.0)))
+    val means = emb
+      .select(col("embedding"),
+        posexplode(call_function("pq_codes", col("embedding"),
+          typedLit(cbFlat), lit(m), lit(dsub), lit(ksub)))
+          .as(Seq("mm", "code")))
+      .select(col("mm"), col("code"),
+        slice(col("embedding"), col("mm") * lit(dsub) + lit(1), lit(dsub))
+          .as("sub"))
+      .groupBy("mm", "code").agg(centroid(col("sub")).as("c"))
+      .as[(Int, Int, Seq[Double])].collect()
+      .map { case (mm, j, c) => (mm, j) -> c }.toMap
+    Array.tabulate(m)(mm => Array.tabulate(ksub)(j =>
+      means.getOrElse((mm, j), init(mm)(j))))
   }
 
   /** Query-side ADC lookup table: lut(mm)(j) = q_mm · codebook(mm)(j). */
@@ -682,6 +693,65 @@ object AnnOps {
       .limit(k)
   }
 
+  /** COMPOSED IVF+PQ serve (round-12, VERDICT r11 item 2 — the standard
+    * FAISS IVFPQ composition): the ADC scan runs ONLY inside the query's
+    * `nProbe` probed lists instead of walking every code row. The flat
+    * ADC scan was the one remaining corpus-linear serve path (12.9 s/q at
+    * 2 M × 768-d, SCALE.md §ann-sf100); restricting to probed lists cuts
+    * per-query work ~nLists/nProbe-fold, and on a list_id-partitioned
+    * stored index the filter is PARTITION PRUNING — unprobed lists are
+    * never read. With nProbe = nLists this is row-identical to
+    * [[pqKnnFromIndex]] (AnnSpec pins the equivalence; the candidate pool
+    * is sized to the probed fraction so the full-probe pool matches the
+    * flat path's exactly). */
+  def ivfPqKnnFromIndex(s: SparkSession, emb: DataFrame, index: DataFrame,
+      model: AnnModel, queryId: Long, k: Int, nProbe: Int = 3,
+      nCandidates: Int = -1): DataFrame = {
+    VectorOps.registerFns(s)
+    import s.implicits._
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    val qVec = q.as[Seq[Float]].head()
+    val probeLists = probeListsFor(model.centroids, qVec, nProbe)
+    // Pool sized to the PROBED row fraction (estimate is filter-blind, so
+    // scale the whole-index estimate by nProbe/nLists): at nProbe = nLists
+    // this equals the flat path's pool — the equivalence contract.
+    val idxRows = graft.plans.PlanStats.estRows(
+      index, 20L + model.m * 4L, decompressionFactor = 1)
+    val pool = if (nCandidates > 0) nCandidates
+      else pqPoolFor(qVec.size,
+        idxRows * nProbe / math.max(1, model.nLists))
+    val lut = adcLut(model.codebooks, model.m, model.dsub, model.ksub, qVec)
+    val adc = (0 until model.m).map { mm =>
+      element_at(typedLit(lut(mm)), element_at(col("codes"), mm + 1) + 1)
+    }.reduce(_ + _)
+    index.filter(col("list_id").isin(probeLists: _*))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), adc.as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(pool)
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(call_function("cosine_sim", col("embedding"), col("qe")), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** K4-scale — the declared composed IVF+PQ kNN: one model fit, one
+    * stored-index build, ADC only within the 3 probed lists, exact re-rank
+    * of the pool. No-oracle (learned quantizer, the K2/ann_index_build
+    * precedent); AnnSpec pins composed ≡ flat on the full probe set plus a
+    * recall floor at nProbe = 3, and the Verify selfcheck reports measured
+    * recall@20 vs the exact kernel every run. */
+  val annIvfPqKnn = Q.noOracle("ann_ivfpq_knn") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val model = fitAnnModel(s, emb)
+    val index = annIndex(s, emb, model)
+    ivfPqKnnFromIndex(s, emb, index, model, queryId = 0L, k = 20, nProbe = 3)
+  }
+
   /** K-index — the declared ingest-time index build: per-vector IVF list
     * assignment + comma-rendered PQ codes (flat schema for the driver's
     * comparator; the array form feeds [[pqKnnFromIndex]] internally).
@@ -730,5 +800,6 @@ object AnnOps {
   }
 
   val all: Seq[Q] =
-    Seq(annLshTopK, annIvfKnn, annPqKnn, annIndexBuild, annUpsertIvf)
+    Seq(annLshTopK, annIvfKnn, annPqKnn, annIvfPqKnn, annIndexBuild,
+      annUpsertIvf)
 }

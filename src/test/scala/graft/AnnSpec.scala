@@ -159,6 +159,39 @@ class AnnSpec extends SparkSpec {
       .toSeq == Seq("vec_id", "list_id", "pq_codes"))
   }
 
+  test("composed IVF+PQ: full probe == flat ADC scan; pruned probe keeps " +
+      "recall; declared twin matches the stored-index serve") {
+    val model = AnnOps.fitAnnModel(spark, emb)
+    val dir = "/tmp/graft_ann_ivfpq_spec"
+    AnnOps.annIndex(spark, emb, model).write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    // The equivalence contract: probing ALL lists restricts nothing, so
+    // the composed serve must be row-identical to the flat (corpus-
+    // linear) ADC scan — including the candidate pool, which is sized to
+    // the probed fraction and equals the flat pool at full probe.
+    val composedFull = AnnOps.ivfPqKnnFromIndex(spark, emb, stored, model,
+      queryId = 0L, k = 20, nProbe = model.nLists).collect().toSeq
+    val flat = AnnOps.pqKnnFromIndex(spark, emb, stored, model,
+      queryId = 0L, k = 20).collect().toSeq
+    assert(composedFull == flat,
+      "full-probe composed serve must equal the flat ADC scan")
+    // Pruned serve: ~nLists/nProbe less ADC work, bounded recall loss.
+    val pruned = AnnOps.ivfPqKnnFromIndex(spark, emb, stored, model,
+      queryId = 0L, k = 20, nProbe = 3)
+      .collect().map(_.getLong(0)).toSet
+    val exact = VectorOps.knnQuery.fn(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val recall = pruned.intersect(exact).size / 20.0
+    assert(recall >= 0.25, s"composed recall@20 (nProbe=3) = $recall")
+    // The declared key runs the same composition (fresh model fit is
+    // deterministic, so it must reproduce the stored-index serve).
+    val declared = AnnOps.annIvfPqKnn.fn(spark, sfDir).collect().toSeq
+    val composedPruned = AnnOps.ivfPqKnnFromIndex(spark, emb, stored,
+      model, queryId = 0L, k = 20, nProbe = 3).collect().toSeq
+    assert(declared == composedPruned,
+      "declared ann_ivfpq_knn must match the stored-index composed serve")
+  }
+
   test("IVF assignment partitions the corpus into the probe-able lists") {
     val full = AnnOps.ivfKnn(spark, emb, queryId = 0L, k = 20,
       nProbe = 10) // probing ALL lists must recover exact ranking
