@@ -713,14 +713,18 @@ object AnnOps {
       .select(col("embedding").as("qe"))
     val qVec = q.as[Seq[Float]].head()
     val probeLists = probeListsFor(model.centroids, qVec, nProbe)
-    // Pool sized to the PROBED row fraction (estimate is filter-blind, so
-    // scale the whole-index estimate by nProbe/nLists): at nProbe = nLists
-    // this equals the flat path's pool — the equivalence contract.
-    val idxRows = graft.plans.PlanStats.estRows(
-      index, 20L + model.m * 4L, decompressionFactor = 1)
+    // Pool sized to the WHOLE index, not the probed fraction — measured
+    // (768-d annscale, round-12): a probed-fraction pool (same 2 % ratio
+    // as flat) collapsed recall@20 to 0.35–0.40, because every candidate
+    // inside the probed lists is already NEAR the query, so the ADC noise
+    // floor among them is far denser than across a mostly-far corpus.
+    // The whole-index pool keeps the re-rank cost identical to the flat
+    // path (whose recall the pool formula was tuned on), makes the
+    // full-probe case equal the flat pool exactly (the equivalence
+    // contract), and the pruning win stays in the ADC scan + TakeOrdered.
     val pool = if (nCandidates > 0) nCandidates
-      else pqPoolFor(qVec.size,
-        idxRows * nProbe / math.max(1, model.nLists))
+      else pqPoolFor(qVec.size, graft.plans.PlanStats.estRows(
+        index, 20L + model.m * 4L, decompressionFactor = 1))
     val lut = adcLut(model.codebooks, model.m, model.dsub, model.ksub, qVec)
     val adc = (0 until model.m).map { mm =>
       element_at(typedLit(lut(mm)), element_at(col("codes"), mm + 1) + 1)

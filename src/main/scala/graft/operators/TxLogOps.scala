@@ -169,24 +169,36 @@ object TxLogOps {
       .orderBy("_commit_version")
   }
 
-  /** Table-format lifecycle 5 — schema evolution: v1 appends the F orders
-    * under the base schema, an `evolve` commit ADDs a nullable o_band
-    * column (no data rewrite), v3 appends the remaining orders WITH the
-    * column populated. The snapshot reads both generations under the
-    * evolved schema — pre-evolve rows surface NULL o_band — and the
-    * oracle replays the same two-generation union as plain SQL. */
+  /** Table-format lifecycle 5 — schema evolution, the full column
+    * lifecycle (round-12 extends the r11 ADD with RENAME + time travel):
+    * v1 appends the F orders under the base schema, v2 ADDs a nullable
+    * o_band column (no rewrite), v3 appends the remaining orders WITH the
+    * column populated, v4 RENAMEs o_band → price_band (pure metadata —
+    * column-mapping ids keep every existing file readable with zero
+    * rewrite). The declared output reads the table at BOTH schema
+    * generations: phase 'pre-rename' time-travels to v3 (the o_band
+    * schema), phase 'post-rename' reads latest (price_band serves the
+    * SAME stored values through the mapping). Identical numbers in both
+    * phases IS the rename contract, and the oracle replays both from
+    * plain SQL. */
   val txlogEvolve = Q(
     "txlog_evolve",
-    s"""SELECT COALESCE(o_band, '(pre-evolve)') AS o_band,
-       |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
-       |FROM (
-       |  SELECT CAST(NULL AS VARCHAR) AS o_band, o_totalprice
+    s"""WITH banded AS (
+       |  SELECT CAST(NULL AS VARCHAR) AS band, o_totalprice
        |  FROM orders WHERE o_orderstatus = 'F'
        |  UNION ALL
        |  SELECT CASE WHEN o_totalprice >= 200000 THEN 'HI' ELSE 'LO' END,
        |         o_totalprice
-       |  FROM orders WHERE o_orderstatus <> 'F')
-       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+       |  FROM orders WHERE o_orderstatus <> 'F'),
+       |agg AS (
+       |  SELECT COALESCE(band, '(pre-evolve)') AS band,
+       |    COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+       |  FROM banded GROUP BY 1)
+       |SELECT phase, band, n, sum_price
+       |FROM (SELECT 'pre-rename' AS phase, * FROM agg
+       |      UNION ALL
+       |      SELECT 'post-rename' AS phase, * FROM agg)
+       |ORDER BY phase DESC, band""".stripMargin) { (s, dir) =>
     val orders = t(s, dir, "orders")
     val table = freshTable(dir, "orders_evolve")
     TxLog.create(s, table, Tables.orders, statsCol = Some("o_orderkey"))
@@ -195,10 +207,15 @@ object TxLogOps {
     TxLog.append(s, table, orders.filter(col("o_orderstatus") =!= "F")
       .withColumn("o_band",
         when(col("o_totalprice") >= 200000, "HI").otherwise("LO")))     // v3
-    TxLog.snapshot(s, table)
-      .groupBy(coalesce(col("o_band"), lit("(pre-evolve)")).as("o_band"))
-      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
-      .orderBy("o_band")
+    TxLog.renameColumn(table, "o_band", "price_band")                   // v4
+    def phase(tag: String, bandCol: String, asOf: Option[Long]) =
+      TxLog.snapshot(s, table, asOf)
+        .groupBy(coalesce(col(bandCol), lit("(pre-evolve)")).as("band"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(lit(tag).as("phase"), col("band"), col("n"), col("sum_price"))
+    phase("pre-rename", "o_band", Some(3L))
+      .unionByName(phase("post-rename", "price_band", None))
+      .orderBy(col("phase").desc, col("band"))
   }
 
   /** Table-format lifecycle 6 — STREAMING tail of the log: three append

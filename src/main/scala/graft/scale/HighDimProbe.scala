@@ -253,11 +253,23 @@ object HighDimProbe {
           (got & truth(q)).size / 20.0
         }
       }
+      // Composed IVF+PQ (round-12, VERDICT r11 item 2): ADC only within
+      // the probed lists — the serve that replaces the corpus-linear
+      // flat ADC scan above.
+      val (cR, tC) = time {
+        queries.map { q =>
+          val got = AnnOps.ivfPqKnnFromIndex(s, e, stored, model, q,
+              k = 20, nProbe = nProbe)
+            .select("vec_id").as[Long].collect().toSet
+          (got & truth(q)).size / 20.0
+        }
+      }
       println(f"[annscale] n=$n dims=$dims nLists=$nLists nProbe=$nProbe " +
         f"fit=$tFit%.1fs build=$tBuild%.1fs " +
         f"ivfQ=${tIvf / queries.size}%.2fs/q recall@20=${
           ivfR.sum / ivfR.size}%.3f " +
-        f"pqQ=${tPq / queries.size}%.2fs/q recall@20=${pqR.sum / pqR.size}%.3f")
+        f"pqQ=${tPq / queries.size}%.2fs/q recall@20=${pqR.sum / pqR.size}%.3f " +
+        f"ivfpqQ=${tC / queries.size}%.2fs/q recall@20=${cR.sum / cR.size}%.3f")
     }
   }
 

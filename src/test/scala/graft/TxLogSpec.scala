@@ -304,6 +304,120 @@ class TxLogSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TxLog.addColumn(tb, "o_band", "string") }
   }
 
+  test("rename column: zero-rewrite metadata change, old files serve the " +
+      "new name, time travel across the rename reads each era's schema") {
+    val tb = fresh("rename")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.append(spark, tb, orders.limit(100))                     // v1
+    val filesBefore = TxLog.history(tb).map(_._3).sum
+    TxLog.renameColumn(tb, "o_orderstatus", "status")              // v2
+    assert(TxLog.history(tb).map(_._3).sum == filesBefore,
+      "rename must add no files (pure metadata)")
+    val snap = TxLog.snapshot(spark, tb)
+    assert(snap.schema.fieldNames.contains("status") &&
+      !snap.schema.fieldNames.contains("o_orderstatus"))
+    // The PRE-rename files serve the renamed column's values intact.
+    assert(snap.filter($"status".isin("F", "O", "P")).count() == 100)
+    // Time travel to v1 reads the pre-rename schema.
+    val v1 = TxLog.snapshot(spark, tb, Some(1L))
+    assert(v1.schema.fieldNames.contains("o_orderstatus"))
+    assert(v1.select("o_orderstatus").collect().toSeq ==
+      snap.select("status").collect().toSeq)
+    // Appends post-rename carry the new logical name; both eras union.
+    TxLog.append(spark, tb,
+      orders.limit(10).withColumnRenamed("o_orderstatus", "status")) // v3
+    assert(TxLog.snapshot(spark, tb).count() == 110)
+    // statsCol follows a rename; pruned reads still work.
+    TxLog.renameColumn(tb, "o_orderkey", "okey")                   // v4
+    assert(TxLog.snapshotRange(spark, tb, "1", "5")
+      .filter($"okey".between(1, 5)).count() ==
+      TxLog.snapshot(spark, tb).filter($"okey".between(1, 5)).count())
+    // The vacated name can be re-added; it starts EMPTY everywhere (the
+    // old physical column must not leak through the new logical name).
+    TxLog.addColumn(tb, "o_orderstatus", "string")                 // v5
+    assert(TxLog.snapshot(spark, tb)
+      .filter($"o_orderstatus".isNotNull).count() == 0,
+      "re-added name must not resurrect the renamed column's bytes")
+  }
+
+  test("drop-then-readd: dropped values never resurrect; drop is " +
+      "zero-rewrite; stats column refuses to drop") {
+    val tb = fresh("dropreadd")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.append(spark, tb, orders.limit(100))                     // v1
+    intercept[IllegalArgumentException] { TxLog.dropColumn(tb, "o_orderkey") }
+    val filesBefore = TxLog.history(tb).map(_._3).sum
+    TxLog.dropColumn(tb, "o_orderpriority")                        // v2
+    assert(TxLog.history(tb).map(_._3).sum == filesBefore,
+      "drop must add no files (pure metadata)")
+    val dropped = TxLog.snapshot(spark, tb)
+    assert(!dropped.schema.fieldNames.contains("o_orderpriority"))
+    assert(dropped.count() == 100)
+    // Time travel BEFORE the drop still reads the column (the bytes stay).
+    assert(TxLog.snapshot(spark, tb, Some(1L))
+      .filter($"o_orderpriority".isNotNull).count() == 100)
+    // Re-add the same logical name: it must be NULL for every pre-drop
+    // row — the dropped physical column must NOT resurrect.
+    TxLog.addColumn(tb, "o_orderpriority", "string")               // v3
+    val readd = TxLog.snapshot(spark, tb)
+    assert(readd.filter($"o_orderpriority".isNotNull).count() == 0,
+      "re-added column must start empty, not serve dropped bytes")
+    TxLog.append(spark, tb, orders.limit(5)
+      .withColumn("o_orderpriority", lit("READD")))                // v4
+    val after = TxLog.snapshot(spark, tb)
+    assert(after.filter($"o_orderpriority" === "READD").count() == 5)
+    assert(after.filter($"o_orderpriority".isNull).count() == 100)
+    // The lifecycle survives a checkpoint replay.
+    (0 until TxLog.CheckpointInterval).foreach { i =>
+      TxLog.append(spark, tb, orders.limit(1)
+        .withColumn("o_orderpriority", lit(s"p$i")))
+    }
+    assert(TxLog.snapshot(spark, tb)
+      .filter($"o_orderpriority".isNull).count() == 100)
+  }
+
+  test("type widening: old narrow files read under the wide schema; " +
+      "non-lossless widens refuse; merge still prunes soundly") {
+    import org.apache.spark.sql.types._
+    val tb = fresh("widen")
+    val schema = StructType(Seq(StructField("k", IntegerType),
+      StructField("v", FloatType), StructField("tag", StringType)))
+    TxLog.create(spark, tb, schema, Some("k"))
+    TxLog.append(spark, tb, spark.range(1, 101)
+      .select($"id".cast("int").as("k"), ($"id" * 1.5).cast("float").as("v"),
+        lit("narrow").as("tag")))                                  // v1
+    TxLog.widenColumn(tb, "k", "bigint")                           // v2
+    TxLog.widenColumn(tb, "v", "double")                           // v3
+    val snap = TxLog.snapshot(spark, tb)
+    assert(snap.schema("k").dataType == LongType)
+    assert(snap.schema("v").dataType == DoubleType)
+    // Old int32/float values read promoted, exactly.
+    assert(snap.agg(sum($"k")).head.getLong(0) == (1L to 100L).sum)
+    assert(snap.filter($"k" === 100L).head.getDouble(1) == 150.0)
+    // Appends must now carry the WIDE schema.
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, tb, spark.range(200, 201)
+        .select($"id".cast("int").as("k"), lit(1f).as("v"),
+          lit("x").as("tag")))
+    }
+    TxLog.append(spark, tb, spark.range(1000000000000L, 1000000000001L)
+      .select($"id".as("k"), lit(2.5d).as("v"), lit("wide").as("tag"))) // v4
+    assert(TxLog.snapshot(spark, tb).count() == 101)
+    // Stats pruning stays numeric-sound across mixed-width files.
+    assert(TxLog.snapshotRange(spark, tb, "1", "10").count() == 10)
+    // Merge on the widened stats key works across old+new files.
+    TxLog.merge(spark, tb, spark.range(50, 51)
+      .select($"id".as("k"), lit(9.9d).as("v"), lit("merged").as("tag")),
+      key = "k")
+    val m = TxLog.snapshot(spark, tb)
+    assert(m.count() == 101 && m.filter($"tag" === "merged").count() == 1)
+    // Lossy promotions refuse.
+    intercept[IllegalArgumentException] { TxLog.widenColumn(tb, "k", "int") }
+    intercept[IllegalArgumentException] {
+      TxLog.widenColumn(tb, "tag", "bigint")
+    }
+  }
+
   test("clustered append writes tight near-disjoint file ranges; range " +
       "read opens only overlapping files") {
     val tb = fresh("cluster")
