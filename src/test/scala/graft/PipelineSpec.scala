@@ -6,6 +6,7 @@ import graft.sources.{ParquetSink, ParquetSource}
 import graft.streaming.Streams
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** The trireme end-to-end shape: source → document transform → bulk sink,
   * batch and micro-batch, over the exercisable parquet endpoints. */
@@ -94,5 +95,140 @@ class PipelineSpec extends SparkSpec {
       m, Files.createTempDirectory("graft_ckpt_migr").toString)
     q.awaitTermination()
     assert(batches >= 1 && sunk.sum == 500, s"batches=$batches rows=${sunk.sum}")
+  }
+
+  // ----------------------------------------------------------------------
+  // Cassandra→Solr seam contract (round-12, VERDICT r11 item 5): in-JVM
+  // fakes with the CONNECTORS' semantics — token-range-aligned source
+  // partitions, batched unique-key-upsert indexing — driven through the
+  // same Migration the production endpoints would use. The indexing shape
+  // itself (BulkDocumentSink) is main-tree code; only the transport is
+  // faked, so these cases pin exactly what production wiring must satisfy.
+  // ----------------------------------------------------------------------
+
+  test("cassandra->solr migration: token-range parallelism, batch cap, " +
+      "unique-key upsert, one commit") {
+    FakeSolr.reset()
+    val m = Migration(
+      source = new FakeCassandraSource(tokenRanges = 4),
+      sourceConf = Map("keyspace" -> "shop", "table" -> "customers"),
+      transform = df => df.select(
+        col("c_custkey").cast("string").as("id"),
+        upper(col("c_name")).as("name_s"),
+        col("c_mktsegment").as("segment_s")),
+      sink = new FakeSolrSink,
+      sinkConf = Map("collection" -> "docs", "batchSize" -> "16"))
+    // The fake serves the table token-range-aligned: partition count is
+    // the ring split, not the file layout (the connector contract).
+    val src = m.source.load(spark, m.sourceConf)
+    assert(src.rdd.getNumPartitions == 4)
+    val n = Pipeline.run(spark, m)
+    assert(n == 150)
+    assert(FakeSolr.indexSize("docs") == 150)
+    // Batching: every add was <= the configured cap and nothing bypassed
+    // the batch path.
+    assert(FakeSolr.batchSizes.asScala.forall(_ <= 16),
+      s"oversized batch: ${FakeSolr.batchSizes}")
+    assert(FakeSolr.batchSizes.asScala.map(_.toInt).sum == 150)
+    // Commit discipline: ONE visibility commit per save, not per batch.
+    assert(FakeSolr.commits.get() == 1)
+    // Index contents match the transform output exactly (schema mapping).
+    val want = m.transform(src).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(FakeSolr.docs("docs").map(d =>
+      d("id").toString -> (d("name_s"), d("segment_s"))).toMap == want)
+  }
+
+  test("idempotent retry: a replayed save converges to the same index " +
+      "state (unique-key upsert, the task-retry/foreachBatch contract)") {
+    FakeSolr.reset()
+    val m = Migration(
+      source = new FakeCassandraSource(tokenRanges = 3),
+      sourceConf = Map("keyspace" -> "shop", "table" -> "customers"),
+      transform = df => df.select(col("c_custkey").cast("string").as("id"),
+        col("c_acctbal").as("acctbal_d")),
+      sink = new FakeSolrSink,
+      sinkConf = Map("collection" -> "retry", "batchSize" -> "32"))
+    Pipeline.run(spark, m)
+    val first = FakeSolr.docs("retry").map(d => d("id").toString ->
+      d("acctbal_d")).toMap
+    Pipeline.run(spark, m) // full replay — every batch re-added
+    assert(FakeSolr.indexSize("retry") == 150,
+      "replay must not duplicate documents")
+    assert(FakeSolr.docs("retry").map(d => d("id").toString ->
+      d("acctbal_d")).toMap == first)
+    assert(FakeSolr.commits.get() == 2) // one commit per save
+  }
+
+  test("schema mapping fails fast DRIVER-side: a frame without the " +
+      "unique-key field sends zero documents") {
+    FakeSolr.reset()
+    val m = Migration(
+      source = new FakeCassandraSource(tokenRanges = 2),
+      sourceConf = Map("keyspace" -> "shop", "table" -> "customers"),
+      transform = df => df.select(col("c_name").as("name_s")), // no id
+      sink = new FakeSolrSink,
+      sinkConf = Map("collection" -> "bad"))
+    intercept[IllegalArgumentException] { Pipeline.run(spark, m) }
+    assert(FakeSolr.indexSize("bad") == 0 && FakeSolr.commits.get() == 0,
+      "a mis-mapped migration must not reach the transport at all")
+  }
+
+  test("fake cassandra source honors the connector conf contract " +
+      "(keyspace/table keys; unknown table refuses)") {
+    val src = new FakeCassandraSource(tokenRanges = 2)
+    intercept[NoSuchElementException] {
+      src.load(spark, Map("keyspace" -> "shop", "table" -> "nope"))
+    }
+    intercept[NoSuchElementException] {
+      src.load(spark, Map("table" -> "customers")) // keyspace required
+    }
+  }
+}
+
+/** In-JVM Solr: JVM-static store (reachable from executor-side deserialized
+  * sink copies in local mode), upsert keyed on the unique-key field — the
+  * add-by-uniqueKey semantics SolrJ's client provides. */
+object FakeSolr {
+  import java.util.concurrent.{ConcurrentHashMap => CHM}
+  val store = new CHM[String, CHM[String, Map[String, Any]]]()
+  val batchSizes: java.util.List[Integer] =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[Integer]())
+  val commits = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { store.clear(); batchSizes.clear(); commits.set(0) }
+  def indexSize(c: String): Int =
+    Option(store.get(c)).map(_.size).getOrElse(0)
+  def docs(c: String): Seq[Map[String, Any]] = {
+    import scala.jdk.CollectionConverters._
+    Option(store.get(c)).map(_.values.asScala.toSeq).getOrElse(Nil)
+  }
+}
+
+class FakeSolrSink extends graft.sources.BulkDocumentSink {
+  protected def addBatch(collection: String, idField: String,
+      docs: Seq[Map[String, Any]]): Unit = {
+    FakeSolr.batchSizes.add(docs.size)
+    val c = FakeSolr.store.computeIfAbsent(collection,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Map[String, Any]]())
+    docs.foreach(d => c.put(String.valueOf(d(idField)), d))
+  }
+  protected def commit(collection: String): Unit =
+    { FakeSolr.commits.incrementAndGet(); () }
+}
+
+/** In-JVM Cassandra: serves a known table under the connector's conf keys
+  * (keyspace, table), token-range-aligned — partitioning is the RING's
+  * hash split on the partition key, independent of the storage layout
+  * (what spark-cassandra-connector's scan exposes). */
+class FakeCassandraSource(tokenRanges: Int) extends graft.sources.TableSource {
+  def load(spark: org.apache.spark.sql.SparkSession,
+      conf: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    require(conf("keyspace") == "shop") // conf key contract
+    conf("table") match {
+      case "customers" =>
+        Tables.load(spark, "/root/testdata/sf0.001", "customer")
+          .repartition(tokenRanges, col("c_custkey"))
+      case t => throw new NoSuchElementException(s"unknown table: shop.$t")
+    }
   }
 }
