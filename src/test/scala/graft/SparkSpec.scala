@@ -22,6 +22,11 @@ object SparkTestSession {
       // Bucketed-layout co-location (round-10, see GraftSession.builder).
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // RocksDB state store provider — the production session default
+      // (round-12, see GraftSession.builder): the WHOLE streaming suite
+      // runs under the provider the 100 TB deployment uses.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
