@@ -140,13 +140,15 @@ object DiversifyOps {
       if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
     }
     val lambda = 0.7
+    val vecById = cand.map(c => c._1 -> c._3).toMap // id → vector (O(1),
+    // not a linear find inside the pairwise loop — review round-12)
     val picked = collection.mutable.ArrayBuffer[(Long, Double, Double)]()
     val pool = collection.mutable.ArrayBuffer(cand: _*)
     while (pool.nonEmpty) {
       val best = pool.map { case (id, rel, v) =>
         val maxSim =
           if (picked.isEmpty) 0.0
-          else picked.map(p => cos(v, cand.find(_._1 == p._1).get._3)).max
+          else picked.map(p => cos(v, vecById(p._1))).max
         (id, rel, lambda * rel - (1 - lambda) * maxSim)
       }.minBy(x => (-x._3, x._1))
       picked += best
