@@ -36,7 +36,7 @@ object Aggs {
         max(col("o_totalprice")).as("max_price"),
         min(to_date(col("o_orderdate"))).as("first_date"),
         max(to_date(col("o_orderdate"))).as("last_date"))
-      .orderBy("o_orderstatus", "o_orderpriority")
+      .transform(sortedSmall(_, col("o_orderstatus"), col("o_orderpriority")))
   }
 
   /** D2 — keyless global aggregate. */
@@ -101,8 +101,8 @@ object Aggs {
       t(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
-        .orderBy(col("o_orderstatus").asc_nulls_first,
-          col("o_orderpriority").asc_nulls_first)
+        .transform(sortedSmall(_, col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first))
   }
 
   /** D7 — explicit grouping sets + grouping() disambiguation (SQL path). */
@@ -142,7 +142,7 @@ object Aggs {
         .agg(
           array_join(array_sort(collect_list(col("s_name"))), ",").as("supplier_names"),
           array_join(array_sort(collect_set(col("s_name"))), ",").as("distinct_names"))
-        .orderBy("s_nationkey")
+        .transform(sortedSmall(_, col("s_nationkey")))
   }
 
   /** D9 — argmin/argmax: first/latest event per user. */

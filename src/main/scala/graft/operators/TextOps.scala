@@ -207,7 +207,7 @@ object TextOps {
         round(avg(col("n_chars")), 4).as("avg_chars"),
         sum(size(toks).cast("long")).as("total_tokens"),
         countDistinct(col("lang")).as("n_langs"))
-      .orderBy("source")
+      .transform(graft.Parity.sortedSmall(_, col("source")))
   }
 
   /** K6-adjacent — per-document quality scoring (length / uniqueness /

@@ -45,7 +45,7 @@ class ConstructionSpec extends SparkSpec {
     // ANN family: learned codebooks / query-vector probes need driver
     // state (ann_lsh_topk's band sizing reads PlanStats since round 8 —
     // no longer exempt).
-    "ann_ivf_knn", "ann_pq_knn", "ann_index_build",
+    "ann_ivf_knn", "ann_pq_knn", "ann_ivfpq_knn", "ann_index_build",
     "ann_recall_report", "ann_upsert_ivf",
     // Bounded candidate collects (k ≤ 50 rows by contract).
     "search_mmr_diversify",
