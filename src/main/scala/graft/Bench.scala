@@ -40,9 +40,13 @@ object Bench {
       .withExtensions(graft.plans.GraftExtensions)
       // Bench-scale shuffles are a few MB: a handful of shuffle tasks beats
       // one-per-core scheduling overhead. At 100 TB this knob is sized to
-      // data volume (SCALE.md), never to a constant.
+      // data volume (SCALE.md), never to a constant. Round-12 re-measured
+      // 4 vs 8 vs 16 on the 32-cpu harness shape after the sized-bucket +
+      // merge-sort changes: 8 wins (1.66–1.85 s vs 1.90 s at 4 — the
+      // single-digit-MB window/dedup reduces still want a few-way spread
+      // once the scan stages stopped dominating task count).
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE", "4"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE", "8"))
       // df.count() re-optimizes per action; constraint propagation is the
       // costliest optimizer phase on these multi-join plans and derives
       // nothing the explicit filters don't already state.
