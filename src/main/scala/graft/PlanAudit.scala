@@ -18,7 +18,8 @@ object PlanAudit {
   private val expectedNlj = Set(
     "join_cross",            // cartesian by definition
     "join_range_theta",      // 3-row band table
-    "knn_query", "ann_ivf_knn", "ann_pq_knn", // 1-row query-vector broadcast
+    "knn_query", "ann_ivf_knn", "ann_pq_knn",
+    "ann_ivfpq_knn",           // 1-row query-vector broadcast (same kernel)
     "embedding_truncate_recall", // 5-row query-sample broadcast (eval op)
     "graph_label_propagation", // 1-row doc-count broadcast (edges CTE)
     // text_tokenize_tf/tfidf: formerly exempt for a 1-row corpus-count
