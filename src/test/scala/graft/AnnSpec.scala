@@ -192,6 +192,51 @@ class AnnSpec extends SparkSpec {
       "declared ann_ivfpq_knn must match the stored-index composed serve")
   }
 
+  test("composed serve over a list_id-PARTITIONED stored index: the probe " +
+      "filter is partition pruning (unprobed lists never read)") {
+    val model = AnnOps.fitAnnModel(spark, emb)
+    val dir = "/tmp/graft_ann_ivfpq_part_spec"
+    // The 100 TB layout: the stored index hive-partitioned on list_id —
+    // the probe filter then prunes DIRECTORIES, not rows.
+    AnnOps.annIndex(spark, emb, model)
+      .write.mode("overwrite").partitionBy("list_id").parquet(dir)
+    val stored = spark.read.parquet(dir)
+      .select("vec_id", "list_id", "codes") // logical column order
+    val served = AnnOps.ivfPqKnnFromIndex(spark, emb, stored, model,
+      queryId = 0L, k = 20, nProbe = 3)
+    // Same answer as the unpartitioned layout.
+    val flatDir = "/tmp/graft_ann_ivfpq_part_spec_flat"
+    AnnOps.annIndex(spark, emb, model).write.mode("overwrite").parquet(flatDir)
+    val fromFlat = AnnOps.ivfPqKnnFromIndex(spark, emb,
+      spark.read.parquet(flatDir), model, queryId = 0L, k = 20, nProbe = 3)
+    assert(served.collect().toSeq == fromFlat.collect().toSeq)
+    // The executed plan carries the probe as a PARTITION filter on the
+    // index scan, and the scan reads only the probed lists' files.
+    val totalFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("list_id=")).flatMap(_.listFiles())
+      .count(_.getName.endsWith(".parquet"))
+    // AQE wraps materialized stages in QueryStageExec leaves — descend.
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+    }.flatten
+    val idxScans = allScans(served.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains(dir)))
+    assert(idxScans.nonEmpty, "no index scan found in the executed plan")
+    idxScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(
+        _.name == "list_id")),
+        s"probe filter must be a PARTITION filter, got: ${f.partitionFilters}")
+      val scanned = f.selectedPartitions.totalNumberOfFiles
+      assert(scanned > 0 && scanned < totalFiles,
+        s"scan must open only probed lists: $scanned of $totalFiles files")
+    }
+  }
+
   test("IVF assignment partitions the corpus into the probe-able lists") {
     val full = AnnOps.ivfKnn(spark, emb, queryId = 0L, k = 20,
       nProbe = 10) // probing ALL lists must recover exact ranking
