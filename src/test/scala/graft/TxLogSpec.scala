@@ -563,6 +563,42 @@ class TxLogSpec extends SparkSpec {
     assert(msg.contains("restart"), s"expected a restart-the-stream error: $msg")
   }
 
+  test("graftlog across a RENAME: mid-stream rename fails with the " +
+      "restart error; a stream started after it serves the new name") {
+    val tb = fresh("renamestream")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.append(spark, tb, orders.limit(10))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graftlog").option("path", tb).load()
+        .writeStream
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      try {
+        q.processAllAvailable()
+        TxLog.renameColumn(tb, "o_orderstatus", "status") // evolve mid-stream
+        TxLog.append(spark, tb,
+          orders.limit(5).withColumnRenamed("o_orderstatus", "status"))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val msg = err.getMessage +
+      Option(err.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("restart"), s"expected a restart-the-stream error: $msg")
+    // The RESTARTED stream (the documented recovery) serves the renamed
+    // logical column, with pre-rename files' values intact through the
+    // physical mapping.
+    var got = 0L
+    val q2 = spark.readStream.format("graftlog").option("path", tb).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got += b.filter(col("status").isin("F", "O", "P")).count(); ()
+      }
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(got == 15L, s"restarted stream must serve all rows under the " +
+      s"renamed column, got $got")
+  }
+
   test("log -> transform -> log: exactly-once on BOTH ends (graftlog " +
       "source + txLogSink), incremental across restarts, replay no-op") {
     import org.apache.spark.sql.types.StructType
