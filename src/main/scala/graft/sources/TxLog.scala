@@ -477,6 +477,10 @@ object TxLog {
     commit(table, "evolve", Nil, Nil, Some(meta.copy(
       schemaDDL = StructType(schema.filterNot(_.name == name)).toDDL,
       cols = meta.mapping.filterNot(_.name == name),
+      // Pin the high-water id BEFORE the entry leaves the mapping: on a
+      // legacy table (maxColId unrecorded) dropping the highest-id column
+      // would otherwise let a later re-ADD recycle the dropped id.
+      maxColId = meta.nextColId - 1,
       droppedPhys = meta.droppedPhys :+ phys)))
   }
 

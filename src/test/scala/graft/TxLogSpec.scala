@@ -376,6 +376,32 @@ class TxLogSpec extends SparkSpec {
       .filter($"o_orderpriority".isNull).count() == 100)
   }
 
+  test("legacy log (no recorded mapping): rename/drop/re-add work under " +
+      "the identity mapping and never recycle a dropped id's bytes") {
+    // Simulate a pre-round-12 table: the create commit carries a meta
+    // WITHOUT cols/maxColId (the legacy wire format, parsed with identity
+    // mapping defaults).
+    val tb = fresh("legacy")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tb))
+    TxLog.commit(tb, "create", Nil, Nil,
+      Some(TxLog.Meta(Tables.orders.toDDL, Some("o_orderkey"))))
+    TxLog.append(spark, tb, orders.limit(20))
+    // Rename on the identity mapping: old files serve the new name.
+    TxLog.renameColumn(tb, "o_orderpriority", "prio")
+    assert(TxLog.snapshot(spark, tb).filter($"prio".isNotNull).count() == 20)
+    // Drop the HIGHEST-id column, then re-add the same name: the re-add
+    // must get a fresh id + physical name (no resurrection), even though
+    // the legacy meta never recorded maxColId.
+    TxLog.dropColumn(tb, "prio")
+    TxLog.addColumn(tb, "prio", "string")
+    assert(TxLog.snapshot(spark, tb).filter($"prio".isNotNull).count() == 0,
+      "legacy drop-then-readd must not resurrect dropped bytes")
+    TxLog.append(spark, tb, orders.limit(3)
+      .withColumn("prio", lit("NEW"))
+      .withColumnRenamed("o_orderpriority", "_drop").drop("_drop"))
+    assert(TxLog.snapshot(spark, tb).filter($"prio" === "NEW").count() == 3)
+  }
+
   test("type widening: old narrow files read under the wide schema; " +
       "non-lossless widens refuse; merge still prunes soundly") {
     import org.apache.spark.sql.types._
