@@ -205,6 +205,53 @@ object TextCluster {
       .orderBy("cluster_id")
   }
 
+  /** Fuzzy record-linkage join (round-12): all pairs of customer names
+    * within edit distance ≤ 1 — the data-cleaning join every
+    * system-migration pipeline runs on its identifier columns (typo'd
+    * keys, OCR'd names) before trusting an equality join.
+    *
+    * NOT a cartesian: candidates come from FastSS deletion-neighborhood
+    * banding — each name emits its own string plus every delete-one-char
+    * variant as band keys (len+1 keys/row); two strings within one edit
+    * ALWAYS share a key (equal / deletion / insertion directly; a
+    * substitution at position i shares the delete-position-i key), so an
+    * equi-join on the key yields a complete candidate set, deduped and
+    * then verified with the exact levenshtein ≤ 1 predicate (the
+    * neighborhood overgenerates — "ab"/"ba" share keys at distance 2).
+    * At 100 TB this is a shuffle on short string keys with bounded
+    * per-key groups — the same banded shape as the MinHash dedup — while
+    * the naive spelling is n² distance evaluations. The ORACLE is the
+    * honest quadratic (DuckDB's native levenshtein over a self-join); a
+    * hash match proves the banded plan loses no pair. */
+  val fuzzyJoinEdit1 = Q(
+    "fuzzy_join_edit1",
+    """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    // Band keys: the name + its deletion-1 neighborhood (distinct — a
+    // run of equal chars yields duplicate variants).
+    val keyed = cust.select(col("id"), col("name"), explode(array_distinct(
+      concat(array(col("name")), expr(
+        """transform(sequence(1, length(name)),
+          |  i -> concat(substring(name, 1, i - 1),
+          |              substring(name, i + 1, length(name) - i)))"""
+          .stripMargin)))).as("k"))
+    val a = keyed.select(col("id").as("a_id"), col("name").as("a_name"), col("k"))
+    val b = keyed.select(col("id").as("b_id"), col("name").as("b_name"), col("k"))
+    a.join(b, Seq("k"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_name", "b_name").distinct()
+      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_name"), col("b_name")).cast("long").as("dist"))
+      .orderBy("a_id", "b_id")
+  }
+
   val all: Seq[Q] =
-    Seq(dedupCluster, piiMask, sampleStratified, dedupSurvivorship)
+    Seq(dedupCluster, piiMask, sampleStratified, dedupSurvivorship,
+      fuzzyJoinEdit1)
 }
