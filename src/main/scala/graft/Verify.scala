@@ -133,10 +133,15 @@ object Verify {
       // (50 k docs) already means ~1.25e9 forced-exact pairs — measured as
       // a multi-hundred-second stall (round-11). Skip THESE loudly above
       // the verify tiers; everything linear still runs.
-      def checkQuadratic(key: String, n: Long)(body: => String): Unit =
+      // `corpus` names WHICH table's row count triggered a skip (advice
+      // round-12: embeddings and documents cross the cap at different
+      // tiers, and a bare "n" was ambiguous in the telemetry).
+      def checkQuadratic(key: String, corpus: String, n: Long)(
+          body: => String): Unit =
         if (n > selfcheckCap) {
           val l = s"""{"skipped": true, "reason": "forced-exact ground """ +
-            s"""truth is quadratic by design", "n": $n, "cap": $selfcheckCap}"""
+            s"""truth is quadratic by design", "corpus": "$corpus", """ +
+            s""""n_$corpus": $n, "cap": $selfcheckCap}"""
           lines += s"""${q(key)}: $l"""
           println(s"[verify-selfcheck] $key $l")
         } else check(key)(body)
@@ -226,7 +231,7 @@ object Verify {
           .select("a_id", "b_id")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       }
-      checkQuadratic("ann_lsh_topk", selfcheckEmb) {
+      checkQuadratic("ann_lsh_topk", "embeddings", selfcheckEmb) {
         val approx = SparkEntry.queries("ann_lsh_topk")(spark, sfDir)
           .select("a_id", "b_id")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -259,7 +264,7 @@ object Verify {
       // MinHash-LSH dedup recall vs the exact n-gram Jaccard pass (forced
       // exact; every minhash pair is already exact-Jaccard-verified, so
       // precision is 1.0 by construction and recall is the open number).
-      checkQuadratic("dedup_near_minhash", selfcheckDocs) {
+      checkQuadratic("dedup_near_minhash", "documents", selfcheckDocs) {
         val docs = Tables.load(spark, sfDir, "documents")
         val truth = graft.operators.TextOps
           .ngramJaccardPairs(docs, 0.4, maxExactRows = Long.MaxValue)

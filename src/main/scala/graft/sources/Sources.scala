@@ -108,12 +108,16 @@ abstract class BulkDocumentSink extends DocumentSink with Serializable {
   protected def commit(collection: String): Unit
 
   final override def save(df: DataFrame, conf: Map[String, String]): Unit = {
-    requireTransport()
     val collection = conf("collection")
     val idField = conf.getOrElse("idField", "id")
+    // Schema-mapping validation runs BEFORE the transport check (advice
+    // round-12): a mis-mapped frame must surface as the driver-side
+    // schema error on EVERY sink, including the offline SolrSink stub —
+    // not as "SolrJ not available".
     require(df.schema.fieldNames.contains(idField),
       s"sink schema mapping: unique-key field '$idField' missing from " +
         s"frame columns ${df.schema.fieldNames.mkString("[", ",", "]")}")
+    requireTransport()
     val batchSize = conf.getOrElse("batchSize", "1000").toInt
     val fields = df.schema.fieldNames.toSeq
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>

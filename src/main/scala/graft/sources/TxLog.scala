@@ -741,6 +741,17 @@ object TxLog {
     StructType.fromDDL(state(table)._2.schemaDDL)
       .add("_commit_version", "long", nullable = false)
 
+  /** LATEST-SCHEMA change semantics (advice round-12, the Delta-CDF
+    * contract): every commit in the range is served under the CURRENT
+    * snapshot's meta/schema, not the schema as of each historical commit.
+    * With column mapping this is coherent, not lossy-by-accident —
+    * physical column names are stable, so a rename resolves old files to
+    * the NEW logical name; rows predating an ADD surface the added column
+    * as null; a column dropped before `state()` is read is absent from
+    * the output schema even for commits that carried it. Callers who need
+    * schema-as-of-commit views should read each version via
+    * `snapshot(asOf)` instead — change feeds are a single-schema frame by
+    * definition ([[changesSchema]]). */
   def tableChanges(spark: SparkSession, table: String, fromExclusive: Long,
       toInclusive: Long): DataFrame = {
     val (_, meta) = state(table)

@@ -136,6 +136,53 @@ class TextSpec extends SparkSpec {
     assert(ok.toSeq == (1L to 6L).map(i => (i, 1L)))
   }
 
+  test("fuzzy edit-1 join: rep-collapsed plan == brute-force levenshtein") {
+    // Planted corpus mixing the interesting cases: exact clones (dist 0),
+    // substitution / deletion / insertion at distance 1, and a dist-2
+    // pair that shares deletion keys ("ab"/"ba") but must be rejected by
+    // the exact verify.
+    val rows = Seq(
+      1L -> "martin", 2L -> "martin", 3L -> "martin", // clone group
+      4L -> "martln",                                 // substitution
+      5L -> "marti",                                  // deletion
+      6L -> "martine",                                // insertion
+      7L -> "ab", 8L -> "ba",                         // dist 2, shared keys
+      9L -> "zzzz")                                   // loner
+    val df = rows.toDF("id", "name")
+    val got = TextCluster.editDistance1Pairs(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // Brute force in-test oracle.
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, na) <- rows; (ib, nb) <- rows
+      if ia < ib && lev(na, nb) <= 1
+    } yield (ia, ib, lev(na, nb).toLong)).sortBy(p => (p._1, p._2))
+    assert(got == want)
+    assert(got.contains((1L, 2L, 0L)) && got.contains((1L, 4L, 1L)))
+    assert(!got.exists(p => Set(p._1, p._2) == Set(7L, 8L)))
+  }
+
+  test("fuzzy edit-1 join: 2k-clone degenerate corpus stays complete and cheap") {
+    // 2 000 copies of one name: the r12 form pushed g²·(len+1) ≈ 28 M
+    // pre-distinct rows through one band key; the rep-collapsed plan
+    // bands ONE distinct name and enumerates the (g choose 2) dist-0
+    // output — which IS the answer — through the name equi-join.
+    val clones = (0L until 2000L).map(i => (i, "duplicate name"))
+    val df = (clones :+ (9999L -> "duplicate nam3")).toDF("id", "name")
+    val out = TextCluster.editDistance1Pairs(df)
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val n = out.count()
+    assert(n == 2000L * 1999L / 2 + 2000L) // clique + each-vs-typo
+    assert(out.filter(col("dist") === 1).count() == 2000L)
+  }
+
   test("stratified sample predicate is reproducible across partitionings") {
     val docs = Tables.load(spark, sfDir, "documents")
     val pred = org.apache.spark.sql.functions.substring(

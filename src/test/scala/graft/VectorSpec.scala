@@ -60,6 +60,35 @@ class VectorSpec extends SparkSpec {
     assert(run1 == run2)
   }
 
+  test("minhash band join: bucketCap on == off on a non-degenerate corpus") {
+    // The hot-band star-collapse cap (round-13, shared BandJoin helper)
+    // must be a no-op wherever no band bucket exceeds it — the declared
+    // dedup_near_minhash results are unchanged by the guard.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val capped = VectorOps.minhashPairs(docs, 32, 8, 0.4).collect().toSeq
+    val uncapped = VectorOps.minhashPairsFromIndex(
+      VectorOps.minhashIndex(docs, 32), 32, 8, 0.4, bucketCap = -1)
+      .collect().toSeq
+    assert(capped == uncapped)
+  }
+
+  test("minhash band join: planted clone clique star-collapses, connectivity kept") {
+    // 1 000 identical docs collide in EVERY band regardless of signature
+    // width — uncapped that is Ω(m²) ≈ 500 k candidate pairs through one
+    // band key's task. With the cap the clique emits exactly the m-1 star
+    // pairs to the min-id representative: volume linear, every clone
+    // reachable (what transitive-closure dedup clustering consumes), and
+    // each star pair still exact-Jaccard-verified (here 1.0).
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val clones = (0L until 1000L).map(i => (i, text))
+    val loner = Seq((5000L, (1 to 30).map(i => s"zz$i").mkString(" ")))
+    val docs = (clones ++ loner).toDF("doc_id", "text")
+    val pairs = VectorOps.minhashPairs(docs, 32, 8, 0.4).collect()
+    assert(pairs.length == 999)
+    assert(pairs.forall(r => r.getLong(0) == 0L && r.getDouble(2) == 1.0))
+    assert(pairs.map(_.getLong(1)).toSet == (1L until 1000L).toSet)
+  }
+
   test("minhash stored index: parquet round-trip pairs == direct pairs") {
     val docs = Tables.load(spark, sfDir, "documents")
     val direct = VectorOps.minhashPairs(docs, 32, 8, 0.4).collect().toSeq
