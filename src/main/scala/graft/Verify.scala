@@ -254,6 +254,31 @@ object Verify {
           else got.intersect(exactIds).size.toDouble / exactIds.size
         recallLine(rec, 0.25)
       }
+      // Delete lifecycle (round-13): no tombstoned id may surface, and
+      // recall is measured vs the exact cosine top-20 over the SURVIVING
+      // corpus (linear cost — one query vs corpus — runs at every tier).
+      // AnnSpec pins masked ≡ compacted ≡ survivor-rebuilt equivalence.
+      check("ann_delete_ivf") {
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val got = SparkEntry.queries("ann_delete_ivf")(spark, sfDir)
+          .collect().map(_.getLong(0))
+        val deletedReturned = got.count(_ % 3 == 1)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        val exactIds = emb
+          .filter(col("vec_id") =!= 0 && col("vec_id") % 3 =!= 1)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(call_function("cosine_sim", col("embedding"), col("qe")), 6)
+              .as("sim"))
+          .orderBy(col("sim").desc, col("vec_id")).limit(20)
+          .collect().map(_.getLong(0)).toSet
+        val rec = if (exactIds.isEmpty) 1.0
+          else got.toSet.intersect(exactIds).size.toDouble / exactIds.size
+        val rr = finite("recall", rec)
+        s"""{"deleted_returned": $deletedReturned, "recall": $rr, """ +
+          s""""floor": 0.25, "pass": ${deletedReturned == 0 && rr >= 0.25}}"""
+      }
       check("ann_recall_report") {
         // The declared query IS a recall report — surface its k=100 row.
         val r = SparkEntry.queries("ann_recall_report")(spark, sfDir)

@@ -750,6 +750,105 @@ object AnnOps {
       .orderBy("vec_id")
   }
 
+  /** Tombstone-MASKED composed IVF+PQ serve (round-13, VERDICT r12 next
+    * item 1 — the delete half of the index lifecycle): identical to
+    * [[ivfPqKnnFromIndex]] except deleted vec_ids are anti-joined out of
+    * the probed index rows BEFORE the ADC scan, so a deleted vector can
+    * never surface — not as a result, not even as a candidate that
+    * crowds the pool. The tombstone set is broadcast: between
+    * compactions it is bounded by the compaction policy (the same
+    * contract as GraftLog's copy-on-write delete queue and IndexOps'
+    * `index_delete_docs` masks — this composes those two in-repo
+    * patterns), so the mask is a broadcast-hash anti-join on an 8-byte
+    * key inside the already-pruned `nProbe` lists, never a shuffle.
+    *
+    * The candidate pool is sized from the UNMASKED stored index (stable
+    * across delete churn; becomes exact again at compaction) — so a
+    * masked serve over index I with tombstones T is row-identical to the
+    * unmasked serve over the compacted index (I ∖ T) at the same
+    * explicit pool, which AnnSpec pins. */
+  def ivfPqKnnFromIndexMasked(s: SparkSession, emb: DataFrame,
+      index: DataFrame, tombstones: DataFrame, model: AnnModel,
+      queryId: Long, k: Int, nProbe: Int = 3,
+      nCandidates: Int = -1): DataFrame = {
+    val dims = model.centroids.head._2.length
+    val pool = if (nCandidates > 0) nCandidates
+      else pqPoolFor(dims, graft.plans.PlanStats.estRows(
+        index, 20L + model.m * 4L, decompressionFactor = 1))
+    val masked = index.join(
+      broadcast(tombstones.select(col("vec_id"))), Seq("vec_id"),
+      "left_anti")
+    ivfPqKnnFromIndex(s, emb, masked, model, queryId, k, nProbe,
+      nCandidates = pool)
+  }
+
+  /** LIST-LOCAL compaction of a stored (list_id-partitioned) IVF/PQ index
+    * directory: physically removes tombstoned rows by rewriting ONLY the
+    * partitions that contain them. The untouched lists' files are never
+    * read or rewritten (dynamic partition overwrite — AnnSpec pins that
+    * unaffected partition files are byte-identical afterwards), so the
+    * 100 TB compaction cost is proportional to the deleted vectors'
+    * list footprint, not the corpus. Lists whose every row is tombstoned
+    * get their partition directory dropped outright (dynamic overwrite
+    * only rewrites partitions that receive output rows — without the
+    * explicit drop the fully-deleted list would silently SURVIVE, the
+    * classic dynamic-overwrite gap). Returns (affected, emptied) list
+    * ids. After compaction the serve needs no mask: content ≡ a fresh
+    * [[annIndex]] build over the surviving vectors under the same frozen
+    * model (per-row quantization — AnnSpec pins the equivalence). */
+  def annCompactStored(s: SparkSession, indexPath: String,
+      tombstones: DataFrame): (Seq[Int], Seq[Int]) = {
+    val idx = s.read.parquet(indexPath)
+    val tombs = broadcast(tombstones.select(col("vec_id")))
+    val affected = idx.join(tombs, Seq("vec_id"))
+      .select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.isEmpty) return (Nil, Nil)
+    val survivors = idx.filter(col("list_id").isin(affected: _*))
+      .join(tombs, Seq("vec_id"), "left_anti")
+      // The partition-pruned read materializes before the overwrite
+      // below deletes the very files it reads from (self-overwrite).
+      .localCheckpoint(true)
+    val surviving = survivors.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val emptied = affected.filterNot(surviving)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try survivors.write.mode("overwrite").partitionBy("list_id")
+      .parquet(indexPath)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    emptied.foreach { lid =>
+      val dir = new java.io.File(
+        new java.net.URI(indexPath).getPath match {
+          case p if p.nonEmpty => p
+          case _ => indexPath
+        }, s"list_id=$lid")
+      if (dir.isDirectory) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
+    (affected, emptied)
+  }
+
+  /** K4-lifecycle — the declared delete/tombstone serve: a third of the
+    * corpus (vec_id ≡ 1 mod 3) is deleted, and the composed IVF+PQ serve
+    * runs under the tombstone mask. No-oracle (learned quantizer, the K2
+    * precedent); the Verify selfcheck proves no deleted id is returned
+    * and measures recall vs the exact cosine top-k over the SURVIVING
+    * corpus; AnnSpec pins masked ≡ compacted ≡ survivor-rebuilt serve
+    * and the list-local compaction file accounting. */
+  val annDeleteIvf = Q.noOracle("ann_delete_ivf") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val model = fitAnnModel(s, emb)
+    val index = annIndex(s, emb, model)
+    val tombs = emb.select(col("vec_id")).filter(col("vec_id") % 3 === 1)
+    ivfPqKnnFromIndexMasked(s, emb, index, tombs, model, queryId = 0L,
+      k = 20, nProbe = 3)
+  }
+
   /** Incremental index maintenance (VERDICT r6 item 8 — the ANN analogue
     * of `dedup_incremental_minhash`): a new ingest batch is quantized with
     * the STORED model and appended to the stored index. Only the new
@@ -786,5 +885,5 @@ object AnnOps {
 
   val all: Seq[Q] =
     Seq(annLshTopK, annIvfKnn, annPqKnn, annIvfPqKnn, annIndexBuild,
-      annUpsertIvf)
+      annUpsertIvf, annDeleteIvf)
 }
