@@ -279,6 +279,29 @@ object Verify {
         s"""{"deleted_returned": $deletedReturned, "recall": $rr, """ +
           s""""floor": 0.25, "pass": ${deletedReturned == 0 && rr >= 0.25}}"""
       }
+      // Batched serve (round-13): the declared 5-query batch must equal
+      // the single-query composed serve row-for-row for EVERY query in
+      // the batch — linear cost, runs at every tier. The batch key uses
+      // default pools, so the twin serves use the same defaults.
+      check("ann_batch_knn") {
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val model = graft.operators.AnnOps.fitAnnModel(spark, emb)
+        val index = graft.operators.AnnOps.annIndex(spark, emb, model)
+        val batched = SparkEntry.queries("ann_batch_knn")(spark, sfDir)
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (qid, rows) => qid ->
+            rows.sortBy(_.getLong(3))
+              .map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+        val mismatches = (0L until 5L).count { qid =>
+          val single = graft.operators.AnnOps.ivfPqKnnFromIndex(spark, emb,
+            index, model, queryId = qid, k = 10, nProbe = 3)
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          batched.getOrElse(qid, Nil) != single
+        }
+        s"""{"queries": 5, "single_serve_mismatches": $mismatches, """ +
+          s""""pass": ${mismatches == 0}}"""
+      }
       check("ann_recall_report") {
         // The declared query IS a recall report — surface its k=100 row.
         val r = SparkEntry.queries("ann_recall_report")(spark, sfDir)

@@ -277,7 +277,59 @@ object TxLogOps {
       .orderBy("_commit_version")
   }
 
+  /** Table-format lifecycle 7 (round-13, VERDICT r12 next-item 3) —
+    * write-time CHECK constraints: create → register `price_positive` +
+    * `status_known` → valid append (lands) → POISON append (negative
+    * prices — the commit must be REJECTED whole) → valid append → POISON
+    * merge (nulled status — rejected) → drop the price constraint →
+    * previously-poison batch now lands. The final snapshot is therefore a
+    * pure function of which commits enforcement let through — the DuckDB
+    * hash match IS the enforcement proof: had either poison commit
+    * landed, or the post-drop batch been wrongly rejected, the aggregate
+    * diverges. TxLogSpec covers the protocol side (version unchanged on
+    * rejection, time travel, existing-data validation at ADD). */
+  val txlogConstraints = Q(
+    "txlog_constraints",
+    s"""WITH final AS (
+       |  SELECT o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderstatus IN ('F', 'O')
+       |  UNION ALL
+       |  SELECT o_orderstatus, -o_totalprice AS o_totalprice FROM orders
+       |  WHERE o_orderstatus = 'P')
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${sqlDsum("o_totalprice")} AS sum_price
+       |FROM final GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val orders = t(s, dir, "orders")
+    val table = freshTable(dir, "orders_cons")
+    TxLog.create(s, table, Tables.orders, statsCol = Some("o_orderkey"))
+    TxLog.addConstraint(s, table, "price_positive", "o_totalprice > 0")
+    TxLog.addConstraint(s, table, "status_known",
+      "o_orderstatus IS NOT NULL")
+    TxLog.append(s, table, orders.filter(col("o_orderstatus") === "F"))
+    val poison = orders.filter(col("o_orderstatus") === "P")
+      .withColumn("o_totalprice", -col("o_totalprice"))
+    val rejectedAppend =
+      try { TxLog.append(s, table, poison); false }
+      catch { case _: IllegalArgumentException => true }
+    require(rejectedAppend, "poison append must be rejected at commit time")
+    TxLog.append(s, table, orders.filter(col("o_orderstatus") === "O"))
+    val poisonMerge = orders.filter(col("o_orderstatus") === "F")
+      .filter(col("o_orderkey") % 11 === 0)
+      .withColumn("o_orderstatus", lit(null).cast("string"))
+    val rejectedMerge =
+      try { TxLog.merge(s, table, poisonMerge, key = "o_orderkey"); false }
+      catch { case _: IllegalArgumentException => true }
+    require(rejectedMerge, "poison merge must be rejected at commit time")
+    TxLog.dropConstraint(table, "price_positive")
+    TxLog.append(s, table, poison) // passes now: only status_known remains
+    TxLog.snapshot(s, table)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Seq[Q] =
     Seq(txlogMergeSnapshot, txlogTimeTravel, txlogPrunedRead, txlogChanges,
-      txlogEvolve, txlogStreamTail)
+      txlogEvolve, txlogStreamTail, txlogConstraints)
 }

@@ -82,6 +82,14 @@ object VectorOps {
       org.apache.spark.sql.catalyst.FunctionIdentifier("nearest_centroid"),
       graft.functions.NearestCentroid.info,
       graft.functions.NearestCentroid.builder)
+    s.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("pq_adc_lut"),
+      graft.functions.PqAdcLut.info,
+      graft.functions.PqAdcLut.builder)
+    s.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("pq_adc"),
+      graft.functions.PqAdc.info,
+      graft.functions.PqAdc.builder)
   }
 
   private val pairOracle =

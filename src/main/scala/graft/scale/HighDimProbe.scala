@@ -273,10 +273,67 @@ object HighDimProbe {
     }
   }
 
+  /** Batched multi-query serve rung (round-13, VERDICT r12 item 5): the
+    * amortized s/q of [[AnnOps.ivfPqKnnBatch]] over a large query frame
+    * vs the single-query composed serve's two-driver-actions-per-query
+    * shape, on the same stored list_id-partitioned index at the same
+    * DEFAULT pool. Also spot-checks batched ≡ single for sample queries
+    * at this tier (AnnSpec pins it at the sf tiers). */
+  private def batchServe(s: SparkSession, dir: String, dims: Int, n: Long,
+      nQueries: Int): Unit = {
+    import s.implicits._
+    val e = emb(s, dir).filter(col("vec_id") < n)
+    VectorOps.registerFns(s)
+    val nLists = math.max(8, math.sqrt(n / 1000.0).toInt)
+    val (model, tFit) = time {
+      AnnOps.fitAnnModel(s, e, nLists = nLists, m = dims / 8,
+        dsub = 8, ksub = 16)
+    }
+    val idxPath = s"/tmp/graft_annscale_idx_part_$n"
+    val (_, tBuild) = time {
+      AnnOps.annIndex(s, e, model)
+        .write.mode("overwrite").partitionBy("list_id").parquet(idxPath)
+    }
+    val stored = s.read.parquet(idxPath).select("vec_id", "list_id", "codes")
+    val nProbe = math.max(3, nLists / 8)
+    // Single-query baseline over 5 queries (the r12 measured shape).
+    val singleQ = Seq(0L, 7L, 63L, 128L, 999L)
+    val (_, tSingle) = time {
+      singleQ.foreach { q =>
+        AnnOps.ivfPqKnnFromIndex(s, e, stored, model, q, k = 20,
+          nProbe = nProbe).collect()
+      }
+    }
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val (batchRows, tBatch) = time {
+      AnnOps.ivfPqKnnBatch(s, e, stored, model, queries, k = 20,
+        nProbe = nProbe).collect()
+    }
+    // Row-for-row equality vs the single serve for sample queries.
+    val byQ = batchRows.groupBy(_.getLong(0))
+    val mism = singleQ.count { q =>
+      val single = AnnOps.ivfPqKnnFromIndex(s, e, stored, model, q, k = 20,
+          nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      byQ.getOrElse(q, Array.empty).sortBy(_.getLong(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq != single
+    }
+    println(f"[batchserve] n=$n dims=$dims nLists=$nLists nProbe=$nProbe " +
+      f"fit=$tFit%.1fs build=$tBuild%.1fs " +
+      f"singleQ=${tSingle / singleQ.size}%.2fs/q " +
+      f"batch=${nQueries} queries in $tBatch%.1fs = ${
+        tBatch / nQueries}%.3fs/q " +
+      f"amortization=${tSingle / singleQ.size / (tBatch / nQueries)}%.1fx " +
+      f"sample_mismatches=$mism rows=${batchRows.length}")
+  }
+
   def main(args: Array[String]): Unit = {
     val s = session()
     try args(0) match {
       case "gen" => gen(s, args(1), args(2).toLong, args(3).toInt)
+      case "batchserve" =>
+        batchServe(s, args(1), args(2).toInt, args(3).toLong, args(4).toInt)
       case "annscale" =>
         annScale(s, args(1), args(2).toInt,
           args(3).split(",").toSeq.map(_.toLong))

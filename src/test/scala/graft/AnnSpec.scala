@@ -289,6 +289,35 @@ class AnnSpec extends SparkSpec {
       "new-batch provenance must match the batch size")
   }
 
+  test("batched multi-query serve == single-query composed serve, " +
+      "row-for-row per query, at the same explicit pool") {
+    val model = AnnOps.fitAnnModel(spark, emb)
+    val index = AnnOps.annIndex(spark, emb, model)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val pool = 100
+    val batched = AnnOps.ivfPqKnnBatch(spark, emb, index, model, queries,
+      k = 10, nProbe = 3, nCandidates = pool)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      }
+    assert(batched.keySet == qids.toSet, "every query must be served")
+    qids.foreach { qid =>
+      val single = AnnOps.ivfPqKnnFromIndex(spark, emb, index, model,
+        queryId = qid, k = 10, nProbe = 3, nCandidates = pool)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batched(qid) == single,
+        s"query $qid: batched serve diverged from the single-query serve")
+    }
+    // Declared key: deterministic.
+    val a = AnnOps.annBatchKnn.fn(spark, sfDir).collect().toSeq
+    val b = AnnOps.annBatchKnn.fn(spark, sfDir).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   // --- delete/tombstone/compaction lifecycle (round-13, VERDICT r12 #1) ---
 
   private def flatIdx(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, String)] =

@@ -683,4 +683,75 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, tb).count() == rows,
       "a rejected merge must not mutate the table")
   }
+
+  test("CHECK constraints: violating append/merge rejected at commit, " +
+      "version + snapshot unchanged; null passes CHECK; drop unblocks") {
+    val tb = fresh("cons")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.addConstraint(spark, tb, "pos_price", "o_totalprice > 0")
+    TxLog.append(spark, tb, orders.limit(100))
+    val v0 = TxLog.latestVersion(tb)
+    val rows0 = TxLog.snapshot(spark, tb).orderBy("o_orderkey")
+      .collect().toSeq
+    // Violating append: rejected whole, nothing committed, no new files.
+    val poison = orders.limit(20)
+      .withColumn("o_totalprice", -$"o_totalprice")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(spark, tb, poison)
+    }
+    assert(e.getMessage.contains("pos_price") &&
+      e.getMessage.contains("20 row(s)"), e.getMessage)
+    assert(TxLog.latestVersion(tb) == v0,
+      "a rejected commit must not advance the version")
+    assert(TxLog.snapshot(spark, tb).orderBy("o_orderkey")
+      .collect().toSeq == rows0)
+    // Violating MERGE: also rejected before any log record.
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, tb,
+        orders.limit(5).withColumn("o_totalprice", lit(-1.0)), "o_orderkey")
+    }
+    assert(TxLog.latestVersion(tb) == v0)
+    // SQL CHECK semantics: NULL passes (spell NOT NULL explicitly).
+    TxLog.addConstraint(spark, tb, "clerk_nn", "o_orderpriority IS NOT NULL")
+    val withNullPrice = orders.filter($"o_orderkey" % 2 === 1).limit(10)
+      .withColumn("o_totalprice", lit(null).cast("double"))
+    TxLog.append(spark, tb, withNullPrice) // null price passes pos_price
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, tb, orders.limit(3)
+        .withColumn("o_orderpriority", lit(null).cast("string")))
+    }
+    // Drop unblocks the previously-poison batch.
+    TxLog.dropConstraint(tb, "pos_price")
+    TxLog.append(spark, tb, poison)
+    assert(TxLog.snapshot(spark, tb).filter($"o_totalprice" < 0).count() == 20)
+  }
+
+  test("CHECK constraints: ADD validates existing data; time travel to " +
+      "pre-constraint versions unaffected; constraints survive checkpoints") {
+    val tb = fresh("consadd")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.append(spark, tb, orders.limit(50)
+      .withColumn("o_totalprice", -$"o_totalprice"))
+    // Existing data violates → ADD must be rejected with the count.
+    val e = intercept[IllegalArgumentException] {
+      TxLog.addConstraint(spark, tb, "pos_price", "o_totalprice > 0")
+    }
+    assert(e.getMessage.contains("50 existing row(s)"), e.getMessage)
+    // Clean the data, add the constraint, then verify time travel to the
+    // pre-constraint version still reads the (then-valid) negative rows.
+    val vNeg = TxLog.latestVersion(tb)
+    TxLog.deleteWhere(spark, tb, $"o_totalprice" <= 0)
+    TxLog.addConstraint(spark, tb, "pos_price", "o_totalprice > 0")
+    assert(TxLog.snapshot(spark, tb, asOf = Some(vNeg)).count() == 50,
+      "time travel must see pre-constraint history unchanged")
+    // Enough commits to cross a checkpoint: enforcement must persist
+    // through checkpoint replay (meta rides the same renderer).
+    (1 to TxLog.CheckpointInterval).foreach { i =>
+      TxLog.append(spark, tb, orders.limit(2))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, tb, orders.limit(1)
+        .withColumn("o_totalprice", lit(-5.0)))
+    }
+  }
 }
