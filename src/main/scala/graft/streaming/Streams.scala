@@ -445,4 +445,21 @@ object Streams {
       graft.sources.TxLog.appendBatch(spark, table, batch, appId, id)
       ()
     }
+
+  /** Exactly-once streaming UPSERT into a GraftLog table (round-13): each
+    * micro-batch MERGEs by `key` under the (appId, batchId) idempotency
+    * mark — at-least-once foreachBatch delivery × idempotent
+    * [[graft.sources.TxLog.mergeBatch]] = exactly-once table contents,
+    * even though MERGE itself is not replay-safe (a re-applied update
+    * would double). The streaming CDC-apply shape. Batches must carry
+    * unique non-null keys ([[graft.sources.TxLog.merge]]'s Delta
+    * multiple-match contract — callers collapse multi-update batches to
+    * last-per-key upstream, where the event-order column lives; a silent
+    * arbitrary-winner dedup here would be nondeterministic). */
+  def txLogMergeSink(spark: SparkSession, df: DataFrame, table: String,
+      key: String, checkpointDir: String, appId: String): StreamingQuery =
+    foreachBatchSink(df, checkpointDir) { (batch, id) =>
+      graft.sources.TxLog.mergeBatch(spark, table, batch, key, appId, id)
+      ()
+    }
 }

@@ -684,6 +684,63 @@ class TxLogSpec extends SparkSpec {
       "a rejected merge must not mutate the table")
   }
 
+  test("mergeBatch: exactly-once upsert under batch replay — a re-applied " +
+      "non-idempotent update never doubles; streaming merge sink end-to-end") {
+    val tb = fresh("mergebatch")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.append(spark, tb, orders.limit(200))
+    // A non-idempotent update: price += 1000 on keys % 5 == 0. Applying
+    // it twice via plain merge WOULD double — the txn mark must not.
+    val upd = TxLog.snapshot(spark, tb).filter($"o_orderkey" % 5 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" + 1000)
+    val wantSum = BigDecimal(TxLog.snapshot(spark, tb)
+      .agg(sum($"o_totalprice".cast("decimal(18,2)"))).head.getDecimal(0)) +
+      BigDecimal(1000) * upd.count()
+    assert(TxLog.mergeBatch(spark, tb, upd, "o_orderkey", "merge-app", 0L))
+    def price(): BigDecimal = BigDecimal(TxLog.snapshot(spark, tb)
+      .agg(sum($"o_totalprice".cast("decimal(18,2)"))).head.getDecimal(0))
+    assert(price() == wantSum)
+    // Replay (same appId, same batchId): skipped, sum unchanged.
+    assert(!TxLog.mergeBatch(spark, tb, upd, "o_orderkey", "merge-app", 0L),
+      "replayed merge batch must be skipped")
+    assert(price() == wantSum, "a replayed merge must not re-apply")
+    // End-to-end through the streaming sink: a fresh checkpoint
+    // re-delivers batch 0 — destination contents must not change.
+    val feed = java.nio.file.Files
+      .createTempDirectory("graft_mergesink_feed").toString
+    upd.coalesce(1).write.mode("overwrite").parquet(feed)
+    def runSink(ckpt: String): Unit = {
+      val in = spark.readStream.schema(TxLog.snapshot(spark, tb).schema)
+        .parquet(feed)
+      streaming.Streams.txLogMergeSink(spark, in, tb, "o_orderkey",
+        ckpt, appId = "merge-app").awaitTermination()
+    }
+    // The sink's appId already has batchId 0 committed (the direct
+    // mergeBatch above), so even the FIRST run's batch 0 is a replay.
+    runSink(java.nio.file.Files
+      .createTempDirectory("graft_mergesink_c1").toString)
+    assert(price() == wantSum, "sink replay of batch 0 must be a no-op")
+    // A different appId's batch 0 applies once — and only once across
+    // a second restart-with-fresh-checkpoint.
+    val upd2 = TxLog.snapshot(spark, tb).filter($"o_orderkey" % 5 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" + 1000)
+    upd2.coalesce(1).write.mode("overwrite").parquet(feed)
+    val want2 = wantSum + BigDecimal(1000) * upd2.count()
+    def runSink2(ckpt: String): Unit = {
+      val in = spark.readStream.schema(TxLog.snapshot(spark, tb).schema)
+        .parquet(feed)
+      streaming.Streams.txLogMergeSink(spark, in, tb, "o_orderkey",
+        ckpt, appId = "merge-app-2").awaitTermination()
+    }
+    runSink2(java.nio.file.Files
+      .createTempDirectory("graft_mergesink_c2").toString)
+    assert(price() == want2)
+    runSink2(java.nio.file.Files
+      .createTempDirectory("graft_mergesink_c3").toString)
+    assert(price() == want2,
+      "restart with a fresh checkpoint must not re-apply the merge")
+  }
+
   test("CHECK constraints: violating append/merge rejected at commit, " +
       "version + snapshot unchanged; null passes CHECK; drop unblocks") {
     val tb = fresh("cons")
