@@ -47,18 +47,25 @@ class ConstructionSpec extends SparkSpec {
     // no longer exempt).
     "ann_ivf_knn", "ann_pq_knn", "ann_ivfpq_knn", "ann_index_build",
     "ann_recall_report", "ann_upsert_ivf",
+    // Round-13 lifecycle keys: same learned-model contract.
+    "ann_delete_ivf", "ann_batch_knn",
     // Bounded candidate collects (k ≤ 50 rows by contract).
     "search_mmr_diversify",
     // Guard counts on derived (filtered/distinct) frames where plan stats
     // are selectivity-blind; each is one pruned-column scan.
     "dedup_ngram_jaccard", "dedup_recall_report",
     "decontaminate_embedding", "dedup_incremental_minhash",
+    // Staged survivor set feeds BOTH fan-out joins (round-13): the
+    // localCheckpoint is eager by design (the dedup_incremental_minhash
+    // precedent) — without it each consumer re-runs the band join.
+    "fuzzy_join_edit1",
     // GraftLog lifecycle keys: the operator's POINT is the logged table —
     // construction performs the create/append/mutate commits (bounded
     // data-prep, the scan_csv_json fixture precedent) and returns the
     // snapshot read over the result.
     "txlog_merge_snapshot", "txlog_time_travel", "txlog_pruned_read",
     "txlog_changes_read", "txlog_evolve", "txlog_stream_tail",
+    "txlog_constraints",
     // Statistics pipeline: first touch registers + ANALYZEs the catalog
     // tables whose stats CBO costing needs (once per JVM; the warehouse
     // ANALYZE-on-ingest shape). Memoized — whether THIS spec sees its
