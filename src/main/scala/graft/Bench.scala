@@ -134,9 +134,16 @@ object Bench {
 
     // Pin the source tables in the columnar cache (CacheManager substitutes
     // the InMemoryRelation into every later plan over the same source).
-    Tables.schemas.keys.foreach { t =>
-      Tables.load(spark, sfDir, t).cache().count()
-    }
+    // SPARK_GRAFT_BENCH_CACHE=false (round-13) disables the pin for
+    // replica tiers that exceed the box's memory: at sfx1000 (600 M
+    // lineitem, ~40 GB columnar) the MEMORY_AND_DISK cache thrashes heap
+    // AND spills tens of GB to an already-tight disk — the parquet-direct
+    // read is the honest every-byte-off-disk shape there (the Sf100Probe
+    // precedent). The driver's sf0.1 bench keeps the default pin.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_CACHE", "true") != "false")
+      Tables.schemas.keys.foreach { t =>
+        Tables.load(spark, sfDir, t).cache().count()
+      }
 
     // Optional subset for targeted re-measurement (comma-separated keys);
     // the driver never sets it, so the recorded suite stays the full 20.
@@ -153,10 +160,23 @@ object Bench {
         // faster but SKIPS completed shuffle map stages (verified:
         // 28 tasks → 6 on re-run) — that would time less work than
         // DuckDB's re-executed `fetchall()`, so it is not used.
+        // SPARK_GRAFT_BENCH_GC=true (round-13, replica tiers): each fresh
+        // df.count() builds NEW shuffle dependencies, and the previous
+        // run's shuffle files are deleted only when the ContextCleaner
+        // GCs the old deps — at sfx1000 four runs of one join key stack
+        // ~6 GB of dead shuffle each and transiently filled the disk
+        // (measured: q5/semi/anti aborted on ENOSPC). A System.gc()
+        // BETWEEN runs (outside the timed window) lets the cleaner drop
+        // them; the sf0.1 driver bench keeps the default (its shuffles
+        // are KBs, and an 80 ms GC pause would dwarf them).
+        val gcBetween =
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "false") == "true"
         def timeOnce(): Double = {
           val t0 = System.nanoTime()
           df.count()
-          (System.nanoTime() - t0) / 1e9
+          val t = (System.nanoTime() - t0) / 1e9
+          if (gcBetween) { System.gc(); Thread.sleep(200) }
+          t
         }
         timeOnce() // warm-up: JIT + codegen cache
         // Plan dump for offline audit (comma-separated keys; driver never
