@@ -88,6 +88,19 @@ object Bench {
       // per stats.
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BENCH_BROADCAST", "10485760"))
+      // Runtime Bloom-filter injection thresholds (round-13, the sf100
+      // q5/q3 inversion): at 600 M lineitem the date+region-filtered
+      // orders side keeps ~3% of orderkeys, and a bloom built from it
+      // cuts the fact shuffle 600 M → ~20 M rows — but Spark's default
+      // creationSideThreshold (10 MB plan-stats estimate) refuses any
+      // creation side bigger than a broadcast, so the filter never
+      // injects at replica tiers. Raised only when the env sets it; the
+      // sf0.1 driver bench keeps Spark defaults.
+      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BLOOM_CREATION", "10MB"))
+      .config(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BLOOM_APPLY", "10GB"))
       // The pinned source cache is re-scanned 60+ times; dictionary/RLE
       // decompression of the columnar batches on every scan costs more
       // than the memory it saves at this corpus size (the whole corpus is
