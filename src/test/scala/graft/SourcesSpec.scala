@@ -39,10 +39,21 @@ class SourcesSpec extends SparkSpec {
       CassandraSource.load(spark, Map("keyspace" -> "k", "table" -> "t"))
     }
     assert(e1.getMessage.contains("Cassandra"))
+    // Schema mapping is validated BEFORE the transport check (advice
+    // round-12), so the transport stub error needs a correctly-mapped
+    // frame; a mis-mapped one gets the driver-side schema error first.
+    val mapped = Tables.load(spark, sfDir, "region")
+      .withColumnRenamed("r_regionkey", "id")
     val e2 = intercept[UnsupportedOperationException] {
-      SolrSink.save(Tables.load(spark, sfDir, "region"), Map("collection" -> "c"))
+      SolrSink.save(mapped, Map("collection" -> "c"))
     }
     assert(e2.getMessage.contains("SolrJ"))
+    val e3 = intercept[IllegalArgumentException] {
+      SolrSink.save(Tables.load(spark, sfDir, "region"),
+        Map("collection" -> "c"))
+    }
+    assert(e3.getMessage.contains("unique-key"),
+      "mis-mapped frame must surface the schema error, not the transport stub")
   }
 
   test("GraftSession builder wires extensions (cosine_sim resolvable)") {
