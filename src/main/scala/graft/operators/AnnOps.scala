@@ -834,6 +834,25 @@ object AnnOps {
     ivfPqKnnBatch(s, emb, index, model, queries, k = 10, nProbe = 3)
   }
 
+  /** Batched serve under a tombstone mask — the composition of
+    * [[ivfPqKnnBatch]] and the delete lifecycle: candidates anti-join the
+    * broadcast tombstone set before the ADC scan, pool pinned to the
+    * UNMASKED index estimate (the [[ivfPqKnnFromIndexMasked]] contract,
+    * so batched-masked ≡ per-query-masked at the same pool — AnnSpec). */
+  def ivfPqKnnBatchMasked(s: SparkSession, emb: DataFrame, index: DataFrame,
+      tombstones: DataFrame, model: AnnModel, queries: DataFrame, k: Int,
+      nProbe: Int = 3, nCandidates: Int = -1): DataFrame = {
+    val dims = model.centroids.head._2.length
+    val pool = if (nCandidates > 0) nCandidates
+      else pqPoolFor(dims, graft.plans.PlanStats.estRows(
+        index, 20L + model.m * 4L, decompressionFactor = 1))
+    val masked = index.join(
+      broadcast(tombstones.select(col("vec_id"))), Seq("vec_id"),
+      "left_anti")
+    ivfPqKnnBatch(s, emb, masked, model, queries, k, nProbe,
+      nCandidates = pool)
+  }
+
   /** Tombstone-MASKED composed IVF+PQ serve (round-13, VERDICT r12 next
     * item 1 — the delete half of the index lifecycle): identical to
     * [[ivfPqKnnFromIndex]] except deleted vec_ids are anti-joined out of
@@ -882,6 +901,13 @@ object AnnOps {
     * model (per-row quantization — AnnSpec pins the equivalence). */
   def annCompactStored(s: SparkSession, indexPath: String,
       tombstones: DataFrame): (Seq[Int], Seq[Int]) = {
+    // Partitioned layout REQUIRED: on a flat directory the dynamic
+    // partition overwrite below would leave the original un-partitioned
+    // files in place while ADDING list_id= dirs — silent row duplication,
+    // the worst failure mode a compaction can have.
+    require(Option(new java.io.File(indexPath).listFiles()).exists(
+        _.exists(f => f.isDirectory && f.getName.startsWith("list_id="))),
+      s"annCompactStored expects a list_id-partitioned index at $indexPath")
     val idx = s.read.parquet(indexPath)
     val tombs = broadcast(tombstones.select(col("vec_id")))
     val affected = idx.join(tombs, Seq("vec_id"))

@@ -371,6 +371,40 @@ class AnnSpec extends SparkSpec {
     assert(a.forall(r => r.getLong(0) % 3 != 1))
   }
 
+  test("batched-masked serve == per-query masked serve at the same pool") {
+    val model = AnnOps.fitAnnModel(spark, emb)
+    val index = AnnOps.annIndex(spark, emb, model)
+    val tombs = emb.select($"vec_id").filter($"vec_id" % 3 === 1)
+    val deleted = tombs.collect().map(_.getLong(0)).toSet
+    val queries = emb.filter($"vec_id" < 5 && $"vec_id" % 3 =!= 1)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val qids = queries.select("query_id").collect().map(_.getLong(0)).toSeq
+    val pool = 100
+    val batched = AnnOps.ivfPqKnnBatchMasked(spark, emb, index, tombs,
+      model, queries, k = 10, nProbe = 3, nCandidates = pool)
+      .collect()
+    assert(batched.forall(r => !deleted(r.getLong(1))),
+      "a tombstoned vector must never be returned from the batched serve")
+    val byQ = batched.groupBy(_.getLong(0))
+    qids.foreach { qid =>
+      val single = AnnOps.ivfPqKnnFromIndexMasked(spark, emb, index, tombs,
+        model, queryId = qid, k = 10, nProbe = 3, nCandidates = pool)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(byQ(qid).sortBy(_.getLong(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq == single)
+    }
+  }
+
+  test("annCompactStored refuses a flat (unpartitioned) index layout") {
+    val model = AnnOps.fitAnnModel(spark, emb)
+    val dir = "/tmp/graft_ann_compact_flat_spec"
+    AnnOps.annIndex(spark, emb, model).write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      AnnOps.annCompactStored(spark, dir, emb.select($"vec_id").limit(1))
+    }
+    assert(e.getMessage.contains("list_id-partitioned"))
+  }
+
   test("compaction is list-local: unaffected partitions byte-untouched, " +
       "a fully-deleted list's directory is dropped") {
     val model = AnnOps.fitAnnModel(spark, emb)
