@@ -462,4 +462,38 @@ object Streams {
       graft.sources.TxLog.mergeBatch(spark, table, batch, key, appId, id)
       ()
     }
+
+  /** Exactly-once streaming append with a DEAD-LETTER channel for CHECK
+    * constraint violations (round-13 — the streaming counterpart of
+    * `Pipeline.runWithDeadLetter`): a poison row must not kill the
+    * ingest query (the bare [[txLogSink]] surfaces the rejected commit as
+    * a stream failure — correct for strict pipelines, fatal for 24/7
+    * ones), and it must not silently vanish either. Each micro-batch
+    * splits on the table's CURRENT constraints — clean rows append under
+    * the (appId, batchId) idempotency mark; violating rows land in
+    * `deadLetterDir/batch_id=<id>` with OVERWRITE semantics, so a
+    * replayed batch rewrites the same partition byte-identically instead
+    * of duplicating dead letters. SQL CHECK semantics: a row diverts
+    * only when some constraint evaluates to FALSE (nulls pass). */
+  def txLogSinkWithDeadLetter(spark: SparkSession, df: DataFrame,
+      table: String, checkpointDir: String, appId: String,
+      deadLetterDir: String): StreamingQuery =
+    foreachBatchSink(df, checkpointDir) { (batch, id) =>
+      import org.apache.spark.sql.functions.{coalesce, expr, lit}
+      val cons = graft.sources.TxLog.state(table)._2.constraints
+      if (cons.isEmpty) {
+        graft.sources.TxLog.appendBatch(spark, table, batch, appId, id)
+      } else {
+        val viol = coalesce(
+          cons.map(c => expr(c._2) === lit(false)).reduce(_ || _),
+          lit(false))
+        val dead = batch.filter(viol)
+        if (!dead.isEmpty)
+          dead.write.mode("overwrite")
+            .parquet(s"$deadLetterDir/batch_id=$id")
+        graft.sources.TxLog.appendBatch(spark, table, batch.filter(!viol),
+          appId, id)
+      }
+      ()
+    }
 }

@@ -783,6 +783,45 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, tb).filter($"o_totalprice" < 0).count() == 20)
   }
 
+  test("dead-letter streaming sink: poison rows divert (not crash, not " +
+      "vanish); clean rows land exactly once; replay duplicates neither") {
+    val tb = fresh("deadletter")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.addConstraint(spark, tb, "pos_price", "o_totalprice > 0")
+    val feed = java.nio.file.Files
+      .createTempDirectory("graft_dl_feed").toString
+    val dlq = java.nio.file.Files
+      .createTempDirectory("graft_dl_out").toString
+    val clean = orders.limit(120)
+    val poison = orders.limit(150).filter($"o_orderkey" % 4 === 0)
+      .withColumn("o_totalprice", -$"o_totalprice")
+    clean.unionByName(poison).coalesce(1)
+      .write.mode("overwrite").parquet(feed)
+    val in1 = spark.readStream
+      .schema(TxLog.snapshot(spark, tb).schema).parquet(feed)
+    streaming.Streams.txLogSinkWithDeadLetter(spark, in1, tb,
+      java.nio.file.Files.createTempDirectory("graft_dl_c1").toString,
+      appId = "dl-app", deadLetterDir = dlq).awaitTermination()
+    val nClean = clean.count()
+    val nPoison = poison.count()
+    assert(TxLog.snapshot(spark, tb).count() == nClean,
+      "clean rows must land; poison rows must not")
+    assert(TxLog.snapshot(spark, tb).filter($"o_totalprice" <= 0).count() == 0)
+    val deadLetters = spark.read.parquet(dlq)
+    assert(deadLetters.count() == nPoison,
+      "every poison row must be preserved in the dead-letter channel")
+    assert(deadLetters.filter($"o_totalprice" > 0).count() == 0)
+    // Replay with a fresh checkpoint: append skipped by the txn mark,
+    // dead letters overwritten in place — neither side duplicates.
+    val in2 = spark.readStream
+      .schema(TxLog.snapshot(spark, tb).schema).parquet(feed)
+    streaming.Streams.txLogSinkWithDeadLetter(spark, in2, tb,
+      java.nio.file.Files.createTempDirectory("graft_dl_c2").toString,
+      appId = "dl-app", deadLetterDir = dlq).awaitTermination()
+    assert(TxLog.snapshot(spark, tb).count() == nClean)
+    assert(spark.read.parquet(dlq).count() == nPoison)
+  }
+
   test("CHECK constraints: ADD validates existing data; time travel to " +
       "pre-constraint versions unaffected; constraints survive checkpoints") {
     val tb = fresh("consadd")
