@@ -270,6 +270,12 @@ object PqAdcLut {
     PqAdcLut(args(0), flat, int(args(2)), int(args(3)), int(args(4)))
   }
 
+  /** Null-ELEMENT contract (explicit, code review round-13): a null slot
+    * in the query vector contributes 0 to every LUT entry of its
+    * subspace — stated rather than inherited from ArrayData.getFloat's
+    * silent 0 on null slots. Well-formed embeddings (the kernel's input
+    * contract; the single-query driver path crashes outright on a null
+    * element) never hit it. */
   def lut(q: ArrayData, p: PqCodes.Packed, m: Int, dsub: Int,
       ksub: Int): ArrayData = {
     val qlen = q.numElements()
@@ -283,7 +289,11 @@ object PqAdcLut {
         val n = math.min(c.length, math.max(0, qlen - off))
         var dot = 0.0
         var i = 0
-        while (i < n) { dot += c(i) * q.getFloat(off + i).toDouble; i += 1 }
+        while (i < n) {
+          if (!q.isNullAt(off + i))
+            dot += c(i) * q.getFloat(off + i).toDouble
+          i += 1
+        }
         out(mm * ksub + j) = dot
         j += 1
       }

@@ -788,13 +788,27 @@ object AnnOps {
       struct((-call_function("dot_product", col("qe"), typedLit(c)))
         .as("negdot"), lit(cid).as("cid"))
     }: _*)
+    // Broadcast the query side only while it is broadcast-SIZED (code
+    // review round-13): each exploded probe row carries an m·ksub-double
+    // LUT (~12 KB at 768-d), so an unbounded query frame force-broadcast
+    // would walk into the driver/8 GB broadcast wall. Past the byte gate
+    // the hint is simply dropped — the same equi-join proceeds as a
+    // shuffle join on list_id (the unbounded-query-stream shape the
+    // scaladoc describes), no semantic change.
+    val lutRowBytes = 12L + model.m.toLong * model.ksub * 8L
+    val qRows = graft.plans.PlanStats
+      .estRows(queries, 8L + dims * 4L).min(BigInt(Long.MaxValue)).toLong
+    val maySidecast = qRows * nProbe * lutRowBytes <= (256L << 20) &&
+      qRows * (8L + dims * 4L) <= (256L << 20)
+    def sided(df: DataFrame): DataFrame =
+      if (maySidecast) broadcast(df) else df
     val q = queries.select(col("query_id"), col("qe"),
         call_function("pq_adc_lut", col("qe"), typedLit(cbFlat),
           lit(model.m), lit(model.dsub), lit(model.ksub)).as("lut"),
         explode(transform(slice(array_sort(scored), 1, nProbe),
           p => p.getField("cid"))).as("list_id"))
       .select("query_id", "lut", "list_id")
-    val cands = index.join(broadcast(q), Seq("list_id"))
+    val cands = index.join(sided(q), Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         call_function("pq_adc", col("codes"), col("lut"),
@@ -807,7 +821,7 @@ object AnnOps {
     val qe = queries.select(col("query_id"), col("qe"))
     val reranked = pooled
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .join(broadcast(qe), Seq("query_id"))
+      .join(sided(qe), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(call_function("cosine_sim", col("embedding"), col("qe")), 6)
           .as("sim"))
@@ -899,20 +913,39 @@ object AnnOps {
     * ids. After compaction the serve needs no mask: content ≡ a fresh
     * [[annIndex]] build over the surviving vectors under the same frozen
     * model (per-row quantization — AnnSpec pins the equivalence). */
+  /** Local filesystem form of a path spark also accepts as a file: URI —
+    * ONE normalization used by every java.io touch in the compaction
+    * (code review round-13: the require used the raw string while the
+    * emptied-dir cleanup URI-parsed it, so a path with a space passed the
+    * rewrite then threw before the cleanup — leaving a fully-deleted
+    * list's files serving tombstoned vectors). */
+  private def localPath(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+
   def annCompactStored(s: SparkSession, indexPath: String,
       tombstones: DataFrame): (Seq[Int], Seq[Int]) = {
     // Partitioned layout REQUIRED: on a flat directory the dynamic
     // partition overwrite below would leave the original un-partitioned
     // files in place while ADDING list_id= dirs — silent row duplication,
     // the worst failure mode a compaction can have.
-    require(Option(new java.io.File(indexPath).listFiles()).exists(
-        _.exists(f => f.isDirectory && f.getName.startsWith("list_id="))),
+    require(Option(new java.io.File(localPath(indexPath)).listFiles())
+        .exists(_.exists(f =>
+          f.isDirectory && f.getName.startsWith("list_id="))),
       s"annCompactStored expects a list_id-partitioned index at $indexPath")
     val idx = s.read.parquet(indexPath)
     val tombs = broadcast(tombstones.select(col("vec_id")))
-    val affected = idx.join(tombs, Seq("vec_id"))
-      .select("list_id").distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+    // Affected-list discovery: when the delete queue carries `list_id`
+    // (known at delete time — the serve's probe already resolves it),
+    // discovery reads NO index data at all; otherwise one column-pruned
+    // (vec_id, list_id) scan of the index resolves it. The
+    // proportional-cost contract in the scaladoc covers the REWRITE;
+    // discovery is this lookup (code review round-13).
+    val affected =
+      (if (tombstones.columns.contains("list_id"))
+         tombstones.select("list_id")
+       else idx.join(tombs, Seq("vec_id")).select("list_id"))
+        .distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
     if (affected.isEmpty) return (Nil, Nil)
     val survivors = idx.filter(col("list_id").isin(affected: _*))
       .join(tombs, Seq("vec_id"), "left_anti")
@@ -931,11 +964,7 @@ object AnnOps {
       case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
     emptied.foreach { lid =>
-      val dir = new java.io.File(
-        new java.net.URI(indexPath).getPath match {
-          case p if p.nonEmpty => p
-          case _ => indexPath
-        }, s"list_id=$lid")
+      val dir = new java.io.File(localPath(indexPath), s"list_id=$lid")
       if (dir.isDirectory) {
         dir.listFiles().foreach(_.delete()); dir.delete()
       }

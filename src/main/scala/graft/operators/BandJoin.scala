@@ -18,6 +18,20 @@ import org.apache.spark.sql.functions._
   * closure, where the star is sufficient). The standard production LSH
   * treatment of degenerate buckets. `bucketCap < 0` disables — correct
   * only for paths whose CONTRACT is the complete pair set.
+  *
+  * Approximation boundary, stated precisely (code review round-13): the
+  * connectivity argument is EXACT only for exact-duplicate cliques
+  * (every star pair has sim/Jaccard 1.0 and survives any verify). For a
+  * hot bucket of merely-SIMILAR members, a member pair can fail the
+  * downstream verify against the rep while passing against each other —
+  * those pairs are lost unless the two members co-occur in some other
+  * small bucket. This is the accepted LSH production trade: under band
+  * auto-sizing the EXPECTED organic bucket occupancy is pinned (~64),
+  * so a >cap bucket means either a clone flood (star is exact) or an
+  * adversarial near-clone flood whose candidate set is Ω(cap²) and
+  * would DoS the verify — capping is the difference between a degraded
+  * answer and no answer. DedupSpec pins cap-on ≡ cap-off on organic
+  * corpora; the recall selfcheck measures the declared key every run.
   */
 object BandJoin {
 

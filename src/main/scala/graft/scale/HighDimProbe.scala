@@ -296,8 +296,12 @@ object HighDimProbe {
     }
     val stored = s.read.parquet(idxPath).select("vec_id", "list_id", "codes")
     val nProbe = math.max(3, nLists / 8)
-    // Single-query baseline over 5 queries (the r12 measured shape).
+    // Single-query baseline sample (the r12 measured ids) restricted to
+    // ids that exist in BOTH the corpus and the batch — a hardcoded 999
+    // with nQueries <= 999 reported phantom mismatches (review round-13).
     val singleQ = Seq(0L, 7L, 63L, 128L, 999L)
+      .filter(_ < math.min(n, nQueries.toLong))
+    require(singleQ.nonEmpty, s"nQueries=$nQueries too small for the probe")
     val (_, tSingle) = time {
       singleQ.foreach { q =>
         AnnOps.ivfPqKnnFromIndex(s, e, stored, model, q, k = 20,

@@ -488,11 +488,33 @@ object TxLog {
     * travel to a pre-rename version reads the old name. A later re-ADD of
     * the vacated old name gets a fresh physical name (the old physical
     * name is still live under the renamed column). */
+  /** True when `check`'s SQL text references `col` as an identifier —
+    * the guard RENAME/DROP use so schema evolution can never orphan a
+    * CHECK constraint (an orphaned expression would fail EVERY later
+    * write with an unresolved-column error — code review round-13). A
+    * conservative word-boundary match: a column name inside a string
+    * literal over-blocks, which errs on the safe side; the error message
+    * names the constraint to drop first (the Delta contract: constraints
+    * referencing a column block its rename/drop). */
+  private def constraintMentions(check: String, col: String): Boolean =
+    ("(?i)(?<![A-Za-z0-9_`])" + java.util.regex.Pattern.quote(col) +
+      "(?![A-Za-z0-9_])").r.findFirstIn(check).isDefined
+
+  private def requireNoConstraintOn(meta: Meta, col: String,
+      op: String): Unit = {
+    val hit = meta.constraints.filter(c => constraintMentions(c._2, col))
+    require(hit.isEmpty,
+      s"cannot $op column $col: referenced by CHECK constraint(s) " +
+        hit.map(_._1).mkString("[", ", ", "]") +
+        " — drop the constraint(s) first")
+  }
+
   def renameColumn(table: String, from: String, to: String): Long = {
     val (_, meta) = state(table)
     val schema = StructType.fromDDL(meta.schemaDDL)
     require(schema.fieldNames.contains(from), s"no column $from")
     require(!schema.fieldNames.contains(to), s"column exists: $to")
+    requireNoConstraintOn(meta, from, "rename")
     val evolved = StructType(schema.map(f =>
       if (f.name == from) f.copy(name = to) else f))
     commit(table, "evolve", Nil, Nil, Some(meta.copy(
@@ -514,6 +536,7 @@ object TxLog {
     require(!meta.statsCol.contains(name),
       s"cannot drop the stats column $name")
     require(schema.size > 1, "cannot drop the last column")
+    requireNoConstraintOn(meta, name, "drop")
     val phys = meta.physFor(name)
     commit(table, "evolve", Nil, Nil, Some(meta.copy(
       schemaDDL = StructType(schema.filterNot(_.name == name)).toDDL,

@@ -487,12 +487,18 @@ object Streams {
         val viol = coalesce(
           cons.map(c => expr(c._2) === lit(false)).reduce(_ || _),
           lit(false))
-        val dead = batch.filter(viol)
-        if (!dead.isEmpty)
-          dead.write.mode("overwrite")
-            .parquet(s"$deadLetterDir/batch_id=$id")
-        graft.sources.TxLog.appendBatch(spark, table, batch.filter(!viol),
-          appId, id)
+        // ONE source computation per micro-batch: the split reads the
+        // cached batch, not the upstream three times (dead count +
+        // dead write + clean append — code review round-13).
+        val cached = batch.persist()
+        try {
+          val dead = cached.filter(viol)
+          if (dead.count() > 0)
+            dead.write.mode("overwrite")
+              .parquet(s"$deadLetterDir/batch_id=$id")
+          graft.sources.TxLog.appendBatch(spark, table,
+            cached.filter(!viol), appId, id)
+        } finally cached.unpersist()
       }
       ()
     }

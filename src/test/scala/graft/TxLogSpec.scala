@@ -783,6 +783,30 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, tb).filter($"o_totalprice" < 0).count() == 20)
   }
 
+  test("CHECK constraints block rename/drop of referenced columns " +
+      "(no orphaned constraint can break later writes)") {
+    val tb = fresh("consevolve")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.addConstraint(spark, tb, "pos_price", "o_totalprice > 0")
+    val e1 = intercept[IllegalArgumentException] {
+      TxLog.renameColumn(tb, "o_totalprice", "price")
+    }
+    assert(e1.getMessage.contains("pos_price"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.dropColumn(tb, "o_totalprice")
+    }
+    assert(e2.getMessage.contains("pos_price"), e2.getMessage)
+    // Unreferenced columns still evolve freely; after dropping the
+    // constraint the rename goes through and writes keep working.
+    TxLog.renameColumn(tb, "o_orderpriority", "o_prio")
+    TxLog.dropConstraint(tb, "pos_price")
+    TxLog.renameColumn(tb, "o_totalprice", "price")
+    TxLog.append(spark, tb, orders.limit(5)
+      .withColumnRenamed("o_orderpriority", "o_prio")
+      .withColumnRenamed("o_totalprice", "price"))
+    assert(TxLog.snapshot(spark, tb).count() == 5)
+  }
+
   test("dead-letter streaming sink: poison rows divert (not crash, not " +
       "vanish); clean rows land exactly once; replay duplicates neither") {
     val tb = fresh("deadletter")
