@@ -796,10 +796,14 @@ object AnnOps {
     // shuffle join on list_id (the unbounded-query-stream shape the
     // scaladoc describes), no semantic change.
     val lutRowBytes = 12L + model.m.toLong * model.ksub * 8L
-    val qRows = graft.plans.PlanStats
-      .estRows(queries, 8L + dims * 4L).min(BigInt(Long.MaxValue)).toLong
-    val maySidecast = qRows * nProbe * lutRowBytes <= (256L << 20) &&
-      qRows * (8L + dims * 4L) <= (256L << 20)
+    // BigInt end-to-end (ADVICE round-13): a stat-less query frame's
+    // sizeInBytes fallback can be huge, and a Long-clamped product would
+    // overflow/wrap and force-broadcast exactly the unbounded frame the
+    // gate exists to keep off the driver.
+    val qRows = graft.plans.PlanStats.estRows(queries, 8L + dims * 4L)
+    val gate = BigInt(256L << 20)
+    val maySidecast = qRows * nProbe * lutRowBytes <= gate &&
+      qRows * (8L + dims * 4L) <= gate
     def sided(df: DataFrame): DataFrame =
       if (maySidecast) broadcast(df) else df
     val q = queries.select(col("query_id"), col("qe"),

@@ -359,7 +359,17 @@ object VectorOps {
     * band-key equi-join (shuffle on 8-byte keys) and the final distinct —
     * never a cross join. No SQL oracle (hash-permutation internals);
     * planted-pair determinism is covered by DedupSpec, and every emitted
-    * pair carries its exact Jaccard for external audit. */
+    * pair carries its exact Jaccard for external audit.
+    *
+    * Approximation boundary (round-13 star-collapse cap, default 256):
+    * in a band bucket larger than the cap, pairs are emitted per-member
+    * against in-bucket representatives rather than all-pairs — the
+    * output is NOT the complete candidate pair set on degenerate clone
+    * cliques, but every emitted pair is still exact-Jaccard-verified and
+    * clique connectivity is preserved (dedup clustering takes the
+    * transitive closure). Pair-level consumers needing the complete set
+    * on >cap cliques should call [[minhashPairsFromIndex]] with a larger
+    * `bucketCap`. */
   val dedupNearMinhash = Q.noOracle("dedup_near_minhash") { (s, dir) =>
     minhashPairs(t(s, dir, "documents"), numHashes = 32, bands = 8,
       jaccardThreshold = 0.4)

@@ -496,9 +496,15 @@ object TxLog {
     * literal over-blocks, which errs on the safe side; the error message
     * names the constraint to drop first (the Delta contract: constraints
     * referencing a column block its rename/drop). */
-  private def constraintMentions(check: String, col: String): Boolean =
-    ("(?i)(?<![A-Za-z0-9_`])" + java.util.regex.Pattern.quote(col) +
-      "(?![A-Za-z0-9_])").r.findFirstIn(check).isDefined
+  private def constraintMentions(check: String, col: String): Boolean = {
+    // Backticks stripped first so a quoted identifier (`o_totalprice` > 0
+    // — valid in expr()) is detected like the bare form; with the
+    // backtick in the old lookbehind class a quoted reference slipped the
+    // guard and the rename/drop orphaned the constraint (ADVICE round-13).
+    val text = check.replace("`", "")
+    ("(?i)(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(col) +
+      "(?![A-Za-z0-9_])").r.findFirstIn(text).isDefined
+  }
 
   private def requireNoConstraintOn(meta: Meta, col: String,
       op: String): Unit = {

@@ -472,16 +472,30 @@ object Streams {
     * splits on the table's CURRENT constraints — clean rows append under
     * the (appId, batchId) idempotency mark; violating rows land in
     * `deadLetterDir/batch_id=<id>` with OVERWRITE semantics, so a
-    * replayed batch rewrites the same partition byte-identically instead
-    * of duplicating dead letters. SQL CHECK semantics: a row diverts
-    * only when some constraint evaluates to FALSE (nulls pass). */
+    * replayed batch REPLACES that partition's contents (no duplication;
+    * part-file names differ run to run). A replayed batch with ZERO
+    * violations — e.g. after a constraint drop — deletes its stale
+    * partition, so dead letters never outlive the constraint change
+    * (ADVICE round-13). SQL CHECK semantics: a row diverts only when
+    * some constraint evaluates to FALSE (nulls pass). */
   def txLogSinkWithDeadLetter(spark: SparkSession, df: DataFrame,
       table: String, checkpointDir: String, appId: String,
       deadLetterDir: String): StreamingQuery =
     foreachBatchSink(df, checkpointDir) { (batch, id) =>
       import org.apache.spark.sql.functions.{coalesce, expr, lit}
       val cons = graft.sources.TxLog.state(table)._2.constraints
+      val partDir = s"$deadLetterDir/batch_id=$id"
+      // A replayed batch that no longer violates (constraints dropped or
+      // weakened) must not leave the PRIOR run's dead letters behind —
+      // one fs.exists of metadata per micro-batch (ADVICE round-13).
+      def dropStalePartition(): Unit = {
+        val p = new org.apache.hadoop.fs.Path(partDir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        ()
+      }
       if (cons.isEmpty) {
+        dropStalePartition()
         graft.sources.TxLog.appendBatch(spark, table, batch, appId, id)
       } else {
         val viol = coalesce(
@@ -494,8 +508,8 @@ object Streams {
         try {
           val dead = cached.filter(viol)
           if (dead.count() > 0)
-            dead.write.mode("overwrite")
-              .parquet(s"$deadLetterDir/batch_id=$id")
+            dead.write.mode("overwrite").parquet(partDir)
+          else dropStalePartition()
           graft.sources.TxLog.appendBatch(spark, table,
             cached.filter(!viol), appId, id)
         } finally cached.unpersist()

@@ -796,6 +796,14 @@ class TxLogSpec extends SparkSpec {
       TxLog.dropColumn(tb, "o_totalprice")
     }
     assert(e2.getMessage.contains("pos_price"), e2.getMessage)
+    // Backtick-quoted references guard too (ADVICE round-13): expr()
+    // accepts `o_orderdate` as an identifier, so the mention scan must.
+    TxLog.addConstraint(spark, tb, "date_set", "`o_orderdate` is not null")
+    val e3 = intercept[IllegalArgumentException] {
+      TxLog.renameColumn(tb, "o_orderdate", "odate")
+    }
+    assert(e3.getMessage.contains("date_set"), e3.getMessage)
+    TxLog.dropConstraint(tb, "date_set")
     // Unreferenced columns still evolve freely; after dropping the
     // constraint the rename goes through and writes keep working.
     TxLog.renameColumn(tb, "o_orderpriority", "o_prio")
@@ -844,6 +852,22 @@ class TxLogSpec extends SparkSpec {
       appId = "dl-app", deadLetterDir = dlq).awaitTermination()
     assert(TxLog.snapshot(spark, tb).count() == nClean)
     assert(spark.read.parquet(dlq).count() == nPoison)
+    // Drop the constraint and replay once more: the batch now has zero
+    // violations, so its stale dead-letter partition must be DELETED —
+    // dead letters cannot outlive the constraint change (ADVICE r13) —
+    // and the append is still skipped by the (appId, batchId) mark.
+    TxLog.dropConstraint(tb, "pos_price")
+    val in3 = spark.readStream
+      .schema(TxLog.snapshot(spark, tb).schema).parquet(feed)
+    streaming.Streams.txLogSinkWithDeadLetter(spark, in3, tb,
+      java.nio.file.Files.createTempDirectory("graft_dl_c3").toString,
+      appId = "dl-app", deadLetterDir = dlq).awaitTermination()
+    assert(TxLog.snapshot(spark, tb).count() == nClean,
+      "replayed batch must still be idempotent after the constraint drop")
+    val part0 = new org.apache.hadoop.fs.Path(s"$dlq/batch_id=0")
+    val fs = part0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(part0),
+      "zero-violation replay must delete the stale dead-letter partition")
   }
 
   test("CHECK constraints: ADD validates existing data; time travel to " +
