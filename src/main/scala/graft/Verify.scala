@@ -308,6 +308,82 @@ object Verify {
           .filter(col("k") === 100).head.getAs[Double]("recall")
         recallLine(r, 0.3)
       }
+      // Rebalance (round-14): replay the declared key's churn sequence and
+      // prove the rebalanced index content is IDENTICAL to a fresh
+      // assignment of the full corpus under the refined model (the
+      // threshold-0 law AnnSpec pins) — plus row accounting. Linear cost.
+      check("ann_rebalance_ivf") {
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val hist = emb.filter(col("vec_id") % 10 =!= 0)
+        val model = graft.operators.AnnOps.fitAnnModel(spark, hist)
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft_verify_rebalance").toString
+        graft.operators.AnnOps.ivfUpsert(spark,
+            graft.operators.AnnOps.annIndex(spark, hist, model),
+            emb.filter(col("vec_id") % 10 === 0), model)
+          .write.mode("overwrite").partitionBy("list_id").parquet(idxDir)
+        val (newModel, affected, _) = graft.operators.AnnOps
+          .annRebalance(spark, idxDir, emb, model)
+        def flat(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("vec_id"), col("list_id").cast("int"),
+            concat_ws(",", col("codes").cast("array<string>")))
+          .orderBy("vec_id").collect().map(_.toSeq).toSeq
+        val got = flat(spark.read.parquet(idxDir))
+        val want = flat(graft.operators.AnnOps.annIndex(spark, emb, newModel))
+        val n = emb.count()
+        s"""{"rows": ${got.size}, "n_vectors": $n, """ +
+          s""""affected_lists": ${affected.size}, """ +
+          s""""fresh_assignment_match": ${got == want}, """ +
+          s""""pass": ${got.size == n && got == want}}"""
+      }
+      // Predicate-filtered serve (round-14): recall vs the exact FILTERED
+      // top-k at two selectivities — ~50 % (label < 5: the declared key's
+      // widened-probe ANN route) and ~1 % (label = 3 AND vec_id % 10 = 0:
+      // the exact-over-survivors fallback, which must be recall 1.0 by
+      // construction) — plus the hard invariant that no non-matching id
+      // is ever returned on either route. Linear cost (5 queries vs
+      // corpus), runs at every tier.
+      check("ann_filtered_knn") {
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val model = graft.operators.AnnOps.fitAnnModel(spark, emb)
+        val index = graft.operators.AnnOps.annIndex(spark, emb, model)
+        val attrs = emb.select(col("vec_id"), col("label"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        def exactFiltered(pred: org.apache.spark.sql.Column) = emb
+          .join(attrs.filter(pred).select("vec_id"), Seq("vec_id"),
+            "left_semi")
+          .crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(call_function("cosine_sim", col("embedding"), col("qe")),
+              6).as("sim"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+              .orderBy(col("sim").desc, col("vec_id"))))
+          .filter(col("rank") <= 10)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        def recallOf(got: Set[(Long, Long)], want: Set[(Long, Long)]) =
+          if (want.isEmpty) 1.0
+          else got.intersect(want).size.toDouble / want.size
+        val badLabels = attrs.filter(!(col("label") < 5))
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val wide = SparkEntry.queries("ann_filtered_knn")(spark, sfDir)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val nonMatching = wide.count(p => badLabels.contains(p._2))
+        val recWide = finite("recall_wide",
+          recallOf(wide.toSet, exactFiltered(col("label") < 5)))
+        val narrowPred = col("label") === 3 && col("vec_id") % 10 === 0
+        val narrow = graft.operators.AnnOps.ivfPqKnnFilteredBatch(spark,
+            emb, index, attrs, narrowPred, model, queries, k = 10)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recNarrow = finite("recall_narrow",
+          recallOf(narrow, exactFiltered(narrowPred)))
+        s"""{"recall_sel50": $recWide, "recall_sel1_exact_route": """ +
+          s"""$recNarrow, "non_matching_returned": $nonMatching, """ +
+          s""""floor": 0.5, "pass": ${recWide >= 0.5 && recNarrow == 1.0 &&
+            nonMatching == 0}}"""
+      }
 
       // MinHash-LSH dedup recall vs the exact n-gram Jaccard pass (forced
       // exact; every minhash pair is already exact-Jaccard-verified, so

@@ -871,6 +871,125 @@ object AnnOps {
       nCandidates = pool)
   }
 
+  /** Predicate-FILTERED batched composed IVF+PQ serve (round-14, VERDICT
+    * r13 next-item 1 — the first production vector-search query: "top-k
+    * similar WHERE lang = 'en' AND date > X"): candidates must satisfy an
+    * arbitrary metadata `predicate` over a (vec_id → attrs) side table.
+    * Generalizes the tombstone mask ([[ivfPqKnnBatchMasked]] is the
+    * special case predicate = "vec_id ∉ deleted") with the two scale
+    * controls a fixed-probe filtered serve silently lacks:
+    *
+    *  1. SELECTIVITY-AWARE PROBE WIDENING. A selective filter starves the
+    *     candidate pool at fixed nProbe — the filtered top-k can live in
+    *     lists the probe ranking never visits, and recall collapses with
+    *     no error raised. The serve measures the survivor count with ONE
+    *     exact column-pruned count per BATCH (amortized across the query
+    *     frame; the zero-job footer estimate is filter-blind — the
+    *     fitAnnModel admission lesson, code review round-11) and widens
+    *     the probe to ceil(nProbe / selectivity) clamped to nLists: at
+    *     50 % selectivity a 3-probe serve probes 6 lists; at ≤
+    *     nProbe/nLists selectivity it degrades to a FULL probe — still an
+    *     ADC scan of survivor codes, never an exact scan of the corpus.
+    *  2. EXACT-OVER-SURVIVORS FALLBACK. Below `exactGateRows` survivors
+    *     probing is pointless and quantization error is pure loss (the
+    *     decontaminate_embedding reroute precedent, CurationOps2): the
+    *     serve brute-forces exact cosine over the (gate-bounded) survivor
+    *     vectors. Output schema, k-cut, and ordering are identical on
+    *     both routes, so the route is invisible to consumers.
+    *
+    * The candidate pool stays pinned to the UNFILTERED index estimate
+    * (the masked-serve contract — stable across filter selectivity), so
+    * a full-probe corpus-pool filtered serve is row-identical to the
+    * exact filtered top-k (AnnSpec pins it). Survivor ids semi-join the
+    * index BEFORE the ADC scan — broadcast under a byte gate, else the
+    * hint is dropped and the optimizer picks the join strategy (the
+    * dims-localize rule: refusal degrades to optimizer choice, never a
+    * forced shuffle). */
+  /** The probe-widening law of the filtered serve, as a pure function so
+    * AnnSpec can pin it: expected survivor mass per probed list scales
+    * with selectivity, so the probe count scales with 1/selectivity —
+    * ceil(nProbe / sel), floored at the caller's nProbe (sel = 1 changes
+    * nothing) and clamped to nLists (a FULL probe is the widest possible;
+    * past that the exact-fallback gate is the only further remedy). */
+  def widenedProbe(nProbe: Int, nLists: Int, selectivity: Double): Int = {
+    require(selectivity > 0.0 && selectivity <= 1.0,
+      s"selectivity must be in (0, 1], got $selectivity")
+    math.max(nProbe,
+      math.min(nLists, math.ceil(nProbe / selectivity).toInt))
+  }
+
+  def ivfPqKnnFilteredBatch(s: SparkSession, emb: DataFrame,
+      index: DataFrame, attrs: DataFrame, predicate: Column,
+      model: AnnModel, queries: DataFrame, k: Int, nProbe: Int = 3,
+      nCandidates: Int = -1, exactGateRows: Long = 50000L): DataFrame = {
+    VectorOps.registerFns(s)
+    import org.apache.spark.sql.expressions.Window
+    val dims = model.centroids.head._2.length
+    val survivors = attrs.filter(predicate).select(col("vec_id"))
+    val nSurv = survivors.count()
+    if (nSurv <= exactGateRows) {
+      // Exact route: survivor embeddings (bounded by the gate) against
+      // the query frame. The query side is byte-gated exactly like the
+      // ANN batch serve; survivors are gate-bounded so their semi-join
+      // side always fits a broadcast.
+      val qRows = graft.plans.PlanStats.estRows(queries, 8L + dims * 4L)
+      val qSmall = qRows * (8L + dims * 4L) <= BigInt(256L << 20)
+      def sided(df: DataFrame): DataFrame =
+        if (qSmall) broadcast(df) else df
+      val sEmb = emb.join(broadcast(survivors), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("embedding"))
+      val scored = sEmb
+        .join(sided(queries), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(call_function("cosine_sim", col("embedding"), col("qe")), 6)
+            .as("sim"))
+      val topW = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(topW))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id"), col("sim"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    } else {
+      val nTotal = graft.plans.PlanStats.estRows(
+        index, 20L + model.m * 4L, decompressionFactor = 1)
+      val pool = if (nCandidates > 0) nCandidates else pqPoolFor(dims, nTotal)
+      // Selectivity from the exact survivor count over the (possibly
+      // estimated) total; clamped to 1 so an under-estimated total can
+      // only WIDEN the probe, never narrow it below the caller's nProbe.
+      val sel = math.min(1.0,
+        nSurv.toDouble / nTotal.max(BigInt(nSurv)).toDouble)
+      val effProbe = widenedProbe(nProbe, model.centroids.size, sel)
+      val survSided =
+        if (BigInt(nSurv) * 8L <= BigInt(64L << 20)) broadcast(survivors)
+        else survivors
+      val filtered = index.join(survSided, Seq("vec_id"), "left_semi")
+      ivfPqKnnBatch(s, emb, filtered, model, queries, k, effProbe,
+        nCandidates = pool)
+    }
+  }
+
+  /** K4-filter — the declared predicate-filtered serve: 5 corpus queries,
+    * filter `label < 5` (~50 % selectivity) over the embeddings table's
+    * own metadata column, served through the widened-probe ANN route
+    * (exact gate pinned below the verify-tier survivor count so the ANN
+    * path — the 100 TB shape — is what verification exercises; the
+    * selfcheck ALSO runs a ~1 %-selectivity serve through the exact
+    * fallback). No-oracle (learned quantizer, K2 precedent); the Verify
+    * selfcheck proves no non-matching id is returned and measures recall
+    * vs the exact filtered top-k at BOTH selectivities; AnnSpec pins
+    * full-probe corpus-pool filtered ≡ exact filtered top-k. */
+  val annFilteredKnn = Q.noOracle("ann_filtered_knn") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val model = fitAnnModel(s, emb)
+    val index = annIndex(s, emb, model)
+    val attrs = emb.select(col("vec_id"), col("label"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    ivfPqKnnFilteredBatch(s, emb, index, attrs, col("label") < 5, model,
+      queries, k = 10, nProbe = 3, exactGateRows = 64L)
+  }
+
   /** Tombstone-MASKED composed IVF+PQ serve (round-13, VERDICT r12 next
     * item 1 — the delete half of the index lifecycle): identical to
     * [[ivfPqKnnFromIndex]] except deleted vec_ids are anti-joined out of
@@ -992,6 +1111,155 @@ object AnnOps {
       k = 20, nProbe = 3)
   }
 
+  /** Nearest-centroid list assignment under `model` — the native-kernel
+    * expression [[annIndex]] uses, shared with the rebalance scan. */
+  private def listAssignExpr(model: AnnModel): Column = {
+    val dims = model.centroids.head._2.length
+    val cids = model.centroids.map(_._1)
+    val centFlat = model.centroids.flatMap(_._2)
+    val pos = call_function("nearest_centroid", col("embedding"),
+      typedLit(centFlat), lit(cids.length), lit(dims))
+    element_at(typedLit(cids), pos + 1)
+  }
+
+  /** REBALANCE of a stored IVF index under churn (round-14, VERDICT r13
+    * next-item 2 — the missing repair operator): upserts append to frozen
+    * lists and deletes compact them, but nothing re-trained — after heavy
+    * churn list sizes skew, centroids drift off the live distribution,
+    * and serve recall degrades with no remedy but a full rebuild. This
+    * operator:
+    *
+    *  1. REFINES the centroids by Lloyd iterations SEEDED FROM THE OLD
+    *     MODEL over a bounded hash-sample of the current corpus (the
+    *     fitAnnModel train/add split — never a corpus-sized fit). Seeding
+    *     preserves centroid ids by position, so after small drift most
+    *     rows keep their assignment and the rewrite stays proportional
+    *     to the drift, not the corpus — a fresh k-means would scramble
+    *     ids and force a full rewrite every time.
+    *  2. RE-ASSIGNS list-locally: one narrow corpus scan computes each
+    *     vector's refined assignment (12-byte rows through the join —
+    *     codes are NOT recomputed, the PQ codebooks stay frozen); a
+    *     list rebalances only when the fraction of its members moving
+    *     out exceeds `driftThreshold` (per-list stats are an nLists-row
+    *     collect). Rows in below-threshold lists stay put — bounded
+    *     staleness in exchange for bounded rewrite, the compaction
+    *     trade. At the default threshold 0 every drifted row moves and
+    *     the rewritten content is IDENTICAL to a fresh [[annIndex]]
+    *     build under the refined model (AnnSpec pins it).
+    *  3. REWRITES only affected partitions (drifted sources + their
+    *     movers' targets) via dynamic partition overwrite, dropping
+    *     fully-drained list dirs — the [[annCompactStored]] mechanics.
+    *
+    * Requires a list_id-partitioned index whose rows all have a live
+    * embedding in `emb` (compact tombstones first — the inner join drops
+    * stored rows without a vector, which would silently shrink the
+    * index). Returns (refined model, affected list ids, dropped list
+    * ids); serve with the REFINED model afterwards — probing with the
+    * old centroids against the rebalanced layout mismatches. */
+  def annRebalance(s: SparkSession, indexPath: String, emb: DataFrame,
+      model: AnnModel, lloydIters: Int = 3, fitSampleCap: Long = 200000L,
+      driftThreshold: Double = 0.0): (AnnModel, Seq[Int], Seq[Int]) = {
+    VectorOps.registerFns(s)
+    import graft.Stage.StagedOps
+    require(Option(new java.io.File(localPath(indexPath)).listFiles())
+        .exists(_.exists(f =>
+          f.isDirectory && f.getName.startsWith("list_id="))),
+      s"annRebalance expects a list_id-partitioned index at $indexPath")
+    require(driftThreshold >= 0.0 && driftThreshold < 1.0,
+      s"driftThreshold must be in [0, 1), got $driftThreshold")
+    // Bounded refinement sample (the fitAnnModel admission pattern).
+    val sample =
+      if (graft.plans.PlanStats.estRows(emb, 16L) <= BigInt(fitSampleCap))
+        emb
+      else {
+        val actual = emb.count()
+        if (actual <= fitSampleCap) emb
+        else {
+          val f = (actual + fitSampleCap - 1) / fitSampleCap
+          emb.filter(pmod(xxhash64(col("vec_id")), lit(f)) === 0).staged
+        }
+      }
+    val refined = ClusterOps.kmeansFit(s,
+        sample.select(col("vec_id"), col("embedding")),
+        k = model.nLists, iters = lloydIters,
+        init = Some(model.centroids.toArray))._2.sortBy(_._1).toSeq
+    val newModel = model.copy(centroids = refined)
+    val stored = s.read.parquet(indexPath)
+    val newAssign = emb.select(col("vec_id"),
+      listAssignExpr(newModel).as("new_list"))
+    val joined = stored.join(newAssign, Seq("vec_id"))
+    // Per-list out-drift: an nLists-row frame, driver-bounded collect.
+    val drift = joined.groupBy("list_id").agg(
+        count(lit(1)).as("n"),
+        count(when(col("new_list") =!= col("list_id"), 1)).as("moved"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val drifted = drift.filter { case (_, n, moved) =>
+      moved.toDouble / n > driftThreshold
+    }.map(_._1).toSet
+    if (drifted.isEmpty) return (newModel, Nil, Nil)
+    val targets = joined
+      .filter(col("list_id").isin(drifted.toSeq: _*) &&
+        col("new_list") =!= col("list_id"))
+      .select(col("new_list")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val affected = (drifted ++ targets).toSeq.sorted
+    // Rewritten content: movers (from drifted lists) land in new_list;
+    // everything else in an affected partition keeps its list. Material-
+    // ized before the overwrite deletes the files it reads (the
+    // annCompactStored self-overwrite rule).
+    val rewritten = joined
+      .filter(col("list_id").isin(affected: _*))
+      .withColumn("out_list",
+        when(col("list_id").isin(drifted.toSeq: _*) &&
+          col("new_list") =!= col("list_id"), col("new_list"))
+          .otherwise(col("list_id")))
+      .select(col("vec_id"), col("codes"), col("out_list").as("list_id"))
+      .localCheckpoint(true)
+    val kept = rewritten.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val emptied = affected.filterNot(kept)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rewritten.write.mode("overwrite").partitionBy("list_id")
+      .parquet(indexPath)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    emptied.foreach { lid =>
+      val dir = new java.io.File(localPath(indexPath), s"list_id=$lid")
+      if (dir.isDirectory) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
+    (newModel, affected, emptied)
+  }
+
+  /** K4-lifecycle — the declared churn-repair rung: model fit on the
+    * stable 90 % of the corpus, the remaining tenth upserted under the
+    * frozen model (the drift), then [[annRebalance]] refines centroids
+    * and re-assigns drifted lists. Output = the rebalanced index, flat-
+    * rendered like [[annIndexBuild]]. No-oracle (learned quantizer, K2
+    * precedent); AnnSpec pins content ≡ fresh-assignment under the
+    * refined model + the recall-recovery churn sequence; the Verify
+    * selfcheck re-proves content equivalence every run. */
+  val annRebalanceIvf = Q.noOracle("ann_rebalance_ivf") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val hist = emb.filter(col("vec_id") % 10 =!= 0)
+    val model = fitAnnModel(s, hist)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_ann_rebalance").toString
+    ivfUpsert(s, annIndex(s, hist, model),
+        emb.filter(col("vec_id") % 10 === 0), model)
+      .write.mode("overwrite").partitionBy("list_id").parquet(idxDir)
+    val (_, _, _) = annRebalance(s, idxDir, emb, model)
+    s.read.parquet(idxDir)
+      .select(col("vec_id"), col("list_id"),
+        concat_ws(",", col("codes").cast("array<string>")).as("pq_codes"))
+      .orderBy("vec_id")
+  }
+
   /** Incremental index maintenance (VERDICT r6 item 8 — the ANN analogue
     * of `dedup_incremental_minhash`): a new ingest batch is quantized with
     * the STORED model and appended to the stored index. Only the new
@@ -1028,5 +1296,6 @@ object AnnOps {
 
   val all: Seq[Q] =
     Seq(annLshTopK, annIvfKnn, annPqKnn, annIvfPqKnn, annIndexBuild,
-      annUpsertIvf, annDeleteIvf, annBatchKnn)
+      annUpsertIvf, annDeleteIvf, annBatchKnn, annFilteredKnn,
+      annRebalanceIvf)
 }

@@ -230,8 +230,11 @@ object ClusterOps {
     * ([[graft.operators.AnnOps.ivfKnn]]). `emb` must be exactly
     * (vec_id, embedding). */
   def kmeansFit(s: SparkSession, emb: DataFrame, k: Int, iters: Int,
-      exprPathMaxK: Int = ExprPathMaxK)
+      exprPathMaxK: Int = ExprPathMaxK,
+      init: Option[Array[(Int, Seq[Double])]] = None)
       : (DataFrame, Array[(Int, Seq[Double])]) = {
+    require(init.forall(_.length == k),
+      s"init must carry exactly k=$k centroids")
     VectorOps.registerFns(s)
     import s.implicits._
     val centroidAgg = udaf(Udx.centroidAgg)
@@ -249,12 +252,16 @@ object ClusterOps {
       if (cents.length <= exprPathMaxK)
         emb.withColumn("cluster_id", assignCol(cents)(col("embedding")))
       else assignKernel(s, emb, cents)
-    var cents: Array[(Int, Seq[Double])] = emb
+    // Custom init = Lloyd REFINEMENT from an existing model (the ANN
+    // rebalance path, round-14): centroid ids are preserved by position,
+    // so most assignments survive small drift and the rebalance rewrite
+    // stays proportional to the drift, not the corpus.
+    var cents: Array[(Int, Seq[Double])] = init.getOrElse(emb
       .orderBy("vec_id").limit(k)
       .select(col("embedding"))
       .as[Seq[Float]].collect()
       .zipWithIndex
-      .map { case (v, i) => (i, v.map(_.toDouble)) }
+      .map { case (v, i) => (i, v.map(_.toDouble)) })
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       assigned = assignDf(cents)

@@ -46,9 +46,14 @@ object PlanStats {
     * fallback unreachable for all parquet-backed inputs anyway). */
   val DefaultDecompressionFactor = 4
 
-  /** Cap on driver-side footer reads per estimate: beyond this many files
-    * the corpus is unambiguously huge and the byte-derived branch decides
-    * (any guard it feeds reroutes to the scale path regardless). */
+  /** Cap on driver-side footer reads per estimate. Beyond this many files
+    * the estimate comes from a STRIDED footer sample extrapolated by file
+    * count instead of all footers — round-14: the byte-derived fallback
+    * under-counted a dictionary-compressed PQ code index 12× (77 MB disk
+    * for 2 M × 404-byte rows), silently shrinking the ANN candidate pool
+    * 12× and collapsing stored-serve recall at the 2 M tier (0.99 → 0.20
+    * measured). Systematic sampling over the sorted path list stays
+    * driver-side metadata I/O, bounded by the same cap. */
   private val MaxFooterFiles = 512
 
   /** (rows, uncompressedBytes) per already-read footer path. */
@@ -72,12 +77,24 @@ object PlanStats {
     if (parquetRels.isEmpty || parquetRels.exists(_.isEmpty)) None
     else {
       val files = parquetRels.flatten.flatMap(_.location.inputFiles).distinct
-      if (files.isEmpty || files.length > MaxFooterFiles) None
+      if (files.isEmpty) None
       else try {
         val conf = df.sparkSession.sessionState.newHadoopConf()
+        // Above the cap: a deterministic systematic sample (every k-th of
+        // the SORTED path list — spreads across partition dirs, whose
+        // sizes skew) extrapolated by file count. Approximately unbiased
+        // for rows; still zero Spark jobs and ≤ MaxFooterFiles footers.
+        val sorted = files.sorted
+        val stride = math.max(1,
+          math.ceil(sorted.length.toDouble / MaxFooterFiles).toInt)
+        val sampled =
+          if (stride == 1) sorted
+          else sorted.indices.collect {
+            case i if i % stride == 0 => sorted(i)
+          }
         var rows = BigInt(0)
         var bytes = BigInt(0)
-        files.foreach { f =>
+        sampled.foreach { f =>
           val (r, b) = footerCache.computeIfAbsent(f, { _ =>
             val reader =
               ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
@@ -89,7 +106,9 @@ object PlanStats {
           rows += r
           bytes += b
         }
-        Some((rows, bytes))
+        if (stride == 1) Some((rows, bytes))
+        else Some((rows * sorted.length / sampled.length,
+          bytes * sorted.length / sampled.length))
       } catch { case NonFatal(_) => None }
     }
   }

@@ -332,12 +332,163 @@ object HighDimProbe {
       f"sample_mismatches=$mism rows=${batchRows.length}")
   }
 
+  /** Predicate-filtered serve at scale (round-14, VERDICT r13 item 1):
+    * recall of [[AnnOps.ivfPqKnnFilteredBatch]] vs the exact FILTERED
+    * top-20, at each given selectivity (percent of the corpus surviving a
+    * label predicate, label = vec_id % 100), plus the same serve with the
+    * probe widening DISABLED (raw nProbe over the filtered index) so the
+    * widening's contribution is measured, not asserted. 1 % of 2 M =
+    * 20 k survivors routes through the exact-fallback gate by design —
+    * the printed route names which path served. */
+  private def filteredServe(s: SparkSession, dir: String, dims: Int,
+      n: Long, selPcts: Seq[Int]): Unit = {
+    val e = emb(s, dir).filter(col("vec_id") < n)
+    VectorOps.registerFns(s)
+    val nLists = math.max(8, math.sqrt(n / 1000.0).toInt)
+    val model = AnnOps.fitAnnModel(s, e, nLists = nLists, m = dims / 8,
+      dsub = 8, ksub = 16)
+    val idxPath = s"/tmp/graft_annscale_idx_part_$n"
+    if (!new java.io.File(idxPath).isDirectory)
+      AnnOps.annIndex(s, e, model)
+        .write.mode("overwrite").partitionBy("list_id").parquet(idxPath)
+    val stored = s.read.parquet(idxPath).select("vec_id", "list_id", "codes")
+    val attrs = e.select(col("vec_id"),
+      pmod(col("vec_id"), lit(100)).cast("int").as("label"))
+    val qids = Seq(0L, 7L, 63L, 128L, 999L).filter(_ < n)
+    val queries = e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val nProbe = math.max(3, nLists / 8)
+    selPcts.foreach { pct =>
+      val pred = col("label") < pct
+      val nSurv = attrs.filter(pred).count()
+      val route = if (nSurv <= 50000L) "exact-fallback" else "ann-widened"
+      val (got, tServe) = time {
+        AnnOps.ivfPqKnnFilteredBatch(s, e, stored, attrs, pred, model,
+          queries, k = 20, nProbe = nProbe)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+      // Exact filtered ground truth: 5 queries × survivors, linear.
+      import org.apache.spark.sql.expressions.Window
+      val exact = e.join(attrs.filter(pred).select("vec_id"),
+          Seq("vec_id"), "left_semi")
+        .crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(call_function("cosine_sim", col("embedding"), col("qe")), 6)
+            .as("sim"))
+        .withColumn("rank", row_number().over(Window
+          .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rank") <= 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def rec(a: Set[(Long, Long)]) =
+        if (exact.isEmpty) 1.0 else a.intersect(exact).size.toDouble / exact.size
+      val recWide = rec(got.toSet)
+      // Widening OFF: the raw nProbe over the pre-filtered index at the
+      // same pinned pool — the silent-starvation shape the serve avoids.
+      val pool = AnnOps.pqPoolFor(dims, graft.plans.PlanStats.estRows(
+        stored, 20L + model.m * 4L, decompressionFactor = 1))
+      val fixed = AnnOps.ivfPqKnnBatch(s, e,
+          stored.join(broadcast(attrs.filter(pred).select("vec_id")),
+            Seq("vec_id"), "left_semi"),
+          model, queries, k = 20, nProbe = nProbe, nCandidates = pool)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recFixed = rec(fixed)
+      println(f"[filtered] n=$n dims=$dims sel=$pct%% survivors=$nSurv " +
+        f"route=$route nProbe=$nProbe nLists=$nLists t=$tServe%.1fs " +
+        f"recall@20=$recWide%.3f recall_fixed_probe=$recFixed%.3f")
+    }
+  }
+
+  private def filteredDebug(s: SparkSession, dir: String, dims: Int,
+      n: Long, pct: Int): Unit = {
+    val e = emb(s, dir).filter(col("vec_id") < n)
+    VectorOps.registerFns(s)
+    val nLists = math.max(8, math.sqrt(n / 1000.0).toInt)
+    val model = AnnOps.fitAnnModel(s, e, nLists = nLists, m = dims / 8,
+      dsub = 8, ksub = 16)
+    val idxPath = s"/tmp/graft_annscale_idx_part_$n"
+    val stored = s.read.parquet(idxPath).select("vec_id", "list_id", "codes")
+    val attrs = e.select(col("vec_id"),
+      pmod(col("vec_id"), lit(100)).cast("int").as("label"))
+    val pred = col("label") < pct
+    val qid = 0L
+    val q = e.filter(col("vec_id") === qid)
+      .select(col("embedding").as("qe"))
+    val qVec = q.collect().head.getSeq[Float](0)
+    // exact filtered top-20 with their list ids
+    val exact = e.join(attrs.filter(pred).select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      .filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(call_function("cosine_sim", col("embedding"), col("qe")), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(20)
+      .join(stored.select("vec_id", "list_id"), Seq("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    println(s"[dbg] exact top-20 lists: ${exact.map(_._3).toSeq.sorted
+      .groupBy(identity).view.mapValues(_.size).toMap}")
+    val centroids = model.centroids
+    val ranked = centroids.map { case (cid, c) =>
+      (cid, c.zip(qVec).map { case (x, y) => x * y.toDouble }.sum)
+    }.sortBy(-_._2).map(_._1)
+    println(s"[dbg] probe ranking (first 12): ${ranked.take(12)}")
+    val got = AnnOps.ivfPqKnnFilteredBatch(s, e, stored, attrs, pred,
+        model, e.filter(col("vec_id") === qid)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+        k = 20, nProbe = math.max(3, nLists / 8))
+      .collect().map(_.getLong(1)).toSet
+    println(s"[dbg] got=${got.size} hits=${exact.count(x => got(x._1))}" +
+      s" missed=${exact.filterNot(x => got(x._1)).map(x =>
+        (x._1, x._2, x._3)).mkString(", ")}")
+    // ADC rank autopsy: where do the exact top-20 sit in the ADC order
+    // the pool cut uses? (pq_adc_lut + pq_adc — the batch-serve kernels.)
+    val cbFlat = (0 until model.m).flatMap(mm => (0 until model.ksub)
+      .flatMap(j => model.codebooks(mm)(j).padTo(model.dsub, 0.0)))
+    val probeSet = ranked.take(math.max(3, nLists / 8))
+    val adcAll = stored.filter(col("list_id").isin(probeSet: _*))
+      .filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(q.select(
+        call_function("pq_adc_lut", col("qe"), typedLit(cbFlat),
+          lit(model.m), lit(model.dsub), lit(model.ksub)).as("lut"))))
+      .select(col("vec_id"),
+        call_function("pq_adc", col("codes"), col("lut"),
+          lit(model.m), lit(model.ksub)).as("adc"))
+    val total = adcAll.count()
+    val interesting = exact.map(_._1).toSet
+    import org.apache.spark.sql.expressions.Window
+    val rankedAdc = adcAll.withColumn("r", row_number().over(
+        Window.orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("vec_id").isin(interesting.toSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val stats = adcAll.agg(max("adc"), min("adc"),
+      expr("percentile_approx(adc, 0.98)")).collect().head
+    println(s"[dbg] adc candidates=$total max=${stats.get(0)} " +
+      s"min=${stats.get(1)} p98=${stats.get(2)}")
+    val est = graft.plans.PlanStats.estRows(stored, 20L + model.m * 4L,
+      decompressionFactor = 1)
+    println(s"[dbg] estRows(stored)=$est pool=${AnnOps.pqPoolFor(dims, est)}" +
+      s" actualRows=${stored.count()}")
+    println(s"[dbg] exact-top20 adc ranks: " +
+      rankedAdc.sortBy(_._3).map(x => s"${x._1}@${x._3}(adc=${x._2})")
+        .mkString(", "))
+  }
+
   def main(args: Array[String]): Unit = {
     val s = session()
     try args(0) match {
       case "gen" => gen(s, args(1), args(2).toLong, args(3).toInt)
       case "batchserve" =>
         batchServe(s, args(1), args(2).toInt, args(3).toLong, args(4).toInt)
+      case "filtered" =>
+        filteredServe(s, args(1), args(2).toInt, args(3).toLong,
+          args(4).split(",").toSeq.map(_.toInt))
+      case "filtereddebug" =>
+        // Isolate probe-miss vs pool-miss for one selectivity: where do
+        // the exact filtered top-20 live (list ids), are those lists
+        // probed, and at what ADC rank do the misses sit?
+        filteredDebug(s, args(1), args(2).toInt, args(3).toLong,
+          args(4).toInt)
       case "annscale" =>
         annScale(s, args(1), args(2).toInt,
           args(3).split(",").toSeq.map(_.toLong))

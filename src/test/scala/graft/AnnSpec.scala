@@ -440,4 +440,203 @@ class AnnSpec extends SparkSpec {
         .select("vec_id", "list_id", "codes")) ==
       flatIdx(AnnOps.annIndex(spark, survivors, model)))
   }
+
+  /** Deterministic drift fixture for the rebalance tests: the initial
+    * corpus is two tight 16-d clusters (A = even ids, B = odd); the churn
+    * batch lands ON THE A/B BOUNDARY (midpoint + noise wide enough to
+    * straddle it), so under the stale model its members split between the
+    * two stale lists and a 1-probe serve can only ever see half of a
+    * churn query's true neighborhood. */
+  private def driftVec(kind: Int, i: Int): Seq[Float] = {
+    def a(d: Int) = math.sin(d * 1.7 + 0.3)
+    def b(d: Int) = math.sin(d * 2.3 + 4.1)
+    (0 until 16).map { d =>
+      val center = kind match {
+        case 0 => a(d)
+        case 1 => b(d)
+        case _ => (a(d) + b(d)) / 2.0
+      }
+      val amp = if (kind == 2) 0.25 else 0.1
+      (center + amp * math.sin(i * 31.7 + d * 3.3 + kind)).toFloat
+    }
+  }
+
+  test("rebalance under churn: boundary-straddling upserts degrade the " +
+      "1-probe serve, rebalance recovers it to fresh-build level, and the " +
+      "rebalanced content == fresh assignment under the refined model") {
+    val initial = (0 until 200).map(i => (i.toLong, driftVec(i % 2, i)))
+      .toDF("vec_id", "embedding")
+    val churn = (0 until 200).map(i => ((1000 + i).toLong, driftVec(2, i)))
+      .toDF("vec_id", "embedding")
+    val full = initial.unionByName(churn)
+    val model = AnnOps.fitAnnModel(spark, initial, nLists = 4,
+      m = 2, dsub = 8, ksub = 16)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ann_rebalance_spec").toString
+    AnnOps.ivfUpsert(spark, AnnOps.annIndex(spark, initial, model),
+        churn, model)
+      .write.mode("overwrite").partitionBy("list_id").parquet(dir)
+    val qids = Seq(1000L, 1037L, 1101L, 1150L, 1199L)
+    def exactTop(qid: Long): Set[Long] = full
+      .filter($"vec_id" =!= qid)
+      .crossJoin(broadcast(full.filter($"vec_id" === qid)
+        .select($"embedding".as("qe"))))
+      .select($"vec_id",
+        round(call_function("cosine_sim", $"embedding", $"qe"), 6).as("sim"))
+      .orderBy($"sim".desc, $"vec_id").limit(10)
+      .collect().map(_.getLong(0)).toSet
+    def recallAt(m: graft.operators.AnnOps.AnnModel): Double = {
+      val stored = spark.read.parquet(dir)
+        .select("vec_id", "list_id", "codes")
+      qids.map { qid =>
+        val got = AnnOps.ivfPqKnnFromIndex(spark, full, stored, m,
+          qid, k = 10, nProbe = 1).collect().map(_.getLong(0)).toSet
+        val want = exactTop(qid)
+        got.intersect(want).size.toDouble / want.size
+      }.sum / qids.size
+    }
+    val recallStale = recallAt(model)
+    val (newModel, affected, _) =
+      AnnOps.annRebalance(spark, dir, full, model, lloydIters = 5)
+    assert(affected.nonEmpty, "boundary churn must drift some list")
+    val recallRebalanced = recallAt(newModel)
+    // Fresh-build baseline: a from-scratch model on the full corpus.
+    val fresh = AnnOps.fitAnnModel(spark, full, nLists = 4,
+      m = 2, dsub = 8, ksub = 16)
+    val freshDir = java.nio.file.Files
+      .createTempDirectory("graft_ann_fresh_spec").toString
+    AnnOps.annIndex(spark, full, fresh)
+      .write.mode("overwrite").partitionBy("list_id").parquet(freshDir)
+    val recallFresh = {
+      val stored = spark.read.parquet(freshDir)
+        .select("vec_id", "list_id", "codes")
+      qids.map { qid =>
+        val got = AnnOps.ivfPqKnnFromIndex(spark, full, stored, fresh,
+          qid, k = 10, nProbe = 1).collect().map(_.getLong(0)).toSet
+        val want = exactTop(qid)
+        got.intersect(want).size.toDouble / want.size
+      }.sum / qids.size
+    }
+    info(s"recall stale=$recallStale rebalanced=$recallRebalanced fresh=$recallFresh")
+    assert(recallRebalanced > recallStale,
+      s"rebalance must improve the degraded serve: " +
+        s"stale=$recallStale rebalanced=$recallRebalanced")
+    assert(recallRebalanced >= recallFresh - 0.1,
+      s"rebalanced recall must reach fresh-build level: " +
+        s"rebalanced=$recallRebalanced fresh=$recallFresh")
+    // Content law (threshold 0): rebalanced index == fresh assignment of
+    // the full corpus under the REFINED model (codes frozen).
+    assert(flatIdx(spark.read.parquet(dir)
+        .select("vec_id", "list_id", "codes")) ==
+      flatIdx(AnnOps.annIndex(spark, full, newModel)))
+  }
+
+  test("rebalance is list-local and threshold-gated: an above-threshold " +
+      "gate on a stable corpus is a no-op with zero file churn") {
+    val stable = (0 until 200).map(i => (i.toLong, driftVec(i % 2, i)))
+      .toDF("vec_id", "embedding")
+    val model = AnnOps.fitAnnModel(spark, stable, nLists = 4,
+      m = 2, dsub = 8, ksub = 16)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ann_rebalance_noop").toString
+    AnnOps.annIndex(spark, stable, model)
+      .write.mode("overwrite").partitionBy("list_id").parquet(dir)
+    def files(): Map[String, (Long, Long)] =
+      new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    val before = files()
+    // A 90 % drift gate on an already-converged corpus: Lloyd refinement
+    // barely moves the centroids, no list crosses the gate, nothing is
+    // rewritten — the cheap periodic-maintenance invocation.
+    val (newModel, affected, emptied) = AnnOps.annRebalance(spark, dir,
+      stable, model, lloydIters = 2, driftThreshold = 0.9)
+    assert(affected.isEmpty && emptied.isEmpty)
+    assert(files() == before, "a gated no-op must not touch any file")
+    assert(newModel.centroids.map(_._1) == model.centroids.map(_._1),
+      "refinement must preserve centroid ids")
+  }
+
+  test("probe widening law: identity at sel=1, 1/sel growth, nLists clamp, " +
+      "nProbe floor, monotone non-increasing in selectivity") {
+    assert(AnnOps.widenedProbe(3, 8, 1.0) == 3)
+    assert(AnnOps.widenedProbe(3, 8, 0.5) == 6)
+    assert(AnnOps.widenedProbe(3, 8, 0.01) == 8, "selective filter clamps to full probe")
+    assert(AnnOps.widenedProbe(3, 8, 0.9) == 4)
+    intercept[IllegalArgumentException] { AnnOps.widenedProbe(3, 8, 0.0) }
+    val sels = Seq(0.01, 0.1, 0.3, 0.5, 0.8, 1.0)
+    val probes = sels.map(AnnOps.widenedProbe(3, 8, _))
+    assert(probes == probes.sorted.reverse,
+      s"widening must not increase with selectivity: $sels -> $probes")
+  }
+
+  /** Exact filtered per-query top-k ground truth for the filtered-serve
+    * pins: survivors under `pred`, brute-force cosine, dense rank cut. */
+  private def exactFilteredTopK(pred: org.apache.spark.sql.Column,
+      queries: org.apache.spark.sql.DataFrame,
+      k: Int): Seq[(Long, Long, Double)] = {
+    import org.apache.spark.sql.expressions.Window
+    emb.filter(pred)
+      .crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        round(call_function("cosine_sim", $"embedding", $"qe"), 6).as("sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy($"sim".desc, $"vec_id")))
+      .filter($"rank" <= k)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+  }
+
+  test("filtered serve, ANN route at full probe + corpus pool == exact " +
+      "filtered top-k; filter violators never surface") {
+    val model = AnnOps.fitAnnModel(spark, emb)
+    val index = AnnOps.annIndex(spark, emb, model)
+    val attrs = emb.select($"vec_id", $"label")
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val pred = $"label" < 5
+    val corpusN = emb.count().toInt
+    // exactGateRows = 0 forces the ANN route even on the spec fixture;
+    // full probe + corpus-sized pool makes quantization loss-free, so
+    // the result must be ROW-IDENTICAL to the exact filtered top-k.
+    val got = AnnOps.ivfPqKnnFilteredBatch(spark, emb, index, attrs, pred,
+        model, queries, k = 10, nProbe = model.centroids.size,
+        nCandidates = corpusN, exactGateRows = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == exactFilteredTopK(pred, queries, 10))
+    val badLabels = emb.filter(!pred).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => !badLabels(r._2)))
+    // Default pruned probe: still no violators, and the widened probe
+    // (sel ~0.5 doubles nProbe) keeps recall usable on the tiny fixture.
+    val pruned = AnnOps.ivfPqKnnFilteredBatch(spark, emb, index, attrs,
+        pred, model, queries, k = 10, nProbe = 3, exactGateRows = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pruned.forall(r => !badLabels(r._2)))
+    val want = exactFilteredTopK(pred, queries, 10).map(r => (r._1, r._2)).toSet
+    val rec = pruned.toSet.intersect(want).size.toDouble / want.size
+    assert(rec >= 0.5, s"widened-probe recall too low: $rec")
+  }
+
+  test("filtered serve, exact-over-survivors fallback == exact filtered " +
+      "top-k (selective predicate under the gate)") {
+    val model = AnnOps.fitAnnModel(spark, emb)
+    val index = AnnOps.annIndex(spark, emb, model)
+    val attrs = emb.select($"vec_id", $"label")
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val pred = $"label" === 3
+    // Default gate (50 000) >> spec fixture: routes exact. Must equal the
+    // ground truth exactly — the fallback has no approximation at all.
+    val got = AnnOps.ivfPqKnnFilteredBatch(spark, emb, index, attrs, pred,
+        model, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == exactFilteredTopK(pred, queries, 10))
+    // Output schema parity across routes (the route must be invisible).
+    val annRoute = AnnOps.ivfPqKnnFilteredBatch(spark, emb, index, attrs,
+      pred, model, queries, k = 10, exactGateRows = 0L)
+    assert(AnnOps.ivfPqKnnFilteredBatch(spark, emb, index, attrs, pred,
+        model, queries, k = 10).schema == annRoute.schema)
+  }
 }

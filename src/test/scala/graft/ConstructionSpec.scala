@@ -49,6 +49,12 @@ class ConstructionSpec extends SparkSpec {
     "ann_recall_report", "ann_upsert_ivf",
     // Round-13 lifecycle keys: same learned-model contract.
     "ann_delete_ivf", "ann_batch_knn",
+    // Round-14: the filtered serve's selectivity admission is ONE exact
+    // column-pruned survivor count per batch (the fitAnnModel lesson —
+    // footer stats are filter-blind); the rebalance key materializes the
+    // churned index + rewrite at construction (the txlog lifecycle
+    // precedent: the operator's point IS the maintained artifact).
+    "ann_filtered_knn", "ann_rebalance_ivf",
     // Bounded candidate collects (k ≤ 50 rows by contract).
     "search_mmr_diversify",
     // Guard counts on derived (filtered/distinct) frames where plan stats
