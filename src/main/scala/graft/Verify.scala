@@ -308,6 +308,36 @@ object Verify {
           .filter(col("k") === 100).head.getAs[Double]("recall")
         recallLine(r, 0.3)
       }
+      // Batched hybrid (round-14): the declared 3-query batch must equal
+      // the single-query composition row-for-row for EVERY query — the
+      // ann_batch_knn convention, here across BOTH retrieval arms and
+      // the fusion. Linear cost.
+      check("search_hybrid_batch") {
+        val docs = Tables.load(spark, sfDir, "documents")
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val model = graft.operators.AnnOps.fitAnnModel(spark, emb)
+        val index = graft.operators.AnnOps.annIndex(spark, emb, model)
+        val terms = Seq(
+          (0L, "hash"), (0L, "join"), (0L, "vector"),
+          (1L, "hash"), (1L, "join"),
+          (2L, "vector"))
+        import spark.implicits._
+        val batched = SparkEntry.queries("search_hybrid_batch")(spark, sfDir)
+          .collect().map(_.toSeq).toSeq
+          .groupBy(_.head.asInstanceOf[Long])
+        val mismatches = (0L to 2L).count { qid =>
+          val single = graft.operators.IndexOps.hybridBlendBatch(spark,
+              docs, emb, index, model,
+              emb.filter(col("vec_id") === qid)
+                .select(col("vec_id").as("query_id"),
+                  col("embedding").as("qe")),
+              terms.filter(_._1 == qid).toDF("query_id", "term"), k = 10)
+            .collect().map(_.toSeq).toSeq
+          batched.getOrElse(qid, Nil) != single
+        }
+        s"""{"queries": 3, "single_serve_mismatches": $mismatches, """ +
+          s""""pass": ${mismatches == 0}}"""
+      }
       // Rebalance (round-14): replay the declared key's churn sequence and
       // prove the rebalanced index content is IDENTICAL to a fresh
       // assignment of the full corpus under the refined model (the

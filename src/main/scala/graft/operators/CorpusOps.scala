@@ -67,6 +67,45 @@ object CorpusOps {
       .agg(round(sum(term), 6).as("bm25"))
   }
 
+  /** Batched per-query BM25 (round-14 — the lexical arm of the batched
+    * hybrid serve): `queryTerms` = (query_id, term) rows; output =
+    * (query_id, doc_id, bm25) for docs containing at least one of the
+    * query's terms. One corpus tokenize serves EVERY query: tf is
+    * computed once over the UNION of all query terms (broadcast
+    * semi-join BEFORE the (doc, token) shuffle — the [[bm25Scores]]
+    * constant-filter shape, with the union bounded by the query frame,
+    * not the corpus), per-(doc, token) term scores then fan out to the
+    * querying queries by one broadcast join, and the per-(query, doc)
+    * sum reuses the exact term formula — a single-query batch reproduces
+    * [[bm25Scores]] row-for-row after the shared 1e-6 rounding
+    * (IndexOpsSpec pins it through the hybrid fusion). */
+  private[operators] def bm25ScoresBatch(docs: DataFrame,
+      queryTerms: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val terms = queryTerms.select(col("term").as("token")).distinct()
+    val tf = docs
+      .select(col("doc_id"), explode(toks).as("token"))
+      .join(broadcast(terms), Seq("token"), "left_semi")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), size(toks).as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(toks)).as("sum_dl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val term = idf * (col("tf") * (K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl))
+    tf.join(broadcast(df), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(queryTerms.withColumnRenamed("term", "token")),
+        Seq("token"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(term), 6).as("bm25"))
+  }
+
   /** DuckDB CTE block computing the same per-doc rounded BM25 scores as
     * [[bm25Scores]] (terminal CTE name: `bm`). */
   private[operators] val Bm25OracleCtes: String =

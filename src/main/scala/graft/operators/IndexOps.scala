@@ -376,6 +376,94 @@ object IndexOps {
       .orderBy(col("df").desc, col("token")).limit(100)
   }
 
+  // -------------------------------------------------------- batched hybrid
+
+  /** BATCHED hybrid retrieval (round-14, VERDICT r13 next-item 8): one
+    * plan serves a whole query frame through BOTH retrievers and the
+    * fusion — the batched composition of [[searchHybridBlend]]:
+    *
+    *  - lexical arm: [[CorpusOps.bm25ScoresBatch]] — one corpus tokenize
+    *    for every query (per-query term sets), per-query top-`topN` by a
+    *    rank window;
+    *  - vector arm: [[AnnOps.ivfPqKnnBatch]] — the stored-index composed
+    *    IVF+PQ batched serve, top-`topN` per query;
+    *  - fusion: per-query min-max normalization (window min/max over each
+    *    query's 50-row arm — the degenerate-range guard carries over),
+    *    0.6·lexical + 0.4·vector blend on ROUNDED scores, top-`k` per
+    *    query.
+    *
+    * With a full probe and corpus-sized pool the vector arm is
+    * exact-equivalent, and a single-query batch with [[CorpusOps.Bm25Terms]]
+    * reproduces the ORACLED single-shot [[searchHybridBlend]] row-for-row
+    * (IndexOpsSpec pins both). At 100 TB: the corpus is tokenized once
+    * per batch (not per query), both arms end in rank windows over
+    * per-query bounded frames, and the fusion join carries ≤ 2·topN rows
+    * per query. */
+  def hybridBlendBatch(s: SparkSession, docs: DataFrame, emb: DataFrame,
+      index: DataFrame, model: AnnOps.AnnModel, queries: DataFrame,
+      queryTerms: DataFrame, k: Int = 20, topN: Int = 50, nProbe: Int = 3,
+      nCandidates: Int = -1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorOps.registerFns(s)
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    val bmTop = CorpusOps.bm25ScoresBatch(docs, queryTerms)
+      .select(col("query_id"), col("doc_id"), col("bm25").as("score"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= topN).drop("rn")
+    val vTop = AnnOps.ivfPqKnnBatch(s, emb, index, model, queries,
+        k = topN, nProbe = nProbe, nCandidates = nCandidates)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("sim").as("score"))
+    def normed(top: DataFrame, as: String): DataFrame = {
+      val w = Window.partitionBy("query_id")
+      top
+        .withColumn("mn", min("score").over(w))
+        .withColumn("mx", max("score").over(w))
+        .select(col("query_id"), col("doc_id"),
+          round(when(col("mx") === col("mn"), lit(1.0))
+            .otherwise((col("score") - col("mn")) /
+              (col("mx") - col("mn"))), 6).as(as))
+    }
+    normed(bmTop, "nbm")
+      .join(normed(vTop, "nvec"), Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        round(lit(0.6) * coalesce(col("nbm"), lit(0.0)) +
+          lit(0.4) * coalesce(col("nvec"), lit(0.0)), 6).as("blend"),
+        round(coalesce(col("nbm"), lit(-1.0)), 6).as("nbm"),
+        round(coalesce(col("nvec"), lit(-1.0)), 6).as("nvec"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("blend").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("blend"), col("nbm"),
+        col("nvec"), col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The declared batched hybrid: 3 queries with DISTINCT term sets
+    * served in one plan against the stored composed index. No-oracle
+    * (learned quantizer in the vector arm — the ann_batch_knn
+    * precedent); the Verify selfcheck proves batched ≡ the single-query
+    * composition per query every run; IndexOpsSpec additionally pins the
+    * exact-equivalent single-query batch against the ORACLED
+    * search_hybrid_blend. */
+  val searchHybridBatch = Q.noOracle("search_hybrid_batch") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val model = AnnOps.fitAnnModel(s, emb)
+    val index = AnnOps.annIndex(s, emb, model)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val terms = Seq(
+      (0L, "hash"), (0L, "join"), (0L, "vector"),
+      (1L, "hash"), (1L, "join"),
+      (2L, "vector"))
+    import s.implicits._
+    hybridBlendBatch(s, docs, emb, index, model, queries,
+      terms.toDF("query_id", "term"), k = 10)
+  }
+
   val all: Seq[Q] = Seq(indexSegmentMerge, searchHybridBlend, annRecallReport,
-    searchPercolate, indexDeleteDocs, indexPostingDeltaStats)
+    searchPercolate, indexDeleteDocs, indexPostingDeltaStats,
+    searchHybridBatch)
 }

@@ -100,6 +100,36 @@ object TxLogProbe {
       f" = ${rew2.toDouble / srcN}%.1fx")
     require(TxLog.snapshot(spark, tb2).count() == n)
 
+    // Round-14 clustered OPTIMIZE (VERDICT r13 item 6): decay tb2's
+    // layout with whole-range churn appends (each spans the full key
+    // range — the long-lived-table mode), then compact(clusterBy) and
+    // re-measure the pruned read. Expect opens to fall back to the
+    // fresh-clustered level.
+    val churnRows = math.max(1L, n / 100)
+    time(s"6 whole-range churn appends of ~$churnRows rows") {
+      (0 until 6).foreach { i =>
+        TxLog.append(spark, tb2, orders
+          .filter(pmod(col("o_orderkey"), lit(97)) === i).limit(churnRows.toInt)
+          .coalesce(1))
+      }
+    }
+    val n2 = TxLog.snapshot(spark, tb2).count()
+    val prunedC = TxLog.snapshotRange(spark, tb2, loK.toString, hiK.toString)
+    val openedC = prunedC.inputFiles.length
+    val totalC = TxLog.state(tb2)._1.size
+    println(s"[txprobe] post-churn pruned read opens $openedC of $totalC files")
+    time("OPTIMIZE: compact(target=256, clusterBy=o_orderkey)") {
+      TxLog.compact(spark, tb2, target = 256, clusterBy = Some("o_orderkey"))
+    }
+    val prunedO = TxLog.snapshotRange(spark, tb2, loK.toString, hiK.toString)
+    val openedO = prunedO.inputFiles.length
+    val totalO = TxLog.state(tb2)._1.size
+    println(s"[txprobe] post-OPTIMIZE pruned read opens $openedO of $totalO files")
+    require(TxLog.snapshot(spark, tb2).count() == n2,
+      "OPTIMIZE must preserve the row set")
+    require(openedO <= opened2 + 1,
+      s"post-OPTIMIZE opens $openedO must match fresh-clustered $opened2")
+
     // Streaming tail (round-11, the graftlog source): an APPEND-ONLY
     // ingest table (the source's contract — tb/tb2 carry merge rewrites,
     // which the source correctly refuses) drained through the real

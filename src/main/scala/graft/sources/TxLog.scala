@@ -795,10 +795,57 @@ object TxLog {
 
   /** Bin-pack the active files into ~`target` files. Pure layout change —
     * commit op "compact", contents invariant (spec-pinned). */
-  def compact(spark: SparkSession, table: String, target: Int): Long = {
+  /** Bin-pack small files into `target`, and — round-14 (VERDICT r13
+    * next-item 6, the clustered OPTIMIZE) — optionally RE-ESTABLISH the
+    * physical layout while doing so:
+    *
+    *  - `clusterBy = Some(col)`: range-repartition + within-file sort on
+    *    the column (the `append(clusterBy)` ingest layout). A long-lived
+    *    table's skipping stats decay as unclustered appends accumulate —
+    *    each new file spans the whole key range, so every range read
+    *    opens every file; OPTIMIZE re-sorts the packed output and
+    *    `writeFiles`' existing stats pass records fresh tight min/max
+    *    per file (zero extra jobs), restoring the fresh-ingest pruning
+    *    (TxLogSpec pins post-OPTIMIZE file opens ≡ fresh clustered
+    *    ingest). Runs even when `files.size <= target` — re-clustering,
+    *    not just packing, is the point.
+    *  - `zorderBy = Some((x, y))`: Morton-interleave layout over two
+    *    low-cardinality-range keys (the standalone `layout_zorder` key's
+    *    zkey, columns taken mod 2^16) — locality for 2-D range reads.
+    *    Min/max skipping stats still track `statsCol` only; the z-order
+    *    benefit is parquet row-group/page locality on BOTH keys.
+    *
+    * Copy-on-write like every rewrite: the old files are removed in the
+    * same commit (expectActive re-validation — a concurrent writer wins),
+    * and time travel to pre-OPTIMIZE versions still reads them. */
+  def compact(spark: SparkSession, table: String, target: Int,
+      clusterBy: Option[String] = None,
+      zorderBy: Option[(String, String)] = None): Long = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "clusterBy and zorderBy are mutually exclusive")
     val (files, meta) = state(table)
-    if (files.size <= target) return latestVersion(table)
-    val packed = readFiles(spark, files, meta).repartition(target)
+    if (clusterBy.isEmpty && zorderBy.isEmpty && files.size <= target)
+      return latestVersion(table)
+    val schema = StructType.fromDDL(meta.schemaDDL)
+    val src = readFiles(spark, files, meta)
+    val packed = (clusterBy, zorderBy) match {
+      case (Some(k), _) =>
+        require(schema.fieldNames.contains(k),
+          s"clusterBy column $k not in table schema")
+        src.repartitionByRange(target, col(k)).sortWithinPartitions(k)
+      case (_, Some((x, y))) =>
+        require(schema.fieldNames.contains(x) && schema.fieldNames.contains(y),
+          s"zorderBy columns ($x, $y) not in table schema")
+        val mask = lit((1L << graft.operators.LayoutOps.Bits) - 1)
+        val zk = graft.operators.LayoutOps.zkey(
+          col(x).cast("long").bitwiseAND(mask),
+          col(y).cast("long").bitwiseAND(mask))
+        src.withColumn("_graft_zkey", zk)
+          .repartitionByRange(target, col("_graft_zkey"))
+          .sortWithinPartitions("_graft_zkey")
+          .drop("_graft_zkey")
+      case _ => src.repartition(target)
+    }
     commit(table, "compact", writeFiles(spark, table, packed, meta),
       files.map(_.path), expectActive = true)
   }

@@ -481,39 +481,74 @@ object Streams {
   def txLogSinkWithDeadLetter(spark: SparkSession, df: DataFrame,
       table: String, checkpointDir: String, appId: String,
       deadLetterDir: String): StreamingQuery =
-    foreachBatchSink(df, checkpointDir) { (batch, id) =>
-      import org.apache.spark.sql.functions.{coalesce, expr, lit}
-      val cons = graft.sources.TxLog.state(table)._2.constraints
-      val partDir = s"$deadLetterDir/batch_id=$id"
-      // A replayed batch that no longer violates (constraints dropped or
-      // weakened) must not leave the PRIOR run's dead letters behind —
-      // one fs.exists of metadata per micro-batch (ADVICE round-13).
-      def dropStalePartition(): Unit = {
-        val p = new org.apache.hadoop.fs.Path(partDir)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-        ()
-      }
-      if (cons.isEmpty) {
-        dropStalePartition()
-        graft.sources.TxLog.appendBatch(spark, table, batch, appId, id)
-      } else {
-        val viol = coalesce(
-          cons.map(c => expr(c._2) === lit(false)).reduce(_ || _),
-          lit(false))
-        // ONE source computation per micro-batch: the split reads the
-        // cached batch, not the upstream three times (dead count +
-        // dead write + clean append — code review round-13).
-        val cached = batch.persist()
-        try {
-          val dead = cached.filter(viol)
-          if (dead.count() > 0)
-            dead.write.mode("overwrite").parquet(partDir)
-          else dropStalePartition()
-          graft.sources.TxLog.appendBatch(spark, table,
-            cached.filter(!viol), appId, id)
-        } finally cached.unpersist()
-      }
+    foreachBatchSink(df, checkpointDir)(
+      deadLetterSplit(spark, table, deadLetterDir, appId,
+        graft.sources.TxLog.appendBatch(spark, table, _, appId, _)))
+
+  /** The MERGE twin of [[txLogSinkWithDeadLetter]] (round-14 — the soak
+    * pipeline's sink): clean rows UPSERT by `key` under the idempotency
+    * mark, violating rows divert. Same dead-letter partition semantics;
+    * same [[txLogMergeSink]] unique-key contract for the clean side. */
+  def txLogMergeSinkWithDeadLetter(spark: SparkSession, df: DataFrame,
+      table: String, key: String, checkpointDir: String, appId: String,
+      deadLetterDir: String): StreamingQuery =
+    foreachBatchSink(df, checkpointDir)(
+      deadLetterSplit(spark, table, deadLetterDir, appId,
+        graft.sources.TxLog.mergeBatch(spark, table, _, key, appId, _)))
+
+  /** Shared dead-letter micro-batch splitter: rows violating the table's
+    * CURRENT CHECK constraints land in `deadLetterDir/batch_id=<id>` with
+    * OVERWRITE semantics (a replay REPLACES the partition; a replay with
+    * zero violations DELETES the stale one — ADVICE round-13); clean rows
+    * go to `applyClean` (an idempotent appendBatch/mergeBatch). ONE
+    * source computation per micro-batch via the persisted split (code
+    * review round-13). SQL CHECK semantics: a row diverts only when some
+    * constraint evaluates to FALSE (nulls pass).
+    *
+    * The (appId, batchId) idempotency mark covers BOTH channels
+    * (round-14): a batch the mark shows already applied is skipped
+    * entirely — clean side AND dead-letter side. Without the shared
+    * gate, a FRESH-checkpoint crash-replay re-frames the source into
+    * different batch ids (Spark's batchId is only stable within one
+    * checkpoint), and the re-framed dead-letter writes land in other
+    * partitions instead of overwriting — measured as duplicated dead
+    * letters in the soak spec. One carve-out keeps the ADVICE-r13
+    * contract: a replayed APPLIED batch under now-EMPTY constraints
+    * still drops its stale partition (dead letters must not outlive a
+    * constraint drop). */
+  private def deadLetterSplit(spark: SparkSession, table: String,
+      deadLetterDir: String, appId: String,
+      applyClean: (DataFrame, Long) => Any)(
+      batch: DataFrame, id: Long): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val cons = graft.sources.TxLog.state(table)._2.constraints
+    val partDir = s"$deadLetterDir/batch_id=$id"
+    def dropStalePartition(): Unit = {
+      val p = new org.apache.hadoop.fs.Path(partDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
       ()
     }
+    if (graft.sources.TxLog.txnVersion(table, appId) >= id) {
+      if (cons.isEmpty) dropStalePartition()
+      return
+    }
+    if (cons.isEmpty) {
+      dropStalePartition()
+      applyClean(batch, id)
+    } else {
+      val viol = coalesce(
+        cons.map(c => expr(c._2) === lit(false)).reduce(_ || _),
+        lit(false))
+      val cached = batch.persist()
+      try {
+        val dead = cached.filter(viol)
+        if (dead.count() > 0)
+          dead.write.mode("overwrite").parquet(partDir)
+        else dropStalePartition()
+        applyClean(cached.filter(!viol), id)
+      } finally cached.unpersist()
+    }
+    ()
+  }
 }

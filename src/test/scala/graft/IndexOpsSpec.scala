@@ -94,4 +94,57 @@ class IndexOpsSpec extends SparkSpec {
     // The LSH retrieval must find a nontrivial share of the exact head.
     assert(out.head.getDouble(2) >= 0.3)
   }
+
+  test("batched hybrid: exact-equivalent single-query batch reproduces the " +
+      "oracled search_hybrid_blend row-for-row") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val model = graft.operators.AnnOps.fitAnnModel(spark, emb)
+    val index = graft.operators.AnnOps.annIndex(spark, emb, model)
+    val queries = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    // The single-shot key's canned term set (CorpusOps.Bm25Terms).
+    val terms = Seq("hash", "join", "vector").map((0L, _))
+      .toDF("query_id", "term")
+    // Full probe + corpus-sized pool make the vector arm exact; the
+    // single-shot key's vector arm IS the exact cosine top-50 — so the
+    // batch must reproduce the ORACLED key bit-for-bit.
+    val batch = IndexOps.hybridBlendBatch(spark, docs, emb, index, model,
+        queries, terms, k = 20, nProbe = model.centroids.size,
+        nCandidates = emb.count().toInt)
+      .select("doc_id", "blend", "nbm", "nvec")
+      .collect().map(_.toSeq).toSeq
+    val single = IndexOps.searchHybridBlend.fn(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(batch == single)
+  }
+
+  test("batched hybrid: multi-query batch == per-query batches " +
+      "row-for-row (the declared key's composition)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val model = graft.operators.AnnOps.fitAnnModel(spark, emb)
+    val index = graft.operators.AnnOps.annIndex(spark, emb, model)
+    val terms = Seq(
+      (0L, "hash"), (0L, "join"), (0L, "vector"),
+      (1L, "hash"), (1L, "join"),
+      (2L, "vector"))
+    def queriesFor(ids: Seq[Long]) = emb.filter($"vec_id".isin(ids: _*))
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val batched: Map[Long, Seq[Seq[Any]]] =
+      IndexOps.hybridBlendBatch(spark, docs, emb, index, model,
+          queriesFor(Seq(0L, 1L, 2L)), terms.toDF("query_id", "term"), k = 10)
+        .collect().map(_.toSeq).toSeq
+        .groupBy(_.head.asInstanceOf[Long])
+    (0L to 2L).foreach { qid =>
+      val single = IndexOps.hybridBlendBatch(spark, docs, emb, index,
+          model, queriesFor(Seq(qid)),
+          terms.filter(_._1 == qid).toDF("query_id", "term"), k = 10)
+        .collect().map(_.toSeq).toSeq
+      assert(batched.getOrElse(qid, Nil) == single,
+        s"query $qid diverges between batched and single serve")
+    }
+  }
 }

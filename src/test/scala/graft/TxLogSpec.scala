@@ -815,6 +815,136 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, tb).count() == 5)
   }
 
+  test("soak composition: graftlog tail -> transform -> merge sink with " +
+      "CHECK + dead-letter converges exactly-once across incremental " +
+      "restart and crash-replay; poison updates divert, clean state kept") {
+    val src = fresh("soaksrc")
+    val dst = fresh("soakdst")
+    TxLog.create(spark, src, Tables.orders, Some("o_orderkey"))
+    def transform(df: org.apache.spark.sql.DataFrame) = df
+      .select($"o_orderkey", $"o_custkey",
+        ($"o_totalprice" * lit(0.9)).as("revenue"))
+    TxLog.create(spark, dst, transform(orders.limit(0)).schema,
+      Some("o_orderkey"))
+    TxLog.addConstraint(spark, dst, "pos_revenue", "revenue > 0")
+    val dlq = java.nio.file.Files
+      .createTempDirectory("graft_soak_dlq").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_soak_ckpt").toString
+    def runOnce(checkpoint: String): Unit =
+      streaming.Streams.txLogMergeSinkWithDeadLetter(spark,
+        spark.readStream.format("graftlog").option("path", src).load()
+          .drop("_commit_version")
+          .transform(transform),
+        dst, key = "o_orderkey", checkpointDir = checkpoint,
+        appId = "soak-app", deadLetterDir = dlq).awaitTermination()
+    // v1: clean low keys; v2: high keys, a third poisoned (negative
+    // price -> transformed revenue violates the CHECK). Key-disjoint so
+    // commits coalescing into one micro-batch keep merge keys unique.
+    TxLog.append(spark, src, orders.filter($"o_orderkey" < 700))
+    TxLog.append(spark, src, orders.filter($"o_orderkey" >= 700)
+      .withColumn("o_totalprice",
+        when($"o_orderkey" % 3 === 0, -$"o_totalprice")
+          .otherwise($"o_totalprice")))
+    runOnce(ckpt)
+    val nLow = orders.filter($"o_orderkey" < 700).count()
+    val nHighClean = orders
+      .filter($"o_orderkey" >= 700 && $"o_orderkey" % 3 =!= 0).count()
+    val nHighPoison = orders
+      .filter($"o_orderkey" >= 700 && $"o_orderkey" % 3 === 0).count()
+    assert(TxLog.snapshot(spark, dst).count() == nLow + nHighClean)
+    assert(TxLog.snapshot(spark, dst).filter($"revenue" <= 0).count() == 0)
+    assert(spark.read.parquet(dlq).count() == nHighPoison)
+    // v3: UPDATES to the low keys (price doubled), a fifth poisoned —
+    // the incremental restart tails ONLY this commit; poisoned updates
+    // divert and their keys KEEP the v1 state (a poison update must not
+    // clobber good data).
+    TxLog.append(spark, src, orders.filter($"o_orderkey" < 700)
+      .withColumn("o_totalprice",
+        when($"o_orderkey" % 5 === 0, -$"o_totalprice" * 2)
+          .otherwise($"o_totalprice" * 2)))
+    runOnce(ckpt)
+    val snap = TxLog.snapshot(spark, dst)
+    assert(snap.count() == nLow + nHighClean,
+      "updates must not change the key population")
+    // Spot the merge semantics: updated keys carry doubled revenue,
+    // poisoned-update keys keep the original.
+    val want = orders.filter($"o_orderkey" < 700)
+      .select($"o_orderkey",
+        when($"o_orderkey" % 5 === 0, $"o_totalprice" * 0.9)
+          .otherwise($"o_totalprice" * 2 * 0.9).as("want"))
+    val bad = snap.join(want, "o_orderkey")
+      .filter(abs($"revenue" - $"want") > 1e-9).count()
+    assert(bad == 0, s"$bad keys diverge from the last-clean-writer state")
+    val dlqRows = spark.read.parquet(dlq).count()
+    assert(dlqRows == nHighPoison + orders
+      .filter($"o_orderkey" < 700 && $"o_orderkey" % 5 === 0).count())
+    // Crash-replay: a fresh checkpoint replays every source commit; the
+    // (appId, batchId) marks + dead-letter overwrite leave BOTH sides
+    // exactly as they were.
+    val contentsBefore = snap.orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq
+    runOnce(java.nio.file.Files
+      .createTempDirectory("graft_soak_ckpt2").toString)
+    assert(TxLog.snapshot(spark, dst).orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq == contentsBefore,
+      "crash-replay must not change the table")
+    assert(spark.read.parquet(dlq).count() == dlqRows,
+      "crash-replay must not duplicate dead letters")
+  }
+
+  test("clustered OPTIMIZE: churned appends decay range pruning, " +
+      "compact(clusterBy) restores fresh-ingest file opens, contents " +
+      "invariant; zorder variant also contents-invariant") {
+    val tb = fresh("optimize")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    // Fresh CLUSTERED ingest baseline: tight per-file key ranges.
+    TxLog.append(spark, tb, orders, clusterBy = Some("o_orderkey"),
+      targetFiles = 8)
+    def opensFor(range: (Int, Int)): Int =
+      TxLog.snapshotRange(spark, tb, range._1.toString, range._2.toString)
+        .inputFiles.length
+    val freshOpens = opensFor((100, 299))
+    val total = orders.count()
+    // Churn: 6 UNCLUSTERED appends, each spanning the whole key range —
+    // the decay mode a long-lived table accumulates.
+    (0 until 6).foreach { i =>
+      TxLog.deleteWhere(spark, tb, $"o_orderkey" % 6 === i)
+      TxLog.append(spark, tb,
+        orders.filter($"o_orderkey" % 6 === i).coalesce(1))
+    }
+    val before = TxLog.snapshot(spark, tb).orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq
+    assert(before.size == total, "churn must preserve the row set")
+    val churnOpens = opensFor((100, 299))
+    assert(churnOpens > freshOpens,
+      s"whole-range churn files must decay pruning: fresh=$freshOpens " +
+        s"churned=$churnOpens")
+    // OPTIMIZE with the cluster key: contents invariant, pruning restored
+    // to the fresh-ingest level.
+    TxLog.compact(spark, tb, target = 8, clusterBy = Some("o_orderkey"))
+    val after = TxLog.snapshot(spark, tb).orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "OPTIMIZE must never change the rows")
+    val optOpens = opensFor((100, 299))
+    assert(optOpens <= freshOpens,
+      s"post-OPTIMIZE opens must match fresh clustered ingest: " +
+        s"fresh=$freshOpens optimized=$optOpens")
+    // Time travel to the pre-OPTIMIZE version still reads the old layout.
+    val vPre = TxLog.latestVersion(tb) - 1
+    assert(TxLog.snapshot(spark, tb, Some(vPre)).count() == total)
+    // Z-order variant: contents invariant (locality is a physical
+    // property; the logical table is unchanged).
+    TxLog.compact(spark, tb, target = 4,
+      zorderBy = Some(("o_custkey", "o_orderkey")))
+    assert(TxLog.snapshot(spark, tb).orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq == before)
+    intercept[IllegalArgumentException] {
+      TxLog.compact(spark, tb, 4, clusterBy = Some("o_orderkey"),
+        zorderBy = Some(("o_custkey", "o_orderkey")))
+    }
+  }
+
   test("dead-letter streaming sink: poison rows divert (not crash, not " +
       "vanish); clean rows land exactly once; replay duplicates neither") {
     val tb = fresh("deadletter")
