@@ -15,6 +15,15 @@ import Parity._
 object Aggs {
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** The orders agg family's hot projection, routed through the bounded
+    * columnar cache (graft.ColumnCache — a no-op pass-through projection
+    * unless a cache budget is set). The family shares ONE cache entry:
+    * rollup/cube/count-distinct/approx-distinct touch overlapping 2–4
+    * column slices of a fact whose full width would never fit a cache
+    * tier at 100 TB. */
+  private def ordersHot(s: SparkSession, dir: String, cols: String*) =
+    graft.ColumnCache.serve(s, dir, "orders", cols)
+
   /** D1 — multi-aggregate hash aggregation (beyond q1's shape). */
   val aggHashMulti = Q(
     "agg_hash_multi",
@@ -60,7 +69,7 @@ object Aggs {
     """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
     (s, dir) =>
-      t(s, dir, "orders")
+      ordersHot(s, dir, "o_orderstatus", "o_custkey")
         .groupBy("o_orderstatus")
         .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))
         .transform(sortedSmall(_, col("o_orderstatus")))
@@ -69,7 +78,7 @@ object Aggs {
   /** D4 — HLL++ approximate distinct. No SQL oracle (engine-specific HLL
     * internals, SURVEY §5.4); AggSpec asserts tolerance vs the exact twin. */
   val aggApproxDistinct = Q.noOracle("agg_approx_distinct") { (s, dir) =>
-    t(s, dir, "orders")
+    ordersHot(s, dir, "o_orderstatus", "o_custkey")
       .groupBy("o_orderstatus")
       .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
       .transform(sortedSmall(_, col("o_orderstatus")))
@@ -83,7 +92,7 @@ object Aggs {
        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
     (s, dir) =>
-      t(s, dir, "orders")
+      ordersHot(s, dir, "o_orderstatus", "o_orderpriority", "o_totalprice")
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
         .transform(sortedSmall(_, col("o_orderstatus").asc_nulls_first,
@@ -98,7 +107,7 @@ object Aggs {
        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
     (s, dir) =>
-      t(s, dir, "orders")
+      ordersHot(s, dir, "o_orderstatus", "o_orderpriority", "o_totalprice")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
         .transform(sortedSmall(_, col("o_orderstatus").asc_nulls_first,

@@ -25,7 +25,7 @@ object TextOps {
     """SELECT md5(text) AS fp, MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY survivor_id""".stripMargin) {
     (s, dir) =>
-      t(s, dir, "documents")
+      graft.ColumnCache.serve(s, dir, "documents", Seq("doc_id", "text"))
         .groupBy(md5(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
         .orderBy("survivor_id")

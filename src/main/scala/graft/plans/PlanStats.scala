@@ -60,11 +60,17 @@ object PlanStats {
   private val footerCache =
     new ConcurrentHashMap[String, (Long, Long)]()
 
-  /** Exact (rowCount, uncompressedByteSize) summed over parquet footers,
-    * when every leaf of `df`'s optimized plan is a parquet file relation
-    * with ≤ [[MaxFooterFiles]] files. Driver-side metadata I/O only — no
-    * Spark job (asserted suite-wide by ConstructionSpec). */
-  def parquetLeafStats(df: DataFrame): Option[(BigInt, BigInt)] = {
+  /** Per-top-level-column uncompressed (encoded) bytes per footer path —
+    * feeds the projection-cache admission estimate (round 14). */
+  private val columnBytesCache =
+    new ConcurrentHashMap[String, Map[String, Long]]()
+
+  /** The distinct parquet data files under `df`'s optimized plan when EVERY
+    * leaf is a parquet file relation, as (sortedSample, totalFileCount):
+    * above [[MaxFooterFiles]] the sample is a deterministic systematic
+    * stride over the SORTED path list (spreads across partition dirs, whose
+    * sizes skew) for the caller to extrapolate by file count. */
+  private def sampledParquetFiles(df: DataFrame): Option[(Seq[String], Int)] = {
     val leaves = df.queryExecution.optimizedPlan.collectLeaves()
     val parquetRels = leaves.map {
       case lr: LogicalRelation => lr.relation match {
@@ -78,12 +84,7 @@ object PlanStats {
     else {
       val files = parquetRels.flatten.flatMap(_.location.inputFiles).distinct
       if (files.isEmpty) None
-      else try {
-        val conf = df.sparkSession.sessionState.newHadoopConf()
-        // Above the cap: a deterministic systematic sample (every k-th of
-        // the SORTED path list — spreads across partition dirs, whose
-        // sizes skew) extrapolated by file count. Approximately unbiased
-        // for rows; still zero Spark jobs and ≤ MaxFooterFiles footers.
+      else {
         val sorted = files.sorted
         val stride = math.max(1,
           math.ceil(sorted.length.toDouble / MaxFooterFiles).toInt)
@@ -92,6 +93,20 @@ object PlanStats {
           else sorted.indices.collect {
             case i if i % stride == 0 => sorted(i)
           }
+        Some((sampled.toSeq, sorted.length))
+      }
+    }
+  }
+
+  /** Exact (rowCount, uncompressedByteSize) summed over parquet footers,
+    * when every leaf of `df`'s optimized plan is a parquet file relation
+    * with ≤ [[MaxFooterFiles]] files (strided-sample extrapolation above).
+    * Driver-side metadata I/O only — no Spark job (asserted suite-wide by
+    * ConstructionSpec). */
+  def parquetLeafStats(df: DataFrame): Option[(BigInt, BigInt)] =
+    sampledParquetFiles(df).flatMap { case (sampled, total) =>
+      try {
+        val conf = df.sparkSession.sessionState.newHadoopConf()
         var rows = BigInt(0)
         var bytes = BigInt(0)
         sampled.foreach { f =>
@@ -106,12 +121,45 @@ object PlanStats {
           rows += r
           bytes += b
         }
-        if (stride == 1) Some((rows, bytes))
-        else Some((rows * sorted.length / sampled.length,
-          bytes * sorted.length / sampled.length))
+        if (sampled.length == total) Some((rows, bytes))
+        else Some((rows * total / sampled.length,
+          bytes * total / sampled.length))
       } catch { case NonFatal(_) => None }
     }
-  }
+
+  /** Uncompressed (encoded) byte total of just the named TOP-LEVEL columns,
+    * summed over parquet footers — the size a columnar projection cache of
+    * those columns is bounded by (in-memory dictionary/RLE compression only
+    * shrinks it further). Same sampling/extrapolation and zero-Spark-job
+    * discipline as [[parquetLeafStats]]; None when any plan leaf is not a
+    * parquet file relation or footers are unreadable. */
+  def parquetColumnBytes(df: DataFrame, cols: Seq[String]): Option[BigInt] =
+    sampledParquetFiles(df).flatMap { case (sampled, total) =>
+      try {
+        val conf = df.sparkSession.sessionState.newHadoopConf()
+        val wanted = cols.toSet
+        var bytes = BigInt(0)
+        sampled.foreach { f =>
+          val perCol = columnBytesCache.computeIfAbsent(f, { _ =>
+            val reader =
+              ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+            try {
+              reader.getFooter.getBlocks.asScala
+                .flatMap(_.getColumns.asScala)
+                .groupBy(_.getPath.toDotString.takeWhile(_ != '.'))
+                .map { case (top, chunks) =>
+                  top -> chunks.map(_.getTotalUncompressedSize).sum
+                }
+            } finally reader.close()
+          })
+          bytes += perCol.collect {
+            case (top, b) if wanted.contains(top) => BigInt(b)
+          }.sum
+        }
+        if (sampled.length == total) Some(bytes)
+        else Some(bytes * total / sampled.length)
+      } catch { case NonFatal(_) => None }
+    }
 
   /** Row estimate for `df` with zero Spark jobs. Exact whenever plan stats
     * carry a rowCount or the plan bottoms out in parquet files; otherwise a

@@ -55,6 +55,9 @@ class ConstructionSpec extends SparkSpec {
     // churned index + rewrite at construction (the txlog lifecycle
     // precedent: the operator's point IS the maintained artifact).
     "ann_filtered_knn", "ann_rebalance_ivf",
+    // Round-14 batched hybrid: its vector arm fits/loads the same
+    // learned model as ann_batch_knn (exempt above).
+    "search_hybrid_batch",
     // Bounded candidate collects (k ≤ 50 rows by contract).
     "search_mmr_diversify",
     // Guard counts on derived (filtered/distinct) frames where plan stats
