@@ -1,9 +1,9 @@
 package graft.operators
 
 import graft.{Parity, Q, Tables}
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, RelationalGroupedDataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import Parity._
 
 /** SURVEY §2-D: aggregation family.
@@ -92,12 +92,36 @@ object Aggs {
        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
     (s, dir) =>
-      ordersHot(s, dir, "o_orderstatus", "o_orderpriority", "o_totalprice")
-        .rollup("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      rollupFromBase(
+        ordersHot(s, dir, "o_orderstatus", "o_orderpriority", "o_totalprice"))(
+        _.rollup("o_orderstatus", "o_orderpriority"))
         .transform(sortedSmall(_, col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first))
   }
+
+  /** Rollup/cube as RE-AGGREGATION of the finest grouping (round 14, the
+    * sf100 weak-key fix): Spark plans rollup/cube via `Expand`, which
+    * replicates EVERY input row once per grouping set — 3× (rollup) or
+    * 4× (cube) the rows through the partial aggregate, 450 M–600 M tuples
+    * at the 150 M-row tier, and the measured 3× gap vs DuckDB (which
+    * rolls subtotals up from the finest grouping). Decimal sums and
+    * counts are associative, so aggregating to the (status, priority)
+    * base FIRST (~15 rows at any corpus size — the domain bounds it) and
+    * expanding only the base is exactly equal: the Parity ROUND(…, 2)
+    * happens once, on the full-precision decimal total of each output
+    * row, same as the single-pass form. One linear plan — scan → partial
+    * agg → 15-row exchange → Expand over 15 rows — so nothing re-scans
+    * and construction stays job-free. At 100 TB this is the difference
+    * between shuffling grouping-set-replicated partials and shuffling
+    * the base group count. */
+  private def rollupFromBase(orders: DataFrame)(
+      expand: DataFrame => RelationalGroupedDataset): DataFrame =
+    expand(
+      orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("base_n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).as("base_sp")))
+      .agg(sum(col("base_n")).as("n"),
+        round(sum(col("base_sp")), 2).cast(DoubleType).as("sum_price"))
 
   /** D6 — cube: all grouping combinations. */
   val aggCube = Q(
@@ -107,9 +131,9 @@ object Aggs {
        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
     (s, dir) =>
-      ordersHot(s, dir, "o_orderstatus", "o_orderpriority", "o_totalprice")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      rollupFromBase(
+        ordersHot(s, dir, "o_orderstatus", "o_orderpriority", "o_totalprice"))(
+        _.cube("o_orderstatus", "o_orderpriority"))
         .transform(sortedSmall(_, col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first))
   }
@@ -125,11 +149,18 @@ object Aggs {
     (s, dir) =>
       val view = s"orders_gs_${math.abs(dir.hashCode)}"
       t(s, dir, "orders").createOrReplaceTempView(view)
+      // Same re-aggregation shape as [[rollupFromBase]]: Expand runs over
+      // the ~15-row finest grouping, not the fact; COUNT(*) becomes
+      // SUM(base n) (exactly equal — counts are associative), and
+      // GROUPING() keys on the outer grouping sets as before.
       s.sql(
-        s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        s"""WITH base AS (
+           |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS bn
+           |  FROM $view GROUP BY o_orderstatus, o_orderpriority)
+           |SELECT o_orderstatus, o_orderpriority, SUM(bn) AS n,
            |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
            |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
-           |FROM $view
+           |FROM base
            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
            |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
   }
