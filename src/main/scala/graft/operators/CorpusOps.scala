@@ -79,7 +79,7 @@ object CorpusOps {
     * sum reuses the exact term formula — a single-query batch reproduces
     * [[bm25Scores]] row-for-row after the shared 1e-6 rounding
     * (IndexOpsSpec pins it through the hybrid fusion). */
-  private[operators] def bm25ScoresBatch(docs: DataFrame,
+  private[graft] def bm25ScoresBatch(docs: DataFrame,
       queryTerms: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val terms = queryTerms.select(col("term").as("token")).distinct()
@@ -99,6 +99,55 @@ object CorpusOps {
       (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl))
     tf.join(broadcast(df), "token")
       .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(queryTerms.withColumnRenamed("term", "token")),
+        Seq("token"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(term), 6).as("bm25"))
+  }
+
+  /** Per-doc token-length norms — the companion side table a stored
+    * inverted index ships with (Lucene's norms file): built once at
+    * ingest next to CurationOps3.invertedIndex, consulted by every
+    * index-backed BM25 serve. dl derives from the same whitespace split
+    * as [[bm25Scores]], so the two paths agree bit-for-bit. */
+  def docNorms(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+
+  /** Index-backed batched BM25 (round-14): identical output to
+    * [[bm25ScoresBatch]], with tf/df read from the STORED inverted index
+    * (CurationOps3.invertedIndex layout — csv postings per (token,
+    * block)) and dl from the [[docNorms]] side table, instead of a
+    * corpus re-tokenize. This is the 100 TB lexical serve: the query
+    * terms' index rows are the ONLY postings read (broadcast semi-join
+    * on the token key prunes the index scan), the corpus text is never
+    * touched, and the per-batch cost scales with the matched postings,
+    * not the corpus. df per term = one count over the term's exploded
+    * postings (each (token, doc) appears in exactly one block row);
+    * corpus stats are one narrow aggregate over the norms table (at
+    * ingest these two numbers would be stored with the index — deriving
+    * them here is one 2-column scan, not a tokenize). */
+  def bm25FromIndexBatch(index: DataFrame, norms: DataFrame,
+      queryTerms: DataFrame): DataFrame = {
+    val terms = queryTerms.select(col("term").as("token")).distinct()
+    val post = index
+      .join(broadcast(terms), Seq("token"), "left_semi")
+      .select(col("token"), explode(arrays_zip(
+        split(col("doc_ids"), ","), split(col("tfs"), ","))).as("p"))
+      .select(col("token"),
+        col("p").getField("0").cast("long").as("doc_id"),
+        col("p").getField("1").cast("long").as("tf"))
+    val df = post.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = norms.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val term = idf * (col("tf") * (K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl))
+    post.join(broadcast(df), "token")
+      .join(norms, "doc_id")
       .crossJoin(broadcast(stats))
       .join(broadcast(queryTerms.withColumnRenamed("term", "token")),
         Seq("token"))
@@ -148,6 +197,28 @@ object CorpusOps {
       bm25Scores(t(s, dir, "documents"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(20)
+  }
+
+  /** Index-backed BM25 top-k (round-14): the SAME result set and the
+    * SAME DuckDB oracle as [[bm25TopK]], served from the inverted-index
+    * layout + norms table instead of a corpus tokenize — the oracle
+    * hash-compare therefore proves index-serve ≡ direct ≡ DuckDB in one
+    * check. The inline index build keeps the key oracle-able on the
+    * shipped corpus; Bm25IndexSpec pins the stored parquet round-trip
+    * (the production shape) equal to the inline form, the
+    * phraseMatchFromIndex convention. */
+  val bm25TopKIndexed = Q(
+    "bm25_topk_indexed",
+    s"""WITH $Bm25OracleCtes
+       |SELECT doc_id, bm25 FROM bm
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val qt = Bm25Terms.map(w => (0L, w)).toDF("query_id", "term")
+      bm25FromIndexBatch(CurationOps3.invertedIndex(docs), docNorms(docs), qt)
+        .select(col("doc_id"), col("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
   }
 
   /** Shingle expression shared by decontamination: word-8-grams, md5'd to
@@ -605,7 +676,8 @@ object CorpusOps {
       .limit(10)
   }
 
-  val all: Seq[Q] = Seq(bm25TopK, decontaminateNgram, textRepetition,
+  val all: Seq[Q] = Seq(bm25TopK, bm25TopKIndexed, decontaminateNgram,
+    textRepetition,
     mixtureStats, embeddingQuantize, textNormalize, textHeavyHitters,
     textTokenEntropy, dedupParagraph, packSequences, searchQueryElevation,
     searchFieldCollapse, searchCursorPage)

@@ -402,12 +402,22 @@ object IndexOps {
   def hybridBlendBatch(s: SparkSession, docs: DataFrame, emb: DataFrame,
       index: DataFrame, model: AnnOps.AnnModel, queries: DataFrame,
       queryTerms: DataFrame, k: Int = 20, topN: Int = 50, nProbe: Int = 3,
-      nCandidates: Int = -1): DataFrame = {
+      nCandidates: Int = -1,
+      invIndex: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     VectorOps.registerFns(s)
     val wTop = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id"))
-    val bmTop = CorpusOps.bm25ScoresBatch(docs, queryTerms)
+    // Lexical arm: the tokenize path by default; a stored
+    // (invertedIndex, docNorms) pair routes it through
+    // CorpusOps.bm25FromIndexBatch — identical scores (Bm25IndexSpec),
+    // no corpus text touched, the 100 TB serve shape.
+    val bmScores = invIndex match {
+      case Some((inv, norms)) =>
+        CorpusOps.bm25FromIndexBatch(inv, norms, queryTerms)
+      case None => CorpusOps.bm25ScoresBatch(docs, queryTerms)
+    }
+    val bmTop = bmScores
       .select(col("query_id"), col("doc_id"), col("bm25").as("score"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= topN).drop("rn")

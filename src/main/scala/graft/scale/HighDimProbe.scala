@@ -530,10 +530,27 @@ object HighDimProbe {
     * the batched-ANN number. Requires a dir carrying BOTH documents and
     * embeddings (the sfx replica). */
   private def hybridBatch(s: SparkSession, dir: String, dims: Int,
-      nQueries: Int): Unit = {
+      nQueries: Int, useInvIndex: Boolean = false): Unit = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     val e = emb(s, dir)
+    // Index-backed lexical arm (round-14): pay the inverted-index +
+    // norms ingest ONCE (reported), then serve every batch from the
+    // stored postings — the 100 TB shape where the corpus text is never
+    // re-tokenized at query time.
+    val invPair = if (!useInvIndex) None else Some {
+      val invPath = s"/tmp/graft_hybrid_inv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(s"$invPath/inv").isDirectory) {
+        val (_, tInv) = time {
+          graft.operators.CurationOps3.invertedIndex(docs)
+            .write.mode("overwrite").parquet(s"$invPath/inv")
+          graft.operators.CorpusOps.docNorms(docs)
+            .write.mode("overwrite").parquet(s"$invPath/norms")
+        }
+        println(f"[hybridbatch] inverted index + norms ingest: $tInv%.1fs")
+      }
+      (s.read.parquet(s"$invPath/inv"), s.read.parquet(s"$invPath/norms"))
+    }
     VectorOps.registerFns(s)
     val n = graft.plans.PlanStats.estRows(e, 16L).toLong
     val nLists = math.max(8, math.sqrt(n / 1000.0).toInt)
@@ -558,7 +575,7 @@ object HighDimProbe {
       .toDF("query_id", "term")
     val (batchRows, tBatch) = time {
       graft.operators.IndexOps.hybridBlendBatch(s, docs, e, stored, model,
-          queries, terms, k = 10, nProbe = nProbe)
+          queries, terms, k = 10, nProbe = nProbe, invIndex = invPair)
         .collect()
     }
     // Single-query composition baseline on 3 sample queries.
@@ -567,7 +584,8 @@ object HighDimProbe {
       singleQ.map { q =>
         q -> graft.operators.IndexOps.hybridBlendBatch(s, docs, e, stored,
             model, queries.filter(col("query_id") === q),
-            terms.filter(col("query_id") === q), k = 10, nProbe = nProbe)
+            terms.filter(col("query_id") === q), k = 10, nProbe = nProbe,
+            invIndex = invPair)
           .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
       }
     }
@@ -671,7 +689,8 @@ object HighDimProbe {
       case "rebalance" =>
         rebalanceChurn(s, args(1), args(2).toInt, args(3).toLong)
       case "hybridbatch" =>
-        hybridBatch(s, args(1), args(2).toInt, args(3).toInt)
+        hybridBatch(s, args(1), args(2).toInt, args(3).toInt,
+          useInvIndex = args.lift(4).contains("idx"))
       case "filtereddebug" =>
         // Isolate probe-miss vs pool-miss for one selectivity: where do
         // the exact filtered top-20 live (list ids), are those lists
