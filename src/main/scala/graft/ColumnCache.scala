@@ -1,7 +1,5 @@
 package graft
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.storage.StorageLevel
@@ -47,12 +45,41 @@ object ColumnCache {
   private final case class Entry(spark: SparkSession, cols: Seq[String],
       df: DataFrame, bytes: BigInt)
 
-  /** (dir, table) → cached union projection. An entry is only served to
-    * the SparkSession that admitted it (reference equality — a cached DF
-    * is bound to its session); another session's request replaces it. */
-  private val entries = new ConcurrentHashMap[(String, String), Entry]()
+  /** (dir, table) → the SERVING union projection, plus superseded
+    * entries retained until clear(). All state is guarded by `lock` —
+    * plain maps, no lock-free path (the invariant is that `entries`,
+    * `retired` and `usedBytes` mutate together).
+    *
+    * Superseded-but-live entries are RETAINED, not unpersisted (code
+    * review round-14): a DataFrame handed out by an earlier serve()
+    * embeds its InMemoryRelation, and Spark re-persists an unpersisted
+    * cached plan on its next execution — an untracked copy the budget
+    * would never see. Retiring keeps the copy alive AND accounted; the
+    * overlap is bounded by the budget like everything else. An entry is
+    * only served to the SparkSession that admitted it (reference
+    * equality — a cached DF is bound to its session); entries of
+    * STOPPED sessions are purged (their cache died with the session). */
+  private val entries =
+    scala.collection.mutable.Map.empty[(String, String), Entry]
+  private val retired = scala.collection.mutable.ArrayBuffer.empty[Entry]
   private var usedBytes: BigInt = BigInt(0)
   private val lock = new Object
+
+  /** Drop entries whose owning session has stopped — their cached blocks
+    * are gone, so their bytes must not keep debiting the budget (code
+    * review round-14: a dead session's entry under another key
+    * permanently starved later admissions). Call under `lock`. */
+  private def purgeStopped(): Unit = {
+    def dead(e: Entry) =
+      try e.spark.sparkContext.isStopped
+      catch { case scala.util.control.NonFatal(_) => true }
+    entries.toSeq.foreach { case (k, e) =>
+      if (dead(e)) { entries.remove(k); usedBytes -= e.bytes }
+    }
+    val deadRetired = retired.filter(dead)
+    retired --= deadRetired
+    deadRetired.foreach(e => usedBytes -= e.bytes)
+  }
 
   /** Budget in bytes; 0 disables. Precedence: the byte-granular
     * `graft.colcache.bytes` system property (spec control — the shipped
@@ -77,45 +104,69 @@ object ColumnCache {
     val budget = budgetBytes
     if (budget <= 0L) return plain(cols)
     val key = (dir, table)
+    // Fast path: the serving entry already covers the projection.
     lock.synchronized {
-      val existing = Option(entries.get(key)).filter(_.spark eq spark)
-      existing match {
+      purgeStopped()
+      entries.get(key).filter(_.spark eq spark) match {
         case Some(e) if cols.forall(e.cols.contains) =>
+          return e.df.select(cols.map(col): _*)
+        case _ => ()
+      }
+    }
+    // Admission estimate OUTSIDE the lock (code review round-14: footer
+    // metadata I/O for up to 512 files must not serialize unrelated
+    // tables' serves), on a single DataFrame. The union is computed
+    // against a snapshot of the serving entry; re-validated under the
+    // lock before committing.
+    val snapshot = lock.synchronized {
+      entries.get(key).filter(_.spark eq spark).map(_.cols)
+    }.getOrElse(Seq.empty)
+    val unionCols = snapshot ++ cols.filterNot(snapshot.contains)
+    val unionPlain = plain(unionCols)
+    val est = PlanStats.parquetColumnBytes(unionPlain, unionCols)
+      .getOrElse(PlanStats.estRawBytes(unionPlain))
+    lock.synchronized {
+      purgeStopped()
+      val current = entries.get(key).filter(_.spark eq spark)
+      current match {
+        case Some(e) if cols.forall(e.cols.contains) =>
+          // Raced another widening that already covers us.
           e.df.select(cols.map(col): _*)
-        case other =>
-          // A same-key entry owned by a DIFFERENT (e.g. stopped) session
-          // is replaced, and its bytes released, as part of re-admission.
-          val stale = Option(entries.get(key)).filterNot(_.spark eq spark)
-          val unionCols =
-            other.map(_.cols).getOrElse(Seq.empty) ++
-              cols.filterNot(other.map(_.cols).getOrElse(Seq.empty).contains)
-          val est = PlanStats.parquetColumnBytes(plain(unionCols), unionCols)
-            .getOrElse(PlanStats.estRawBytes(plain(unionCols)))
-          val released = (other.toSeq ++ stale.toSeq).map(_.bytes).sum
-          if (usedBytes - released + est > BigInt(budget)) plain(cols)
+        case other if other.map(_.cols) == (
+            if (snapshot.isEmpty) None else Some(snapshot)) =>
+          if (usedBytes + est > BigInt(budget)) plain(cols)
           else {
-            (other.toSeq ++ stale.toSeq).foreach(e =>
-              try e.df.unpersist(blocking = false)
-              catch { case scala.util.control.NonFatal(_) => () })
-            val cached = plain(unionCols).persist(StorageLevel.MEMORY_AND_DISK)
+            // Supersede, never unpersist: DFs already handed out keep
+            // their live, accounted cache (see `retired`).
+            other.foreach(retired += _)
+            val cached = unionPlain.persist(StorageLevel.MEMORY_AND_DISK)
             entries.put(key, Entry(spark, unionCols, cached, est))
-            usedBytes = usedBytes - released + est
+            usedBytes += est
             cached.select(cols.map(col): _*)
           }
+        case _ =>
+          // The entry changed while estimating (another thread widened
+          // to a different union) — serve plain rather than admit a
+          // stale-union copy; the next call re-tries against the new
+          // serving entry.
+          plain(cols)
       }
     }
   }
 
   /** Unpersist and forget everything (tests; a corpus regeneration). */
   def clear(): Unit = lock.synchronized {
-    entries.values.forEach(e =>
+    (entries.values ++ retired).foreach(e =>
       try e.df.unpersist(blocking = false)
       catch { case scala.util.control.NonFatal(_) => () })
     entries.clear()
+    retired.clear()
     usedBytes = BigInt(0)
   }
 
-  /** Admitted bytes (probe/spec introspection). */
+  /** Admitted bytes charged against the budget, serving + retired
+    * copies of LIVE sessions (probe/spec introspection; stopped
+    * sessions purge on the next serve). */
   def admittedBytes(spark: SparkSession): BigInt = lock.synchronized {
     usedBytes
   }

@@ -540,7 +540,12 @@ object HighDimProbe {
     // re-tokenized at query time.
     val invPair = if (!useInvIndex) None else Some {
       val invPath = s"/tmp/graft_hybrid_inv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      if (!new java.io.File(s"$invPath/inv").isDirectory) {
+      // Reuse only a COMPLETE prior ingest: both writes' _SUCCESS
+      // markers must exist (a crash between the two writes, or a
+      // half-finished run, must rebuild — code review round-14).
+      val complete = Seq("inv", "norms").forall(p =>
+        new java.io.File(s"$invPath/$p/_SUCCESS").isFile)
+      if (!complete) {
         val (_, tInv) = time {
           graft.operators.CurationOps3.invertedIndex(docs)
             .write.mode("overwrite").parquet(s"$invPath/inv")
@@ -559,8 +564,14 @@ object HighDimProbe {
       AnnOps.fitAnnModel(s, e, nLists = nLists, m = dims / 8,
         dsub = 8, ksub = 16)
     }
-    val idxPath = s"/tmp/graft_annscale_idx_part_$n"
-    if (!new java.io.File(idxPath).isDirectory)
+    // Per-DIR path, not the estRows-keyed annscale path: another rung
+    // may have built that one from a filtered slice under a different
+    // model, and stored codes only decode under the codebooks that
+    // produced them (code review round-14). fitAnnModel is deterministic
+    // for a given corpus, so a complete prior build here is reusable.
+    val idxPath =
+      s"/tmp/graft_hybrid_annidx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!new java.io.File(s"$idxPath/_SUCCESS").isFile)
       AnnOps.annIndex(s, e, model)
         .write.mode("overwrite").partitionBy("list_id").parquet(idxPath)
     val stored = s.read.parquet(idxPath).select("vec_id", "list_id", "codes")

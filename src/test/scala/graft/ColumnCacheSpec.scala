@@ -53,8 +53,10 @@ class ColumnCacheSpec extends SparkSpec {
       assert(cachedRelations(subset) == 1)
       assert(ColumnCache.admittedBytes(spark) == admitted)
 
-      // Widening re-admits the union and drops the narrower copy:
-      // admitted bytes grow by the new column's footprint only once.
+      // Widening admits the union as the new serving entry; the
+      // superseded narrow copy is RETAINED and stays accounted (an
+      // already-handed-out DF would silently re-persist an unpersisted
+      // plan — code review round-14), so admitted bytes grow.
       val widened = ColumnCache.serve(spark, sfDir, "orders",
         Seq("o_orderstatus", "o_orderpriority", "o_totalprice"))
       assert(cachedRelations(widened) == 1)
