@@ -410,6 +410,37 @@ object AnnOps {
     math.max(widthTerm, corpusTerm)
   }
 
+  /** Adaptive pool (round 14): the whole-index default, WIDENED — never
+    * shrunk, the round-12 probed-fraction lesson — to half the probed
+    * lists' row volume. A hot region concentrated in the probed lists
+    * makes the ADC rank-window among near-ties effectively random, and
+    * the corpus-average pool then drops the true neighbors for ANY model
+    * (fresh rebuild included — measured 0.21–0.30 recall at a
+    * 12.5 %-of-corpus point-cluster, SCALE.md round-14). Half the probed
+    * volume guarantees the window covers any region up to 2× the pool
+    * inside the probe set, while the exact re-rank keeps a wider pool
+    * quality-neutral and its join cost proportional (measured
+    * immaterial vs the ADC scan at the 2 M tier). `(v+1)/2` matches the
+    * batch plan's `(sum+1) div 2` bit-for-bit — the single ≡ batched
+    * equivalence the selfchecks pin. */
+  private[graft] def adaptivePool(defaultPool: Int,
+      probedRows: Long): Int =
+    // p/2 + p%2 == ceil(p/2) for p ≥ 0 WITHOUT the (p+1) overflow at
+    // Long.MaxValue; identical to the batch plan's `(sum+1) div 2` on
+    // every realistic volume (list-row sums are corpus-bounded).
+    math.max(defaultPool.toLong, math.min(Int.MaxValue.toLong,
+      probedRows / 2 + probedRows % 2)).toInt
+
+  /** Per-list row counts of an IVF index — ONE driver-bounded nLists-row
+    * aggregate per serve, shared by the single and batched adaptive
+    * pools (both paths must see identical sizes for their equivalence
+    * contract). At warehouse scale these counts live in stored index
+    * stats (the TxLog min/max precedent); computing them here is one
+    * narrow column scan, amortized across a whole batch. */
+  private[operators] def listSizes(index: DataFrame): Map[Int, Long] =
+    index.groupBy("list_id").count().collect()
+      .map(r => r.getAs[Number](0).intValue -> r.getLong(1)).toMap
+
   def pqKnn(s: SparkSession, emb: DataFrame, queryId: Long, k: Int,
       m: Int = 8, dsub: Int = 8, ksub: Int = 16,
       nCandidates: Int = -1): DataFrame = {
@@ -703,9 +734,29 @@ object AnnOps {
     // path (whose recall the pool formula was tuned on), makes the
     // full-probe case equal the flat pool exactly (the equivalence
     // contract), and the pruning win stays in the ADC scan + TakeOrdered.
+    // Round-14 WIDENING (never shrinking — the r12 lesson above): when
+    // the probed lists hold an outsized row volume (a hot novel region
+    // after churn), the whole-index pool keeps an ADC-noise-random
+    // subset of a tie-dense region and recall collapses for ANY model
+    // (measured 0.21–0.30 at a 12.5 %-of-corpus point-cluster); the pool
+    // therefore widens to half the probed volume. Exact re-rank bounds
+    // the quality cost of a bigger pool at zero; the rerank-join cost is
+    // proportional and was measured immaterial vs the ADC scan.
+    // (Adaptive widening applies to PARTIAL probes only: at full probe
+    // the probed volume is the corpus and widening would break the
+    // full-probe ≡ flat-pool equivalence AnnSpec pins as the composed
+    // serve's validation anchor.)
     val pool = if (nCandidates > 0) nCandidates
-      else pqPoolFor(qVec.size, graft.plans.PlanStats.estRows(
-        index, 20L + model.m * 4L, decompressionFactor = 1))
+      else {
+        val defaultPool = pqPoolFor(qVec.size, graft.plans.PlanStats
+          .estRows(index, 20L + model.m * 4L, decompressionFactor = 1))
+        if (probeLists.size >= model.centroids.size) defaultPool
+        else {
+          val sizes = listSizes(index)
+          adaptivePool(defaultPool,
+            probeLists.map(l => sizes.getOrElse(l, 0L)).sum)
+        }
+      }
     val lut = adcLut(model.codebooks, model.m, model.dsub, model.ksub, qVec)
     val adc = (0 until model.m).map { mm =>
       element_at(typedLit(lut(mm)), element_at(col("codes"), mm + 1) + 1)
@@ -819,9 +870,34 @@ object AnnOps {
           lit(model.m), lit(model.ksub)).as("adc"))
     val poolW = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("vec_id"))
-    val pooled = cands.withColumn("rn", row_number().over(poolW))
-      .filter(col("rn") <= pool)
-      .select("query_id", "vec_id")
+    // Per-query ADAPTIVE pool for the default path (round 14, see
+    // [[adaptivePool]]): each query's pool widens to half ITS probed
+    // lists' volume — the list-size lookup is a plan-time literal map
+    // (one nLists-row aggregate, shared with the single serve), and
+    // `(sum + 1) div 2` matches the driver formula bit-for-bit (the
+    // single ≡ batched equivalence the selfchecks pin). Explicit
+    // nCandidates keeps the pinned-pool contract of the masked/filtered
+    // variants untouched.
+    val qPools =
+      if (nCandidates > 0 || nProbe >= model.centroids.size) None
+      else {
+        val sizes = listSizes(index)
+        Some(queries.select(col("query_id"),
+            explode(transform(slice(array_sort(scored), 1, nProbe),
+              p => p.getField("cid"))).as("list_id"))
+          .select(col("query_id"),
+            coalesce(element_at(typedLit(sizes), col("list_id")), lit(0L))
+              .as("lsz"))
+          .groupBy("query_id")
+          .agg(greatest(lit(pool.toLong),
+            expr("(sum(lsz) + 1) div 2")).as("qpool")))
+      }
+    val ranked = cands.withColumn("rn", row_number().over(poolW))
+    val pooled = (qPools match {
+      case Some(qp) => ranked.join(sided(qp), Seq("query_id"))
+        .filter(col("rn") <= col("qpool"))
+      case None => ranked.filter(col("rn") <= pool)
+    }).select("query_id", "vec_id")
     val qe = queries.select(col("query_id"), col("qe"))
     val reranked = pooled
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))

@@ -410,7 +410,7 @@ object HighDimProbe {
     * the rung measures recall, serve wall, probed-candidate volume and
     * list skew before/after, with a fresh full fit+build as the ceiling. */
   private def rebalanceChurn(s: SparkSession, dir: String, dims: Int,
-      n: Long): Unit = {
+      n: Long, megaCluster: Boolean = false): Unit = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val hist = emb(s, dir).filter(col("vec_id") < n)
@@ -418,12 +418,15 @@ object HighDimProbe {
     val nLists = math.max(8, math.sqrt(n / 1000.0).toInt)
     val nProbe = math.max(3, nLists / 8)
     // Novel-topic churn batch: n/8 vectors across EIGHT centers the base
-    // generator never used (base-cluster density — a single mega-cluster
-    // would exceed the serve's n/50 candidate pool and cap recall for ANY
-    // model, fresh included; measured before this shape was chosen).
+    // generator never used (base-cluster density). `megaCluster` instead
+    // plants ALL n/8 rows on ONE center — the adversarial tie-dense
+    // region that defeated the FIXED n/50 candidate pool for ANY model
+    // (recall 0.21–0.30 measured round-14) and motivated the adaptive
+    // probed-volume pool; the flag re-measures that exact shape.
+    val nNovel = if (megaCluster) 1 else 8
     val churn = s.range(n, n + n / 8, 1, 32).as[Long].mapPartitions { it =>
       it.map { id =>
-        val novel = (999983L + (id % 8) * 104729L) * 7919L
+        val novel = (999983L + (id % nNovel) * 104729L) * 7919L
         val v = new Array[Float](dims)
         var d = 0
         while (d < dims) {
@@ -698,7 +701,8 @@ object HighDimProbe {
         filteredServe(s, args(1), args(2).toInt, args(3).toLong,
           args(4).split(",").toSeq.map(_.toInt))
       case "rebalance" =>
-        rebalanceChurn(s, args(1), args(2).toInt, args(3).toLong)
+        rebalanceChurn(s, args(1), args(2).toInt, args(3).toLong,
+          megaCluster = args.lift(4).contains("mega"))
       case "hybridbatch" =>
         hybridBatch(s, args(1), args(2).toInt, args(3).toInt,
           useInvIndex = args.lift(4).contains("idx"))

@@ -639,4 +639,34 @@ class AnnSpec extends SparkSpec {
     assert(AnnOps.ivfPqKnnFilteredBatch(spark, emb, index, attrs, pred,
         model, queries, k = 10).schema == annRoute.schema)
   }
+
+  test("adaptive pool: widens to half the probed volume, never shrinks") {
+    // The round-14 hot-region law: max(default, (probed+1)/2), the
+    // exact driver twin of the batch plan's `(sum(lsz)+1) div 2`.
+    assert(AnnOps.adaptivePool(100, 0L) == 100)
+    assert(AnnOps.adaptivePool(100, 199L) == 100)
+    assert(AnnOps.adaptivePool(100, 201L) == 101)
+    assert(AnnOps.adaptivePool(2250, 41663L) == 20832)
+    assert(AnnOps.adaptivePool(100, Long.MaxValue) == Int.MaxValue)
+    // Batched default-pool serve ≡ single serve under the adaptive pool
+    // on a SKEWED index (one list holds half the corpus) — the pinned
+    // equivalence must survive per-query pool widening.
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val model = AnnOps.fitAnnModel(spark, emb, nLists = 4)
+    val index = AnnOps.annIndex(spark, emb, model)
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("qe"))
+    val batched = AnnOps.ivfPqKnnBatch(spark, emb, index, model, queries,
+        k = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    (0L until 3L).foreach { q =>
+      val single = AnnOps.ivfPqKnnFromIndex(spark, emb, index, model,
+          queryId = q, k = 10, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(batched.filter(_._1 == q).map(x => (x._2, x._3)).toSeq ==
+        single.toSeq, s"query $q: batched == single under adaptive pool")
+    }
+  }
 }
