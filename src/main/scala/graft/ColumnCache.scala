@@ -137,8 +137,13 @@ object ColumnCache {
           if (usedBytes + est > BigInt(budget)) plain(cols)
           else {
             // Supersede, never unpersist: DFs already handed out keep
-            // their live, accounted cache (see `retired`).
-            other.foreach(retired += _)
+            // their live, accounted cache (see `retired`). Retire
+            // whatever actually occupies the key — including another
+            // LIVE session's entry (ADVICE round-14 medium: a plain
+            // put would orphan it outside `entries`/`retired`, its
+            // bytes debiting the budget forever and its persisted plan
+            // escaping clear()'s unpersist).
+            entries.remove(key).foreach(retired += _)
             val cached = unionPlain.persist(StorageLevel.MEMORY_AND_DISK)
             entries.put(key, Entry(spark, unionCols, cached, est))
             usedBytes += est
@@ -154,7 +159,11 @@ object ColumnCache {
     }
   }
 
-  /** Unpersist and forget everything (tests; a corpus regeneration). */
+  /** Unpersist and forget everything (tests; a corpus regeneration).
+    * Also drops PlanStats' footer caches: the documented clear()
+    * scenario is an in-place corpus regeneration, after which stale
+    * per-file byte totals would corrupt admission estimates for any
+    * reused path (ADVICE round-14 low). */
   def clear(): Unit = lock.synchronized {
     (entries.values ++ retired).foreach(e =>
       try e.df.unpersist(blocking = false)
@@ -162,12 +171,15 @@ object ColumnCache {
     entries.clear()
     retired.clear()
     usedBytes = BigInt(0)
+    PlanStats.clearFooterCaches()
   }
 
-  /** Admitted bytes charged against the budget, serving + retired
-    * copies of LIVE sessions (probe/spec introspection; stopped
-    * sessions purge on the next serve). */
+  /** Bytes charged against the budget for THIS session's serving +
+    * retired copies (probe/spec introspection; stopped sessions purge
+    * on the next serve). Per-session to match serve()'s per-session
+    * semantics — the global budget is internal. */
   def admittedBytes(spark: SparkSession): BigInt = lock.synchronized {
-    usedBytes
+    (entries.values ++ retired).filter(_.spark eq spark)
+      .map(_.bytes).sum
   }
 }

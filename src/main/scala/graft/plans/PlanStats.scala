@@ -56,14 +56,35 @@ object PlanStats {
     * driver-side metadata I/O, bounded by the same cap. */
   private val MaxFooterFiles = 512
 
-  /** (rows, uncompressedBytes) per already-read footer path. */
+  /** (rows, uncompressedBytes) per already-read footer, keyed by
+    * (path, length, mtime) so an in-place overwrite of a reused path (the
+    * documented corpus-regeneration scenario) naturally misses instead of
+    * serving stale totals (ADVICE round-14 low). The stat that builds the
+    * key is the same driver-side metadata I/O class as the footer read,
+    * and its FileStatus is reused for the open. */
   private val footerCache =
     new ConcurrentHashMap[String, (Long, Long)]()
 
-  /** Per-top-level-column uncompressed (encoded) bytes per footer path —
-    * feeds the projection-cache admission estimate (round 14). */
+  /** Per-top-level-column uncompressed (encoded) bytes per footer —
+    * feeds the projection-cache admission estimate (round 14). Same
+    * (path, length, mtime) keying as [[footerCache]]. */
   private val columnBytesCache =
     new ConcurrentHashMap[String, Map[String, Long]]()
+
+  /** Stat `f` and return (its FileStatus, the version-aware cache key). */
+  private def statKey(f: String, conf: org.apache.hadoop.conf.Configuration)
+      : (org.apache.hadoop.fs.FileStatus, String) = {
+    val p = new Path(f)
+    val status = p.getFileSystem(conf).getFileStatus(p)
+    (status, s"$f#${status.getLen}#${status.getModificationTime}")
+  }
+
+  /** Drop all cached footer metadata (corpus regeneration; tests).
+    * Invoked by graft.ColumnCache.clear(). */
+  def clearFooterCaches(): Unit = {
+    footerCache.clear()
+    columnBytesCache.clear()
+  }
 
   /** The distinct parquet data files under `df`'s optimized plan when EVERY
     * leaf is a parquet file relation, as (sortedSample, totalFileCount):
@@ -110,9 +131,10 @@ object PlanStats {
         var rows = BigInt(0)
         var bytes = BigInt(0)
         sampled.foreach { f =>
-          val (r, b) = footerCache.computeIfAbsent(f, { _ =>
+          val (status, key) = statKey(f, conf)
+          val (r, b) = footerCache.computeIfAbsent(key, { _ =>
             val reader =
-              ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+              ParquetFileReader.open(HadoopInputFile.fromStatus(status, conf))
             try {
               val blocks = reader.getFooter.getBlocks.asScala
               (blocks.map(_.getRowCount).sum, blocks.map(_.getTotalByteSize).sum)
@@ -140,9 +162,10 @@ object PlanStats {
         val wanted = cols.toSet
         var bytes = BigInt(0)
         sampled.foreach { f =>
-          val perCol = columnBytesCache.computeIfAbsent(f, { _ =>
+          val (status, key) = statKey(f, conf)
+          val perCol = columnBytesCache.computeIfAbsent(key, { _ =>
             val reader =
-              ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+              ParquetFileReader.open(HadoopInputFile.fromStatus(status, conf))
             try {
               reader.getFooter.getBlocks.asScala
                 .flatMap(_.getColumns.asScala)

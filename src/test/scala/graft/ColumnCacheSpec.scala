@@ -108,6 +108,37 @@ class ColumnCacheSpec extends SparkSpec {
     }
   }
 
+  test("second live session admitting an occupied key retires, not " +
+      "orphans, the first session's entry") {
+    withBudget(256) {
+      val a = ColumnCache.serve(spark, sfDir, "orders",
+        Seq("o_orderstatus", "o_custkey"))
+      assert(cachedRelations(a) == 1)
+      val aBytes = ColumnCache.admittedBytes(spark)
+      assert(aBytes > 0)
+
+      // A second LIVE session (same SparkContext, distinct session
+      // object) claims the same (dir, table) key. Pre-fix (ADVICE
+      // round-14 medium) the put orphaned session 1's entry outside
+      // entries/retired: bytes stuck in the budget forever, persisted
+      // plan unreachable by clear().
+      val spark2 = spark.newSession()
+      val b = ColumnCache.serve(spark2, sfDir, "orders",
+        Seq("o_custkey", "o_totalprice"))
+      assert(cachedRelations(b) == 1)
+      assert(ColumnCache.admittedBytes(spark2) > 0)
+      // Session 1's copy was RETIRED: still accounted to its session,
+      // still live for its handed-out DataFrame.
+      assert(ColumnCache.admittedBytes(spark) == aBytes)
+      assert(a.collect().nonEmpty)
+
+      // clear() reaches the retired copy — both sessions back to zero.
+      ColumnCache.clear()
+      assert(ColumnCache.admittedBytes(spark) == 0)
+      assert(ColumnCache.admittedBytes(spark2) == 0)
+    }
+  }
+
   test("declared weak keys: identical output with the cache on and off") {
     val keys = Seq(Aggs.aggRollup, Aggs.aggApproxDistinct,
       graft.operators.TextOps.dedupExact)
