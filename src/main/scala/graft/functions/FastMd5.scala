@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** md5 hex of a string — bit-identical to Spark's `md5(string)` but with a
+  * THREAD-LOCAL reused MessageDigest.
+  *
+  * Why: Spark's `Md5` expression routes through
+  * `commons-codec DigestUtils.md5Hex`, whose `getDigest` performs a JCA
+  * `MessageDigest.getInstance("MD5")` provider lookup + instance
+  * allocation on EVERY row, then allocates a `char[]`/`String` for the hex
+  * before converting back to UTF8String. At the exact-dedup replica tier
+  * (5 M documents, round-14 floor decomposition: scan 0.18 s / +md5
+  * 0.28–0.40 s / +agg 0.22 s) that per-row setup is a measured third of
+  * the key's wall — and the round-15 same-boot A/B put the declared key at
+  * 2.06× DuckDB, whose md5 runs 5 M texts in 0.25 s. This expression
+  * digests into a reused instance and hex-encodes straight into the
+  * output byte array (no intermediate String), closing most of that gap
+  * while keeping the output — and therefore the DuckDB oracle — unchanged.
+  *
+  * Null input → null (UnaryExpression default). MD5 is always present in
+  * the JDK (required algorithm), so the thread-local init cannot fail.
+  */
+case class FastMd5(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"fast_md5 expects string, got ${other.simpleString}")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "fast_md5"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FastMd5.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastMd5.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): FastMd5 =
+    copy(child = newChild)
+}
+
+object FastMd5 {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private final val Hex = "0123456789abcdef".getBytes
+
+  /** Lowercase md5 hex of `s`'s UTF-8 bytes; called from both eval and
+    * generated code. */
+  def hash(s: UTF8String): UTF8String = {
+    val md = digest.get()
+    md.reset()
+    val raw = md.digest(s.getBytes)
+    val hex = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      hex(2 * i) = Hex((raw(i) >> 4) & 0xf)
+      hex(2 * i + 1) = Hex(raw(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[FastMd5].getName, "fast_md5")
+  val builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, "fast_md5 expects exactly 1 argument")
+    FastMd5(args.head)
+  }
+}

@@ -19,14 +19,25 @@ object TextOps {
   private def toks: Column = split(col("text"), " ")
 
   /** K1 — exact dedup via hash-groupBy: one survivor per distinct text.
-    * `md5` keeps the shuffle key small at 100 TB; survivor = min doc_id. */
+    * `md5` keeps the shuffle key small at 100 TB; survivor = min doc_id.
+    * The fingerprint is [[graft.functions.FastMd5]] — byte-identical to
+    * Spark's `md5` (the DuckDB oracle keeps the builtin form) minus its
+    * per-row DigestUtils allocation, worth ~10–15 % of the key's wall at
+    * the 5 M-doc tier (round-15 DedupFloorProbe). The two-phase hash
+    * aggregate is the PROVEN shape for this corpus: the round-15 probe
+    * measured both single-phase candidates (repartition(fp)+groupBy
+    * 1.13–1.30 s, repartition+mapPartitions 1.25–1.41 s vs 0.68–0.97 s
+    * declared) — the corpus carries ~1000 copies per distinct text, so
+    * the partial aggregate reduces ~1000× before the exchange and
+    * skipping it shuffles 5 M rows instead of ~5 k per task. */
   val dedupExact = Q(
     "dedup_exact",
     """SELECT md5(text) AS fp, MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY survivor_id""".stripMargin) {
     (s, dir) =>
+      VectorOps.registerFns(s)
       graft.ColumnCache.serve(s, dir, "documents", Seq("doc_id", "text"))
-        .groupBy(md5(col("text")).as("fp"))
+        .groupBy(call_function("fast_md5", col("text")).as("fp"))
         .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
         .orderBy("survivor_id")
   }

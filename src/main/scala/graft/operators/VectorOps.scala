@@ -79,6 +79,10 @@ object VectorOps {
       graft.functions.PqCodes.info,
       graft.functions.PqCodes.builder)
     s.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("fast_md5"),
+      graft.functions.FastMd5.info,
+      graft.functions.FastMd5.builder)
+    s.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier("nearest_centroid"),
       graft.functions.NearestCentroid.info,
       graft.functions.NearestCentroid.builder)
