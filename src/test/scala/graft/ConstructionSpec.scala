@@ -55,6 +55,9 @@ class ConstructionSpec extends SparkSpec {
     // churned index + rewrite at construction (the txlog lifecycle
     // precedent: the operator's point IS the maintained artifact).
     "ann_filtered_knn", "ann_rebalance_ivf",
+    // Round-15: builds the GraftLog-versioned index (postings commits +
+    // manifest) at construction — the maintained-artifact contract.
+    "ann_txlog_serve",
     // Round-14 batched hybrid: its vector arm fits/loads the same
     // learned model as ann_batch_knn (exempt above).
     "search_hybrid_batch",
