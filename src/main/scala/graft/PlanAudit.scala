@@ -29,6 +29,7 @@ object PlanAudit {
     // BNLJ reappearing in those plans is now a REGRESSION the audit flags.
     "bm25_topk",         // 1-row (N, avgdl) stats broadcast
     "bm25_topk_indexed", // same 1-row stats broadcast, index-backed arm
+    "bm25_topk_delta",   // same 1-row stats broadcast, delta-upserted arm
     "search_hybrid_batch", // same 1-row stats broadcast in the lexical arm
     "search_query_elevation", "search_field_collapse", // same bm25 kernel
     "search_cursor_page", // + a 1-row cursor-anchor broadcast

@@ -56,6 +56,40 @@ class Bm25IndexSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("doc-delta upsert with CHANGED texts == full rebuild of the " +
+      "final corpus (stale postings tombstoned, not double-counted)") {
+    // Final corpus: every doc_id % 11 == 0 doc REWRITTEN with different
+    // text (tokens injected so the stale postings would shift scores if
+    // they survived), everything else unchanged.
+    val rewritten = docs.withColumn("text",
+      when(col("doc_id") % 11 === 0,
+        concat(lit("hash join vector "), col("text")))
+        .otherwise(col("text")))
+    // Incremental path: base index over the ORIGINAL corpus, then the
+    // changed docs (their NEW texts) upserted as a delta.
+    val changed = rewritten.filter(col("doc_id") % 11 === 0)
+    val (idx, norms) = IndexOps.upsertSegments(
+      CurationOps3.invertedIndex(docs), CorpusOps.docNorms(docs), changed)
+    val incremental = collected(
+      CorpusOps.bm25FromIndexBatch(idx, norms, queryTerms))
+    val rebuilt = collected(CorpusOps.bm25FromIndexBatch(
+      CurationOps3.invertedIndex(rewritten),
+      CorpusOps.docNorms(rewritten), queryTerms))
+    assert(incremental.nonEmpty && incremental == rebuilt)
+    // And a physical compaction of the segment union serves the same.
+    val evenRows = idx.filter(col("block_id") % 2 === 0)
+    val oddRows = idx.filter(col("block_id") % 2 =!= 0)
+    val compacted = collected(CorpusOps.bm25FromIndexBatch(
+      IndexOps.mergeSegments(evenRows, oddRows), norms, queryTerms))
+    assert(compacted == rebuilt)
+  }
+
+  test("declared bm25_topk_delta == declared bm25_topk rows") {
+    val a = CorpusOps.bm25TopK.fn(spark, sfDir).collect().toSeq
+    val b = IndexOps.bm25TopKDelta.fn(spark, sfDir).collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("hybrid fusion with the index-backed lexical arm is identical") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val model = AnnOps.fitAnnModel(spark, emb)
