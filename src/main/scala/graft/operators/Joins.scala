@@ -292,7 +292,15 @@ object Joins {
        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
        |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
-    val orders = t(s, dir, "orders")
+    // custkey-family loads (round 15, VERDICT r14 item 5): q5's orders
+    // participates ONLY in the custkey join (its orderkey bucketing never
+    // survives into the lineitem join — the joined arm re-exchanges on
+    // orderkey regardless), so when the custkey co-located copies exist
+    // both sides of orders⋈customer arrive hash-partitioned on the join
+    // key and the shuffle_hash arm below plans ZERO exchanges — the one
+    // removable exchange the sf100 A/B left (NOTES_r14 item 4). Falls
+    // through to the standard loads when the family isn't materialized.
+    val orders = graft.Tables.loadByCust(s, dir, "orders")
       .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
         to_date(col("o_orderdate")) < lit("1997-01-01"))
     // supplier⋈nation⋈region(ASIA) pre-joined into ONE broadcast build:
@@ -333,7 +341,7 @@ object Joins {
     // only engages above the threshold. Either arm yields identical rows
     // — the reduction is a pure semi-join (c_nationkey ∈ ASIA nations),
     // re-implied by the s_nationkey = c_nationkey conjunct downstream.
-    val custProj = t(s, dir, "customer")
+    val custProj = graft.Tables.loadByCust(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"))
     val custBytes = custProj.queryExecution.optimizedPlan.stats.sizeInBytes
     val bcThreshold =

@@ -23,7 +23,12 @@ object Q5Probe {
       .config("spark.sql.inMemoryColumnarStorage.compression", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.schemas.keys.foreach(t => Tables.load(spark, sfDir, t).cache().count())
+    // Input caching mirrors the sfx100 bench session; at sfx1000 the
+    // inputs exceed the heap — SPARK_GRAFT_PROBE_CACHE=false runs the
+    // driver-bench shape (uncached scans, the same-boot A/B config).
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE_CACHE", "true") != "false")
+      Tables.schemas.keys.foreach(t =>
+        Tables.load(spark, sfDir, t).cache().count())
     def t(n: String) = Tables.load(spark, sfDir, n)
 
     def best3(label: String)(f: => Long): Unit = {
