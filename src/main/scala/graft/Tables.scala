@@ -536,6 +536,8 @@ object LayoutBuild {
     val fam = args.collectFirst {
       case a if a.startsWith("--family=") => a.stripPrefix("--family=")
     }.getOrElse("all")
+    require(Set("all", "orderkey", "custkey")(fam),
+      s"unknown --family=$fam (valid: all, orderkey, custkey)")
     args.filterNot(_.startsWith("--")).foreach { dir =>
       val t0 = System.nanoTime()
       if (fam == "all" || fam == "orderkey")

@@ -452,6 +452,26 @@ object Verify {
           s""", "n_cross_truth": ${expectFlagged.size}, "n_flagged": ${flagged.size}""")
       }
 
+      // Poison-payload decode: the planted corrupt set and the diverted
+      // set must coincide exactly, clean rows must decode with full
+      // metadata (round 15, VERDICT r14 item 7).
+      check("multimodal_decode_safe") {
+        val out = SparkEntry.queries("multimodal_decode_safe")(spark, sfDir)
+        val planted0 = operators.DocAssembly.poisonPlanted(col("doc_id"))
+        val rows = out.count()
+        val planted = out.filter(planted0).count()
+        val diverted = out.filter(col("error").isNotNull).count()
+        val misDiverted =
+          out.filter(col("error").isNotNull =!= planted0).count()
+        val cleanIncomplete = out.filter(col("error").isNull &&
+          (col("width").isNull || col("height").isNull ||
+            col("checksum").isNull)).count()
+        s"""{"rows": $rows, "planted": $planted, "diverted": $diverted, """ +
+          s""""mis_diverted": $misDiverted, """ +
+          s""""clean_incomplete": $cleanIncomplete, "pass": ${
+            rows > 0 && misDiverted == 0L && cleanIncomplete == 0L}}"""
+      }
+
       // Index builds: row accounting against their source tables.
       check("ann_index_build") {
         val emb = Tables.load(spark, sfDir, "embeddings")

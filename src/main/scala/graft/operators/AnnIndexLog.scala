@@ -240,8 +240,16 @@ object AnnIndexLog {
         val touched = affected.flatMap(l =>
           TxLog.overlapping(files, meta, l.toString, l.toString))
           .distinctBy(_.path)
+        // Re-cluster survivors on list_id before the rewrite (code
+        // review round-15): writing them as-read packs many lists'
+        // rows into each new file, whose [min,max] stats then overlap
+        // nearly every probe — the data-skipping property would decay
+        // with each delete.
         val survivors = TxLog.readFiles(spark, touched, meta)
           .join(tombs, Seq("vec_id"), "left_anti")
+          .repartitionByRange(
+            spark.sessionState.conf.numShufflePartitions, col("list_id"))
+          .sortWithinPartitions("list_id")
         TxLog.commit(postingsTable(indexDir), "ann-delete",
           TxLog.writeFiles(spark, postingsTable(indexDir), survivors, meta),
           touched.map(_.path), expectActive = true)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2-K7 (multimodal columns) + §2-K8 (search-document assembly —
@@ -338,6 +338,91 @@ object DocAssembly {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Safe-decode record: null metadata + audit column for poison rows. */
+  final case class DecodedMediaSafe(doc_id: Long, n_bytes: Long,
+      width: Option[Int], height: Option[Int], checksum: Option[Long],
+      error: Option[String])
+
+  /** Per-row SAFE decode: the [[Png.decode]] kernel wrapped in the
+    * poison-payload contract (round 15, VERDICT r14 next-item 7) — at
+    * 100 TB corrupt binaries are certain, and a codec exception must
+    * neither kill the stage nor silently vanish the row. Failures yield
+    * NULL metadata plus a deterministic audit tag (the exception class —
+    * messages can carry JVM-specific detail; the class is stable), the
+    * null+audit twin of the CHECK-constraint dead-letter pattern.
+    * ImageIO's two failure modes both divert: an unrecognized container
+    * returns null (no reader claimed it), a truncated/corrupt recognized
+    * one throws. */
+  def decodeSafe(id: Long, payload: Array[Byte]): DecodedMediaSafe =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null)
+        DecodedMediaSafe(id, payload.length.toLong, None, None, None,
+          Some("UnrecognizedContainer"))
+      else {
+        var cs = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            cs = cs * 31 + (img.getRGB(x, y) & 0xffffff); x += 1
+          }
+          y += 1
+        }
+        DecodedMediaSafe(id, payload.length.toLong, Some(img.getWidth),
+          Some(img.getHeight), Some(cs), None)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        DecodedMediaSafe(id, payload.length.toLong, None, None, None,
+          Some(e.getClass.getSimpleName))
+    }
+
+  /** Column predicate for the planted-poison id classes — the ONE
+    * definition every consumer (the declared key, the Verify selfcheck,
+    * MultimodalSafeSpec, the scale probe) derives from; changing the
+    * planting scheme here updates them all (code review round-15). */
+  def poisonPlanted(idCol: Column): Column =
+    idCol % 17 === 0 || idCol % 17 === 5
+
+  /** Deterministic payload corruption for the declared poison fixture:
+    * doc_id ≡ 0 (mod 17) truncates the PNG mid-stream (recognized
+    * container, then a decode failure); doc_id ≡ 5 (mod 17) zeroes the
+    * magic bytes (no reader claims it). Everything else passes through.
+    * Keep in lockstep with [[poisonPlanted]]. */
+  def plantPoison(id: Long, payload: Array[Byte]): Array[Byte] =
+    if (id >= 0 && id % 17 == 0)
+      java.util.Arrays.copyOfRange(payload, 0,
+        math.max(12, payload.length / 3))
+    else if (id >= 0 && id % 17 == 5) {
+      val p = payload.clone()
+      var i = 0
+      while (i < math.min(8, p.length)) { p(i) = 0; i += 1 }
+      p
+    } else payload
+
+  /** K7-robustness — the declared poison-payload decode: the corpus
+    * renders to PNG payloads with ~2/17 of them deterministically
+    * corrupted ([[plantPoison]] — one truncation class, one bad-magic
+    * class), and the SAFE decode diverts exactly those rows to null
+    * metadata + audit while decoding the rest identically to
+    * [[multimodalDecode]]'s kernel. No-oracle (no codec in DuckDB);
+    * MultimodalSafeSpec pins the diversion partition and clean-row
+    * equivalence; the Verify selfcheck re-proves the planted/diverted
+    * match every run. */
+  val multimodalDecodeSafe = Q.noOracle("multimodal_decode_safe") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").as("text"))
+    implicit val enc = Encoders.product[DecodedMediaSafe]
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        decodeSafe(id, plantPoison(id, Png.render(r.getString(1))))
+      }
+    }(enc).orderBy("doc_id").toDF()
+  }
+
   /** Per-image dHash record: 64-bit perceptual fingerprint. */
   final case class PhashRec(doc_id: Long, phash: Long)
 
@@ -428,5 +513,5 @@ object DocAssembly {
 
   val all: Seq[Q] = Seq(multimodalCols, multimodalBinary, multimodalDecode,
     multimodalResize, multimodalAudio, multimodalFrameSample, solrDocAssembly,
-    multimodalPhash)
+    multimodalPhash, multimodalDecodeSafe)
 }

@@ -56,27 +56,43 @@ object PlanStats {
     * driver-side metadata I/O, bounded by the same cap. */
   private val MaxFooterFiles = 512
 
-  /** (rows, uncompressedBytes) per already-read footer, keyed by
-    * (path, length, mtime) so an in-place overwrite of a reused path (the
-    * documented corpus-regeneration scenario) naturally misses instead of
-    * serving stale totals (ADVICE round-14 low). The stat that builds the
-    * key is the same driver-side metadata I/O class as the footer read,
-    * and its FileStatus is reused for the open. */
+  /** (rows, uncompressedBytes) per already-read footer. Keyed by PATH
+    * with the file's (length, mtime) stored alongside the value: an
+    * in-place overwrite of a reused path (the documented corpus-
+    * regeneration scenario) misses on the status compare instead of
+    * serving stale totals (ADVICE round-14 low), and the superseded
+    * entry is REPLACED, not retained (code review round-15 — a
+    * version-suffixed key grew monotonically across regenerations). The
+    * per-call stat is the correctness cost of staleness detection — the
+    * same driver-side metadata I/O class as the FileIndex listing Spark
+    * itself performs at planning time, and its FileStatus is reused for
+    * the footer open on a miss. */
   private val footerCache =
-    new ConcurrentHashMap[String, (Long, Long)]()
+    new ConcurrentHashMap[String, (Long, Long, (Long, Long))]()
 
   /** Per-top-level-column uncompressed (encoded) bytes per footer —
     * feeds the projection-cache admission estimate (round 14). Same
-    * (path, length, mtime) keying as [[footerCache]]. */
+    * status-validated per-path keying as [[footerCache]]. */
   private val columnBytesCache =
-    new ConcurrentHashMap[String, Map[String, Long]]()
+    new ConcurrentHashMap[String, (Long, Long, Map[String, Long])]()
 
-  /** Stat `f` and return (its FileStatus, the version-aware cache key). */
-  private def statKey(f: String, conf: org.apache.hadoop.conf.Configuration)
-      : (org.apache.hadoop.fs.FileStatus, String) = {
+  /** Serve `f`'s cached value when its (length, mtime) still match the
+    * live file; recompute (reusing the fresh FileStatus for the open)
+    * and replace otherwise. */
+  private def cachedByStatus[A](
+      cache: ConcurrentHashMap[String, (Long, Long, A)], f: String,
+      conf: org.apache.hadoop.conf.Configuration)(
+      compute: org.apache.hadoop.fs.FileStatus => A): A = {
     val p = new Path(f)
     val status = p.getFileSystem(conf).getFileStatus(p)
-    (status, s"$f#${status.getLen}#${status.getModificationTime}")
+    val cur = cache.get(f)
+    if (cur != null && cur._1 == status.getLen &&
+        cur._2 == status.getModificationTime) cur._3
+    else {
+      val v = compute(status)
+      cache.put(f, (status.getLen, status.getModificationTime, v))
+      v
+    }
   }
 
   /** Drop all cached footer metadata (corpus regeneration; tests).
@@ -131,15 +147,14 @@ object PlanStats {
         var rows = BigInt(0)
         var bytes = BigInt(0)
         sampled.foreach { f =>
-          val (status, key) = statKey(f, conf)
-          val (r, b) = footerCache.computeIfAbsent(key, { _ =>
+          val (r, b) = cachedByStatus(footerCache, f, conf) { status =>
             val reader =
               ParquetFileReader.open(HadoopInputFile.fromStatus(status, conf))
             try {
               val blocks = reader.getFooter.getBlocks.asScala
               (blocks.map(_.getRowCount).sum, blocks.map(_.getTotalByteSize).sum)
             } finally reader.close()
-          })
+          }
           rows += r
           bytes += b
         }
@@ -162,8 +177,7 @@ object PlanStats {
         val wanted = cols.toSet
         var bytes = BigInt(0)
         sampled.foreach { f =>
-          val (status, key) = statKey(f, conf)
-          val perCol = columnBytesCache.computeIfAbsent(key, { _ =>
+          val perCol = cachedByStatus(columnBytesCache, f, conf) { status =>
             val reader =
               ParquetFileReader.open(HadoopInputFile.fromStatus(status, conf))
             try {
@@ -174,7 +188,7 @@ object PlanStats {
                   top -> chunks.map(_.getTotalUncompressedSize).sum
                 }
             } finally reader.close()
-          })
+          }
           bytes += perCol.collect {
             case (top, b) if wanted.contains(top) => BigInt(b)
           }.sum

@@ -496,6 +496,132 @@ object Streams {
       deadLetterSplit(spark, table, deadLetterDir, appId,
         graft.sources.TxLog.mergeBatch(spark, table, _, key, appId, _)))
 
+  /** Streaming near-dedup ingest (round 15, VERDICT r14 next-item 6):
+    * the batch `dedup_incremental_minhash` operator composed with the
+    * exactly-once lakehouse sinks into one 24/7 pipeline. Per micro-batch
+    * of documents (doc_id, text):
+    *
+    *  1. POISON rows (null / un-shinglable <3-token text) divert to
+    *     `deadLetterDir/batch_id=<id>` with overwrite-on-replay semantics
+    *     ([[txLogSinkWithDeadLetter]]'s partition contract) — at 100 TB
+    *     un-processable rows must be visible, not silently dropped by the
+    *     index builder's eligibility filter.
+    *  2. The batch minhash index builds ONCE (the ingest-time index
+    *     shape); near-dups are dropped against (a) the STORED survivor
+    *     index — [[graft.operators.VectorOps.minhashIncrementalDups]],
+    *     cross-set banded LSH, never re-pairing history — and (b) within
+    *     the batch (banded self-pairs; the greedy min-id survivor rule).
+    *  3. Survivors MERGE into `survivorsTable` by doc_id and their index
+    *     rows APPEND to `indexTable`, each under the (appId, batchId)
+    *     idempotency mark.
+    *
+    * Exactly-once across kill/restart: the gate is the LAST link
+    * (`indexTable`'s txn mark) — a fully-applied batch skips whole; a
+    * batch that crashed mid-chain recomputes DETERMINISTICALLY (the drop
+    * set depends only on the stored index, which the crashed run did not
+    * yet advance — merge-before-append ORDER is load-bearing for this),
+    * re-merges as a no-op where already applied, and completes the
+    * missing append. NearDupIngestSpec pins convergence and the no-dup-
+    * survivors invariant; SCALE.md carries the 10 M-event-tier rows/s.
+    *
+    * Contract: ingested doc_ids are unique across the stream (the ingest
+    * shape); a replayed identical (doc_id, text) is idempotent — it drops
+    * as a dup of its own stored index row. */
+  def nearDupIngestSink(spark: SparkSession, docs: DataFrame,
+      survivorsTable: String, indexTable: String, deadLetterDir: String,
+      checkpointDir: String, appId: String, numHashes: Int = 32,
+      bands: Int = 8, jaccardThreshold: Double = 0.4): StreamingQuery = {
+    import org.apache.spark.sql.types.StructType
+    val TxLog = graft.sources.TxLog
+    if (TxLog.latestVersion(survivorsTable) < 0)
+      TxLog.create(spark, survivorsTable,
+        StructType.fromDDL("doc_id BIGINT, text STRING"),
+        statsCol = Some("doc_id"))
+    if (TxLog.latestVersion(indexTable) < 0)
+      TxLog.create(spark, indexTable,
+        StructType.fromDDL(
+          "doc_id BIGINT, sig ARRAY<BIGINT>, shh ARRAY<BIGINT>"),
+        statsCol = Some("doc_id"))
+    foreachBatchSink(docs, checkpointDir) { (batch, id) =>
+      import org.apache.spark.sql.functions.{col, size, split}
+      // Fully-applied batches skip whole (the deadLetterSplit gate,
+      // anchored on the LAST commit in the chain).
+      if (TxLog.txnVersion(indexTable, appId) < id) {
+        val partDir = s"$deadLetterDir/batch_id=$id"
+        val cached = batch.persist()
+        try {
+          val poison =
+            col("text").isNull || size(split(col("text"), " ")) < 3
+          val dead = cached.filter(poison)
+          if (dead.count() > 0)
+            dead.write.mode("overwrite").parquet(partDir)
+          else {
+            val p = new org.apache.hadoop.fs.Path(partDir)
+            val fs =
+              p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(p)) fs.delete(p, true)
+          }
+          val valid = cached.filter(!poison).select("doc_id", "text")
+          // Built once, consumed by three frames (history probe,
+          // self-pairs, survivor index rows) — the minhashIncrementalDups
+          // materialization discipline.
+          val batchIdx = graft.operators.VectorOps
+            .minhashIndex(valid, numHashes)
+            .localCheckpoint(true)
+          val histIdx = TxLog.snapshot(spark, indexTable)
+          val dupOfHist = graft.operators.VectorOps
+            .minhashIncrementalDups(batchIdx, histIdx, numHashes, bands,
+              jaccardThreshold)
+            .select(col("doc_id"))
+          // Within-batch dedup in TWO stages (code review round-15: the
+          // banded self-pairs star-collapse hot buckets to rep pairs, so
+          // a flat b_id drop list would let >bucketCap merely-similar
+          // variants survive together). Stage 1 collapses EXACT shingle
+          // sets — every non-min member of a distinct-text group drops
+          // as a dup of its rep (handles the clone-heavy mass outright,
+          // jaccard 1.0). Stage 2 runs the banded pairs over the ~unique
+          // REPS only, where the greedy min-id rule is pair-complete up
+          // to the documented bucketCap boundary on >256 near-identical
+          // DISTINCT variants (the dedup_near_minhash approximation
+          // boundary, SURVEY K2).
+          import org.apache.spark.sql.functions.{min => fmin, xxhash64}
+          val grouped = batchIdx
+            .withColumn("vh", xxhash64(col("shh")))
+            .localCheckpoint(true)
+          val reps = grouped.groupBy("vh")
+            .agg(fmin(col("doc_id")).as("rep_id"))
+          val dupExact = grouped
+            .join(reps, Seq("vh"))
+            .filter(col("doc_id") =!= col("rep_id"))
+            .select(col("doc_id"))
+          val repIdx = grouped.join(
+            reps.select(col("rep_id").as("doc_id")), Seq("doc_id"),
+            "left_semi")
+          val dupRepPairs = graft.operators.VectorOps
+            .minhashPairsFromIndex(
+              repIdx.select("doc_id", "sig", "shh"), numHashes, bands,
+              jaccardThreshold)
+            .select(col("b_id").as("doc_id"))
+          val dropIds = dupOfHist.union(dupExact).union(dupRepPairs)
+            .distinct()
+            .localCheckpoint(true)
+          val survivors = valid
+            .join(dropIds, Seq("doc_id"), "left_anti")
+          // ORDER MATTERS: survivors first, index last (the gate). A
+          // crash between the two replays against the UNCHANGED stored
+          // index → identical drop set → no-op merge + the completing
+          // append.
+          TxLog.mergeBatch(spark, survivorsTable, survivors, "doc_id",
+            appId, id)
+          TxLog.appendBatch(spark, indexTable,
+            batchIdx.join(dropIds, Seq("doc_id"), "left_anti"),
+            appId, id)
+        } finally cached.unpersist()
+      }
+      ()
+    }
+  }
+
   /** Shared dead-letter micro-batch splitter: rows violating the table's
     * CURRENT CHECK constraints land in `deadLetterDir/batch_id=<id>` with
     * OVERWRITE semantics (a replay REPLACES the partition; a replay with
