@@ -183,9 +183,18 @@ object AnnIndexLog {
       .select(col("embedding").as("qe"))
     val qVec = q.as[Seq[Float]].head()
     val probe = AnnOps.probeListsForModel(r.model, qVec, nProbe)
-    postingsForLists(spark, indexDir, r, probe)
+    val cands = postingsForLists(spark, indexDir, r, probe)
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("list_id"))
+    // Same candidate-side broadcast gate as AnnOps.ivfKnnFromIndex
+    // (round-15, the 20 M rung's full-corpus-shuffle finding); the
+    // snapshot's file-pruned read gives the exact candidate file set,
+    // so the estimate is the pruned files' footer rows.
+    val estCands = graft.plans.PlanStats.estRows(cands, 20L,
+      decompressionFactor = 1)
+    val candArm =
+      if (estCands * 24 <= BigInt(256L << 20)) broadcast(cands) else cands
+    candArm
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("list_id"),

@@ -380,6 +380,24 @@ object AnnOps {
       means.getOrElse((mm, j), init(mm)(j))))
   }
 
+  /** Exact re-rank join of a pool-bounded candidate frame against the
+    * vector table (round-15, found by the 20 M × 384-d rung): the
+    * candidate side is ≤ `pool` rows BY CONSTRUCTION, but the optimizer
+    * only sees the GlobalLimit's byte estimate, which crosses the 10 MB
+    * auto-broadcast default around pool ≈ 4×10⁵ — past it the planner
+    * fell back to SMJ and SHUFFLED THE WHOLE VECTOR TABLE per query
+    * (29 GB of shuffle at the 20 M tier; a corpus re-shuffle per query
+    * at 100 TB). The bound is driver-known, so broadcast explicitly
+    * whenever it fits a real budget; above that the SMJ fallback is the
+    * honest distributed shape (fetching that many vectors IS a
+    * corpus-scale join). */
+  private def rerankJoin(cands: DataFrame, emb: DataFrame,
+      pool: Long): DataFrame = {
+    val arm =
+      if (pool * 24L <= (256L << 20)) broadcast(cands) else cands
+    arm.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+  }
+
   /** Query-side ADC lookup table: lut(mm)(j) = q_mm · codebook(mm)(j). */
   private def adcLut(codebooks: Array[Array[Seq[Double]]], m: Int, dsub: Int,
       ksub: Int, qVec: Seq[Float]): Array[Seq[Double]] =
@@ -662,9 +680,25 @@ object AnnOps {
       .select(col("embedding").as("qe"))
     val qVec = q.as[Seq[Float]].head()
     val probeLists = probeListsFor(model.centroids, qVec, nProbe)
-    index.filter(col("list_id").isin(probeLists: _*))
+    val cands = index.filter(col("list_id").isin(probeLists: _*))
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("list_id"))
+    // Candidate-side broadcast gate (round-15, found by the 20 M rung):
+    // the optimizer's stats for the list-pruned index are filter-blind,
+    // so past ~10 MB of candidate ids it picked SMJ and SHUFFLED THE
+    // WHOLE VECTOR TABLE for the re-rank — 29 GB of shuffle at
+    // 20 M × 384-d (ENOSPC on this harness; a cluster-wide re-shuffle of
+    // the corpus per query at 100 TB). The probed fraction is known
+    // (nProbe/nLists of the index's footer rows), so broadcast the
+    // (vec_id, list_id) candidate frame whenever that estimate fits a
+    // real broadcast budget; above it the SMJ fallback stands (at that
+    // size fetching the candidates' vectors IS a corpus-scale join, and
+    // the bounded-pool IVF+PQ arms are the serve path).
+    val estCands = graft.plans.PlanStats.estRows(index, 20L,
+      decompressionFactor = 1) * nProbe / math.max(1, model.nLists)
+    val candArm =
+      if (estCands * 24 <= BigInt(256L << 20)) broadcast(cands) else cands
+    candArm
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("list_id"),
@@ -692,11 +726,12 @@ object AnnOps {
     val adc = (0 until model.m).map { mm =>
       element_at(typedLit(lut(mm)), element_at(col("codes"), mm + 1) + 1)
     }.reduce(_ + _)
-    index.filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), adc.as("adc"))
-      .orderBy(col("adc").desc, col("vec_id"))
-      .limit(pool)
-      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    rerankJoin(
+      index.filter(col("vec_id") =!= queryId)
+        .select(col("vec_id"), adc.as("adc"))
+        .orderBy(col("adc").desc, col("vec_id"))
+        .limit(pool),
+      emb, pool)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(call_function("cosine_sim", col("embedding"), col("qe")), 6)
@@ -761,12 +796,13 @@ object AnnOps {
     val adc = (0 until model.m).map { mm =>
       element_at(typedLit(lut(mm)), element_at(col("codes"), mm + 1) + 1)
     }.reduce(_ + _)
-    index.filter(col("list_id").isin(probeLists: _*))
-      .filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), adc.as("adc"))
-      .orderBy(col("adc").desc, col("vec_id"))
-      .limit(pool)
-      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    rerankJoin(
+      index.filter(col("list_id").isin(probeLists: _*))
+        .filter(col("vec_id") =!= queryId)
+        .select(col("vec_id"), adc.as("adc"))
+        .orderBy(col("adc").desc, col("vec_id"))
+        .limit(pool),
+      emb, pool)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(call_function("cosine_sim", col("embedding"), col("qe")), 6)

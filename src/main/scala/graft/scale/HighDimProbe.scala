@@ -223,10 +223,12 @@ object HighDimProbe {
         AnnOps.fitAnnModel(s, e, nLists = nLists, m = dims / 8,
           dsub = 8, ksub = 16)
       }
+      println(f"[annscale] n=$n fit done ($tFit%.1f s)")
       val idxPath = s"/tmp/graft_annscale_idx_$n"
       val (_, tBuild) = time {
         AnnOps.annIndex(s, e, model).write.mode("overwrite").parquet(idxPath)
       }
+      println(f"[annscale] n=$n build done ($tBuild%.1f s)")
       val stored = s.read.parquet(idxPath)
       def exactTop(q: Long): Set[Long] = {
         val qv = e.filter(col("vec_id") === q).select(col("embedding").as("qe"))
@@ -236,7 +238,11 @@ object HighDimProbe {
           .orderBy(col("sim").desc, col("vec_id")).limit(20)
           .select("vec_id").as[Long].collect().toSet
       }
-      val truth = queries.map(q => q -> exactTop(q)).toMap
+      val truth = queries.map { q =>
+        val t = exactTop(q)
+        println(s"[annscale] n=$n truth q=$q done")
+        q -> t
+      }.toMap
       val nProbe = math.max(3, nLists / 8)
       val (ivfR, tIvf) = time {
         queries.map { q =>
