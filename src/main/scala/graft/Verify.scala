@@ -302,6 +302,19 @@ object Verify {
         s"""{"queries": 5, "single_serve_mismatches": $mismatches, """ +
           s""""pass": ${mismatches == 0}}"""
       }
+      // Chunked batch serve (round-16): the declared key forces the
+      // 5-query batch through one-query chunks (budget 1 B); it must
+      // equal the UNCHUNKED batch serve row-for-row — the slicing is a
+      // footprint control, never a semantic one. Linear cost.
+      check("ann_batch_knn_chunked") {
+        val chunked = SparkEntry.queries("ann_batch_knn_chunked")(
+          spark, sfDir).collect().map(_.toSeq).toSeq
+        val unchunked = SparkEntry.queries("ann_batch_knn")(
+          spark, sfDir).collect().map(_.toSeq).toSeq
+        val same = chunked == unchunked
+        s"""{"queries": 5, "rows": ${chunked.size}, """ +
+          s""""chunked_equals_unchunked": $same, "pass": $same}"""
+      }
       check("ann_recall_report") {
         // The declared query IS a recall report — surface its k=100 row.
         val r = SparkEntry.queries("ann_recall_report")(spark, sfDir)

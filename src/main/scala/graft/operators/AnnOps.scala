@@ -862,7 +862,8 @@ object AnnOps {
     * like the single-query serve. */
   def ivfPqKnnBatch(s: SparkSession, emb: DataFrame, index: DataFrame,
       model: AnnModel, queries: DataFrame, k: Int, nProbe: Int = 3,
-      nCandidates: Int = -1): DataFrame = {
+      nCandidates: Int = -1, knownQueryRows: Long = -1L,
+      sizesHint: Option[Map[Int, Long]] = None): DataFrame = {
     VectorOps.registerFns(s)
     import org.apache.spark.sql.expressions.Window
     val dims = model.centroids.head._2.length
@@ -887,7 +888,13 @@ object AnnOps {
     // sizeInBytes fallback can be huge, and a Long-clamped product would
     // overflow/wrap and force-broadcast exactly the unbounded frame the
     // gate exists to keep off the driver.
-    val qRows = graft.plans.PlanStats.estRows(queries, 8L + dims * 4L)
+    // `knownQueryRows`: the chunked wrapper knows its chunk's EXACT row
+    // count (round-16 — a Filter carries its child's sizeInBytes in
+    // non-CBO stats, so a chunk sliced out of a big frame would estimate
+    // as the WHOLE frame, refuse the broadcast it was sized to earn, and
+    // fall back to the very corpus shuffle chunking exists to avoid).
+    val qRows = if (knownQueryRows >= 0L) BigInt(knownQueryRows)
+      else graft.plans.PlanStats.estRows(queries, 8L + dims * 4L)
     val gate = BigInt(256L << 20)
     val maySidecast = qRows * nProbe * lutRowBytes <= gate &&
       qRows * (8L + dims * 4L) <= gate
@@ -914,28 +921,48 @@ object AnnOps {
     // single ≡ batched equivalence the selfchecks pin). Explicit
     // nCandidates keeps the pinned-pool contract of the masked/filtered
     // variants untouched.
-    val qPools =
-      if (nCandidates > 0 || nProbe >= model.centroids.size) None
-      else {
-        val sizes = listSizes(index)
-        Some(queries.select(col("query_id"),
-            explode(transform(slice(array_sort(scored), 1, nProbe),
-              p => p.getField("cid"))).as("list_id"))
-          .select(col("query_id"),
-            coalesce(element_at(typedLit(sizes), col("list_id")), lit(0L))
-              .as("lsz"))
-          .groupBy("query_id")
-          .agg(greatest(lit(pool.toLong),
-            expr("(sum(lsz) + 1) div 2")).as("qpool")))
-      }
+    val adaptive = nCandidates <= 0 && nProbe < model.centroids.size
+    val sizesOpt = if (adaptive) Some(sizesHint.getOrElse(listSizes(index)))
+      else None
+    val qPools = sizesOpt.map { sizes =>
+      queries.select(col("query_id"),
+          explode(transform(slice(array_sort(scored), 1, nProbe),
+            p => p.getField("cid"))).as("list_id"))
+        .select(col("query_id"),
+          coalesce(element_at(typedLit(sizes), col("list_id")), lit(0L))
+            .as("lsz"))
+        .groupBy("query_id")
+        .agg(greatest(lit(pool.toLong),
+          expr("(sum(lsz) + 1) div 2")).as("qpool"))
+    }
     val ranked = cands.withColumn("rn", row_number().over(poolW))
     val pooled = (qPools match {
       case Some(qp) => ranked.join(sided(qp), Seq("query_id"))
         .filter(col("rn") <= col("qpool"))
       case None => ranked.filter(col("rn") <= pool)
     }).select("query_id", "vec_id")
+    // Exact-rerank broadcast gate, BATCH form (round-16, VERDICT r15
+    // item 1 — the single-query twin is [[rerankJoin]]): the pooled
+    // candidate frame is ≤ Σ per-query pools BY CONSTRUCTION, but it
+    // hangs off a rank-window filter the optimizer can't size, so past
+    // ~10 MB of estimate the rerank fell back to SMJ and re-shuffled
+    // the FULL vector corpus per batch (the 20 M-tier ENOSPC, r15).
+    // The bound IS driver-known: nQueries × worst-case per-query pool
+    // (adaptive pools widen at most to half the nProbe LARGEST lists'
+    // volume). Broadcast under the budget; above it the SMJ fallback is
+    // the honest corpus-scale shape — and [[ivfPqKnnBatchChunked]]
+    // slices the query frame so each chunk stays UNDER the budget.
+    val worstPool: BigInt = sizesOpt match {
+      case Some(sizes) =>
+        val top = sizes.values.toSeq.sorted(Ordering[Long].reverse)
+          .take(nProbe).sum
+        BigInt(pool).max(BigInt(top / 2 + top % 2))
+      case None => BigInt(pool)
+    }
+    val pooledSided =
+      if (qRows * worstPool * 24L <= gate) broadcast(pooled) else pooled
     val qe = queries.select(col("query_id"), col("qe"))
-    val reranked = pooled
+    val reranked = pooledSided
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .join(sided(qe), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -962,6 +989,86 @@ object AnnOps {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     ivfPqKnnBatch(s, emb, index, model, queries, k = 10, nProbe = 3)
+  }
+
+  /** CHUNKED batched serve (round-16, VERDICT r15 item 1): the batched
+    * serve's rerank footprint is batch-size-PROPORTIONAL — Σ per-query
+    * pools × 24 B of candidates must either broadcast or shuffle against
+    * the corpus — so a 1000-query batch at a 4×10⁵ pool pools ~10 GB of
+    * candidates and the r15 rung died on the resulting corpus re-shuffle
+    * (NOTES_r15 §ANN). The batch size must never multiply the in-flight
+    * shuffle/broadcast footprint: this wrapper slices the query frame
+    * into driver-chosen chunks sized so each chunk's WORST-CASE rerank
+    * frame (chunk rows × worst per-query adaptive pool × 24 B) fits the
+    * same 256 MB budget the rerank gate uses — every chunk broadcasts
+    * its candidates and the corpus is never shuffled — and serves the
+    * chunks SEQUENTIALLY (each materialized via eager localCheckpoint —
+    * k rows per query — before the next starts), so in-flight state is
+    * one chunk's, not the batch's.
+    *
+    * Chunked ≡ unchunked row-for-row: queries are served independently
+    * (per-query rank windows; the pool/probe constants derive from the
+    * INDEX, not the query frame), so slicing the frame changes plans,
+    * never results — AnnSpec pins it, and the chunk size is driver-known
+    * so each chunk serve runs with its EXACT row count (a filter-sliced
+    * chunk would otherwise estimate as the whole frame and refuse its
+    * broadcast). The query-id collect is driver-bounded by the batch
+    * contract (a batch IS a driver-submitted query set; 8 B/query). */
+  def ivfPqKnnBatchChunked(s: SparkSession, emb: DataFrame,
+      index: DataFrame, model: AnnModel, queries: DataFrame, k: Int,
+      nProbe: Int = 3, nCandidates: Int = -1,
+      chunkBudgetBytes: Long = 256L << 20): DataFrame = {
+    import s.implicits._
+    val dims = model.centroids.head._2.length
+    val pool = if (nCandidates > 0) nCandidates
+      else pqPoolFor(dims, graft.plans.PlanStats.estRows(
+        index, 20L + model.m * 4L, decompressionFactor = 1))
+    val adaptive = nCandidates <= 0 && nProbe < model.centroids.size
+    val sizes = if (adaptive) Some(listSizes(index)) else None
+    val worstPool: Long = sizes match {
+      case Some(sz) =>
+        val top = sz.values.toSeq.sorted(Ordering[Long].reverse)
+          .take(nProbe).sum
+        math.max(pool.toLong, top / 2 + top % 2)
+      case None => pool.toLong
+    }
+    val qPerChunk = math.max(1L,
+      chunkBudgetBytes / math.max(1L, worstPool * 24L))
+    val qids = queries.select(col("query_id")).orderBy("query_id")
+      .as[Long].collect()
+    if (qids.length <= qPerChunk)
+      ivfPqKnnBatch(s, emb, index, model, queries, k, nProbe, nCandidates,
+        knownQueryRows = qids.length.toLong, sizesHint = sizes)
+    else {
+      // Sorted unique ids → contiguous ranges; a range filter is a tiny
+      // pushed predicate (vs an isin over thousands of ids). The map over
+      // the grouped ITERATOR is lazy, so the eager localCheckpoint
+      // inside materializes chunk i fully before chunk i+1 constructs.
+      val chunks = qids.grouped(qPerChunk.toInt).map { g =>
+        val chunkQ = queries.filter(
+          col("query_id") >= g.head && col("query_id") <= g.last)
+        ivfPqKnnBatch(s, emb, index, model, chunkQ, k, nProbe, nCandidates,
+          knownQueryRows = g.length.toLong, sizesHint = sizes)
+          .localCheckpoint(true)
+      }.toSeq
+      chunks.reduce(_ unionAll _).orderBy("query_id", "rank")
+    }
+  }
+
+  /** K4-serve at the batch-size axis — the declared chunked batch serve:
+    * the same 5-query batch as `ann_batch_knn` forced through multiple
+    * chunks (a 1-query budget), proving the slicing is invisible to
+    * results. No-oracle (learned quantizer, K2 precedent); the Verify
+    * selfcheck proves chunked ≡ the unchunked batch row-for-row. */
+  val annBatchKnnChunked = Q.noOracle("ann_batch_knn_chunked") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val model = fitAnnModel(s, emb)
+    val index = annIndex(s, emb, model)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // Budget of one worst-pool row-set per chunk: 5 queries → 5 chunks.
+    ivfPqKnnBatchChunked(s, emb, index, model, queries, k = 10, nProbe = 3,
+      chunkBudgetBytes = 1L)
   }
 
   /** Batched serve under a tombstone mask — the composition of
@@ -1439,6 +1546,6 @@ object AnnOps {
 
   val all: Seq[Q] =
     Seq(annLshTopK, annIvfKnn, annPqKnn, annIvfPqKnn, annIndexBuild,
-      annUpsertIvf, annDeleteIvf, annBatchKnn, annFilteredKnn,
-      annRebalanceIvf, annTxlogServe)
+      annUpsertIvf, annDeleteIvf, annBatchKnn, annBatchKnnChunked,
+      annFilteredKnn, annRebalanceIvf, annTxlogServe)
 }

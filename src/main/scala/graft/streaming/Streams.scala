@@ -552,10 +552,16 @@ object Streams {
         try {
           val poison =
             col("text").isNull || size(split(col("text"), " ")) < 3
-          val dead = cached.filter(poison)
-          if (dead.count() > 0)
-            dead.write.mode("overwrite").parquet(partDir)
-          else {
+          // Dead-letter gate WITHOUT a separate count job (round-16,
+          // VERDICT r15 item 8): the row count rides the write itself as
+          // an observed metric — one job per micro-batch where the
+          // count-then-write shape paid two. A zero-poison batch writes
+          // an empty partition and immediately drops it, preserving the
+          // no-stale-partition replay contract.
+          val obs = org.apache.spark.sql.Observation()
+          cached.filter(poison).observe(obs, count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(partDir)
+          if (obs.get("n").asInstanceOf[Long] == 0L) {
             val p = new org.apache.hadoop.fs.Path(partDir)
             val fs =
               p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -668,10 +674,14 @@ object Streams {
         lit(false))
       val cached = batch.persist()
       try {
-        val dead = cached.filter(viol)
-        if (dead.count() > 0)
-          dead.write.mode("overwrite").parquet(partDir)
-        else dropStalePartition()
+        // Observed-metric gate (round-16, the nearDupIngestSink fix
+        // applied to the shared splitter): count rides the write, no
+        // separate count job; an empty write is dropped right after.
+        val obs = org.apache.spark.sql.Observation()
+        cached.filter(viol)
+          .observe(obs, count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(partDir)
+        if (obs.get("n").asInstanceOf[Long] == 0L) dropStalePartition()
         applyClean(cached.filter(!viol), id)
       } finally cached.unpersist()
     }

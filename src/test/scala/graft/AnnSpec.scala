@@ -318,6 +318,39 @@ class AnnSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("chunked batch serve == unchunked, row-for-row, when the budget " +
+      "forces multiple chunks; one chunk degenerates to the plain serve") {
+    val model = AnnOps.fitAnnModel(spark, emb)
+    val index = AnnOps.annIndex(spark, emb, model)
+    val queries = emb.filter($"vec_id" < 7)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val unchunked = AnnOps.ivfPqKnnBatch(spark, emb, index, model, queries,
+      k = 10, nProbe = 3).collect().map(_.toSeq).toSeq
+    // Budget 1 B → 1 query/chunk → 7 chunks (the adaptive-pool default
+    // path, where chunk slicing must not perturb per-query pools).
+    val chunked = AnnOps.ivfPqKnnBatchChunked(spark, emb, index, model,
+      queries, k = 10, nProbe = 3, chunkBudgetBytes = 1L)
+      .collect().map(_.toSeq).toSeq
+    assert(chunked == unchunked,
+      "chunk slicing must be invisible to results (adaptive pools)")
+    // Explicit-pool path too (the masked/filtered contract).
+    val unchunkedP = AnnOps.ivfPqKnnBatch(spark, emb, index, model, queries,
+      k = 10, nProbe = 3, nCandidates = 100).collect().map(_.toSeq).toSeq
+    val chunkedP = AnnOps.ivfPqKnnBatchChunked(spark, emb, index, model,
+      queries, k = 10, nProbe = 3, nCandidates = 100,
+      chunkBudgetBytes = 1L).collect().map(_.toSeq).toSeq
+    assert(chunkedP == unchunkedP)
+    // A budget that holds the whole frame degenerates to one serve.
+    val one = AnnOps.ivfPqKnnBatchChunked(spark, emb, index, model,
+      queries, k = 10, nProbe = 3).collect().map(_.toSeq).toSeq
+    assert(one == unchunked)
+    // Declared key: deterministic, equals the unchunked declared twin.
+    val a = AnnOps.annBatchKnnChunked.fn(spark, sfDir).collect().toSeq
+    val b = AnnOps.annBatchKnn.fn(spark, sfDir).collect().toSeq
+    assert(a == b && a.nonEmpty,
+      "declared chunked key must equal the unchunked declared batch")
+  }
+
   // --- delete/tombstone/compaction lifecycle (round-13, VERDICT r12 #1) ---
 
   private def flatIdx(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, String)] =
