@@ -315,6 +315,32 @@ object Verify {
         s"""{"queries": 5, "rows": ${chunked.size}, """ +
           s""""chunked_equals_unchunked": $same, "pass": $same}"""
       }
+      // Int8-stored serve (round-16): recall@10 vs the exact FLOAT top-k
+      // — the end-to-end cost of PQ + storage quantization together.
+      // Linear cost (5 queries × corpus).
+      check("ann_int8_knn") {
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val got = SparkEntry.queries("ann_int8_knn")(spark, sfDir)
+          .collect().groupBy(_.getLong(0))
+          .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        val recalls = (0L until 5L).map { qid =>
+          val q = emb.filter(col("vec_id") === qid)
+            .select(col("embedding").as("qe"))
+          val exactIds = emb.filter(col("vec_id") =!= qid)
+            .crossJoin(broadcast(q))
+            .select(col("vec_id"),
+              round(call_function("cosine_sim", col("embedding"),
+                col("qe")), 6).as("sim"))
+            .orderBy(col("sim").desc, col("vec_id")).limit(10)
+            .collect().map(_.getLong(0)).toSet
+          if (exactIds.isEmpty) 1.0
+          else got.getOrElse(qid, Set.empty).intersect(exactIds).size /
+            exactIds.size.toDouble
+        }
+        val r = finite("recall", recalls.sum / recalls.size)
+        s"""{"queries": 5, "recall_vs_float_exact": $r, "floor": 0.5, """ +
+          s""""pass": ${r >= 0.5}}"""
+      }
       check("ann_recall_report") {
         // The declared query IS a recall report — surface its k=100 row.
         val r = SparkEntry.queries("ann_recall_report")(spark, sfDir)

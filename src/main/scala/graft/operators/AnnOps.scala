@@ -863,7 +863,8 @@ object AnnOps {
   def ivfPqKnnBatch(s: SparkSession, emb: DataFrame, index: DataFrame,
       model: AnnModel, queries: DataFrame, k: Int, nProbe: Int = 3,
       nCandidates: Int = -1, knownQueryRows: Long = -1L,
-      sizesHint: Option[Map[Int, Long]] = None): DataFrame = {
+      sizesHint: Option[Map[Int, Long]] = None,
+      rerankInt8: Option[DataFrame] = None): DataFrame = {
     VectorOps.registerFns(s)
     import org.apache.spark.sql.expressions.Window
     val dims = model.centroids.head._2.length
@@ -962,9 +963,26 @@ object AnnOps {
     val pooledSided =
       if (qRows * worstPool * 24L <= gate) broadcast(pooled) else pooled
     val qe = queries.select(col("query_id"), col("qe"))
-    val reranked = pooledSided
-      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .join(sided(qe), Seq("query_id"))
+    // Rerank arm: float corpus, or an int8-quantized one (round-16,
+    // VERDICT r15 item 2 — the width axis at the decade tier). With
+    // `rerankInt8` = Some(vec_id, q_min, q_scale, codes) the stored
+    // corpus is the ~4×-smaller affine-int8 form and the exact rerank
+    // DEQUANTIZES ONLY THE JOINED SHORTLIST: the transform sits in the
+    // post-join projection, so it evaluates per MATCHED row (≤ Σ pools),
+    // never per scanned row — a corpus-wide decode per serve is exactly
+    // the cost int8 storage exists to avoid. Dequant formula is the
+    // oracled `embedding_quantize_int8` audit's: mn + code·scale.
+    val reranked = (rerankInt8 match {
+      case Some(q8) => pooledSided
+        .join(q8.select(col("vec_id"), col("q_min"), col("q_scale"),
+          col("codes").as("q_codes")), Seq("vec_id"))
+        .withColumn("embedding",
+          transform(col("q_codes"), c =>
+            (col("q_min") + c.cast("double") * col("q_scale"))
+              .cast("float")))
+      case None => pooledSided
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    }).join(sided(qe), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(call_function("cosine_sim", col("embedding"), col("qe")), 6)
           .as("sim"))
@@ -1017,7 +1035,8 @@ object AnnOps {
   def ivfPqKnnBatchChunked(s: SparkSession, emb: DataFrame,
       index: DataFrame, model: AnnModel, queries: DataFrame, k: Int,
       nProbe: Int = 3, nCandidates: Int = -1,
-      chunkBudgetBytes: Long = 256L << 20): DataFrame = {
+      chunkBudgetBytes: Long = 256L << 20,
+      rerankInt8: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val dims = model.centroids.head._2.length
     val pool = if (nCandidates > 0) nCandidates
@@ -1038,7 +1057,8 @@ object AnnOps {
       .as[Long].collect()
     if (qids.length <= qPerChunk)
       ivfPqKnnBatch(s, emb, index, model, queries, k, nProbe, nCandidates,
-        knownQueryRows = qids.length.toLong, sizesHint = sizes)
+        knownQueryRows = qids.length.toLong, sizesHint = sizes,
+        rerankInt8 = rerankInt8)
     else {
       // Sorted unique ids → contiguous ranges; a range filter is a tiny
       // pushed predicate (vs an isin over thousands of ids). The map over
@@ -1048,7 +1068,8 @@ object AnnOps {
         val chunkQ = queries.filter(
           col("query_id") >= g.head && col("query_id") <= g.last)
         ivfPqKnnBatch(s, emb, index, model, chunkQ, k, nProbe, nCandidates,
-          knownQueryRows = g.length.toLong, sizesHint = sizes)
+          knownQueryRows = g.length.toLong, sizesHint = sizes,
+          rerankInt8 = rerankInt8)
           .localCheckpoint(true)
       }.toSeq
       chunks.reduce(_ unionAll _).orderBy("query_id", "rank")
@@ -1069,6 +1090,59 @@ object AnnOps {
     // Budget of one worst-pool row-set per chunk: 5 queries → 5 chunks.
     ivfPqKnnBatchChunked(s, emb, index, model, queries, k = 10, nProbe = 3,
       chunkBudgetBytes = 1L)
+  }
+
+  /** Affine int8 quantization of a (vec_id, embedding) float-vector table
+    * — the STORAGE form for width-heavy corpora (round-16, VERDICT r15
+    * item 2): codes are ~4× smaller than float32, which is the difference
+    * between a 61 GB and a ~15 GB 20 M × 768-d corpus. Per-vector affine
+    * law (the oracled `embedding_quantize_int8` audit's): code =
+    * round((x − min) / scale), scale = (max − min)/255, dequant = min +
+    * code·scale; zero-range vectors take scale 0 and all-zero codes.
+    * Codes ride array<smallint> (values 0..255 — parquet dictionary/RLE
+    * brings them near 1 byte each); bounds stay double so dequant loses
+    * nothing beyond the quantization grid itself. */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        array_min(col("embedding")).cast("double").as("q_min"),
+        ((array_max(col("embedding")).cast("double") -
+          array_min(col("embedding")).cast("double")) / 255.0)
+          .as("q_scale"),
+        col("embedding"))
+      .select(col("vec_id"), col("q_min"), col("q_scale"),
+        transform(col("embedding"), x =>
+          when(col("q_scale") === 0.0, lit(0))
+            .otherwise(round((x.cast("double") - col("q_min")) /
+              col("q_scale"), 0))
+            .cast("smallint")).as("codes"))
+
+  /** Dequantized float view over a [[quantizeInt8]] table — feeds model
+    * FIT and index BUILD (one-time corpus scans); serves must NOT read
+    * it (a corpus-wide decode per serve) — they pass the int8 table as
+    * `rerankInt8` so only the joined shortlist dequantizes. */
+  def dequantInt8(int8: DataFrame): DataFrame =
+    int8.select(col("vec_id"),
+      transform(col("codes"), c =>
+        (col("q_min") + c.cast("double") * col("q_scale")).cast("float"))
+        .as("embedding"))
+
+  /** K4 at the width axis — the declared int8-stored serve: the corpus is
+    * quantized to the affine-int8 storage form, the composed IVF+PQ index
+    * builds over the DEQUANTIZED view (one-time scan), and the batch
+    * serve reranks by dequantizing only the joined shortlist. No-oracle
+    * (learned quantizer, K2 precedent); the Verify selfcheck measures
+    * recall@10 vs the exact FLOAT top-k — the end-to-end cost of both
+    * quantizations — and pins a floor. */
+  val annInt8Knn = Q.noOracle("ann_int8_knn") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val int8 = quantizeInt8(emb)
+    val deq = dequantInt8(int8)
+    val model = fitAnnModel(s, deq)
+    val index = annIndex(s, deq, model)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    ivfPqKnnBatch(s, deq, index, model, queries, k = 10, nProbe = 3,
+      rerankInt8 = Some(int8))
   }
 
   /** Batched serve under a tombstone mask — the composition of
@@ -1547,5 +1621,5 @@ object AnnOps {
   val all: Seq[Q] =
     Seq(annLshTopK, annIvfKnn, annPqKnn, annIvfPqKnn, annIndexBuild,
       annUpsertIvf, annDeleteIvf, annBatchKnn, annBatchKnnChunked,
-      annFilteredKnn, annRebalanceIvf, annTxlogServe)
+      annInt8Knn, annFilteredKnn, annRebalanceIvf, annTxlogServe)
 }

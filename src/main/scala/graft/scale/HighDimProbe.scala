@@ -52,9 +52,15 @@ object HighDimProbe {
     * high-dim vectors are all near-orthogonal and top-k pairs would be
     * noise); the last 1% of ids are 0.02-perturbed clones of the first 1%
     * (planted near-dup pairs, ground truth for recall). */
-  private def gen(s: SparkSession, out: String, n: Long, dims: Int): Unit = {
+  /** The synthetic corpus as a COMPUTE-ON-READ view (round-16): the
+    * int8 rung's whole point is that the float form never touches disk
+    * (20 M × 768-d float32 = 61 GB > this box's free space), so the
+    * generator is exposed as a deterministic pure-function DataFrame —
+    * `gen` writes it, `int8gen` writes its quantized form, and the int8
+    * rung's exact-float ground-truth arm reads it directly. */
+  private def floatView(s: SparkSession, n: Long, dims: Int): DataFrame = {
     import s.implicits._
-    val df = s.range(0, n, 1, 32).as[Long].mapPartitions { it =>
+    s.range(0, n, 1, 32).as[Long].mapPartitions { it =>
       it.map { id =>
         val planted = id >= n - n / 100
         val base = if (planted) id - (n - n / 100) else id
@@ -71,7 +77,11 @@ object HighDimProbe {
         (id, v.toSeq)
       }
     }.toDF("vec_id", "embedding")
-    df.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  private def gen(s: SparkSession, out: String, n: Long, dims: Int): Unit = {
+    floatView(s, n, dims)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     println(s"[gen] wrote $n x $dims to $out/embeddings.parquet")
   }
 
@@ -336,6 +346,133 @@ object HighDimProbe {
         tBatch / nQueries}%.3fs/q " +
       f"amortization=${tSingle / singleQ.size / (tBatch / nQueries)}%.1fx " +
       f"sample_mismatches=$mism rows=${batchRows.length}")
+  }
+
+  /** Chunked batch-serve rung (round-16, VERDICT r15 item 1): the
+    * batch-size axis the r15 rung died on — 1000 queries' pooled rerank
+    * exceeded this box's disk once the candidate frame outgrew the
+    * broadcast gate and the planner re-shuffled the corpus per batch.
+    * [[AnnOps.ivfPqKnnBatchChunked]] bounds the in-flight rerank to one
+    * 256 MB-budget chunk at a time; this rung proves the 1000-query batch
+    * COMPLETES at the big tier and (with `cmp`) that chunked ≡ unchunked
+    * row-identically at a tier where the unchunked serve is tractable. */
+  private def batchChunk(s: SparkSession, dir: String, dims: Int, n: Long,
+      nQueries: Int, compare: Boolean): Unit = {
+    val e = emb(s, dir).filter(col("vec_id") < n)
+    VectorOps.registerFns(s)
+    val nLists = math.max(8, math.sqrt(n / 1000.0).toInt)
+    val (model, tFit) = time {
+      AnnOps.fitAnnModel(s, e, nLists = nLists, m = dims / 8,
+        dsub = 8, ksub = 16)
+    }
+    val idxPath = s"/tmp/graft_annscale_idx_part_$n"
+    val tBuild = if (!new java.io.File(idxPath).isDirectory) {
+      val (_, t) = time {
+        AnnOps.annIndex(s, e, model)
+          .write.mode("overwrite").partitionBy("list_id").parquet(idxPath)
+      }
+      t
+    } else 0.0
+    val stored = s.read.parquet(idxPath).select("vec_id", "list_id", "codes")
+    val nProbe = math.max(3, nLists / 8)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val (chunkRows, tChunk) = time {
+      AnnOps.ivfPqKnnBatchChunked(s, e, stored, model, queries, k = 20,
+        nProbe = nProbe).collect()
+    }
+    println(f"[batchchunk] n=$n dims=$dims nLists=$nLists nProbe=$nProbe " +
+      f"fit=$tFit%.1fs build=$tBuild%.1fs " +
+      f"chunked: $nQueries queries in $tChunk%.1fs = " +
+      f"${tChunk / nQueries}%.3fs/q rows=${chunkRows.length}")
+    if (compare) {
+      val (batchRows, tBatch) = time {
+        AnnOps.ivfPqKnnBatch(s, e, stored, model, queries, k = 20,
+          nProbe = nProbe).collect()
+      }
+      val same = chunkRows.map(_.toSeq).toSeq == batchRows.map(_.toSeq).toSeq
+      println(f"[batchchunk] unchunked control: $tBatch%.1fs " +
+        f"rows=${batchRows.length} chunked_equals_unchunked=$same")
+      require(same, "chunked batch serve diverged from unchunked")
+    }
+  }
+
+  /** int8-width rung, generation half (round-16, VERDICT r15 item 2):
+    * quantize the synthetic corpus THROUGH the library law
+    * ([[AnnOps.quantizeInt8]]) in the same pass that generates it — the
+    * float corpus exists only as the compute-on-read view. 20 M × 768-d
+    * lands ≈ 15 GB instead of 61. */
+  private def genInt8(s: SparkSession, out: String, n: Long,
+      dims: Int): Unit = {
+    AnnOps.quantizeInt8(floatView(s, n, dims))
+      .write.mode("overwrite").parquet(s"$out/embeddings_int8.parquet")
+    println(s"[int8gen] wrote $n x $dims to $out/embeddings_int8.parquet")
+  }
+
+  /** int8-width rung, serve half: fit + composed IVF+PQ index over the
+    * DEQUANTIZED view (one-time scans), chunked batch serve with the
+    * exact rerank dequantizing only the joined shortlist
+    * (`rerankInt8`), recall measured against the exact FLOAT top-k from
+    * the regenerated view — the end-to-end cost of storage quantization
+    * + PQ together, which is what a 100 TB int8 deployment actually
+    * pays. */
+  private def int8Knn(s: SparkSession, dir: String, dims: Int, n: Long,
+      nQueries: Int): Unit = {
+    VectorOps.registerFns(s)
+    val int8 = s.read.parquet(s"$dir/embeddings_int8.parquet")
+      .filter(col("vec_id") < n)
+    val deq = AnnOps.dequantInt8(int8)
+    val nLists = math.max(8, math.sqrt(n / 1000.0).toInt)
+    val (model, tFit) = time {
+      AnnOps.fitAnnModel(s, deq, nLists = nLists, m = dims / 8,
+        dsub = 8, ksub = 16)
+    }
+    val idxPath = s"/tmp/graft_annscale_idx_int8_$n"
+    val tBuild = if (!new java.io.File(idxPath).isDirectory) {
+      val (_, t) = time {
+        AnnOps.annIndex(s, deq, model)
+          .write.mode("overwrite").partitionBy("list_id").parquet(idxPath)
+      }
+      t
+    } else 0.0
+    val stored = s.read.parquet(idxPath).select("vec_id", "list_id", "codes")
+    val nProbe = math.max(3, nLists / 8)
+    val fv = floatView(s, n, dims)
+    val queries = fv.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val (got, tServe) = time {
+      AnnOps.ivfPqKnnBatchChunked(s, deq, stored, model, queries, k = 20,
+        nProbe = nProbe, rerankInt8 = Some(int8))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    // Exact FLOAT ground truth for a bounded query sample (linear in the
+    // corpus per query — the budget that sets the sample size).
+    val nTruth = math.min(nQueries, 20)
+    val tq = fv.filter(col("vec_id") < nTruth)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    import org.apache.spark.sql.expressions.Window
+    val truth = fv.crossJoin(broadcast(tq))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(call_function("cosine_sim", col("embedding"), col("qe")), 6)
+          .as("sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byQ = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = (0L until nTruth.toLong).map { q =>
+      val t = truth.getOrElse(q, Set.empty)
+      if (t.isEmpty) 1.0
+      else byQ.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    println(f"[int8knn] n=$n dims=$dims nLists=$nLists nProbe=$nProbe " +
+      f"fit=$tFit%.1fs build=$tBuild%.1fs " +
+      f"serve: $nQueries queries in $tServe%.1fs = " +
+      f"${tServe / nQueries}%.3fs/q " +
+      f"recall@20_vs_float_exact=${recalls.sum / recalls.size}%.3f " +
+      f"(over $nTruth queries) rows=${got.length}")
   }
 
   /** Predicate-filtered serve at scale (round-14, VERDICT r13 item 1):
@@ -703,6 +840,12 @@ object HighDimProbe {
       case "gen" => gen(s, args(1), args(2).toLong, args(3).toInt)
       case "batchserve" =>
         batchServe(s, args(1), args(2).toInt, args(3).toLong, args(4).toInt)
+      case "batchchunk" =>
+        batchChunk(s, args(1), args(2).toInt, args(3).toLong, args(4).toInt,
+          compare = args.lift(5).contains("cmp"))
+      case "int8gen" => genInt8(s, args(1), args(2).toLong, args(3).toInt)
+      case "int8knn" =>
+        int8Knn(s, args(1), args(2).toInt, args(3).toLong, args(4).toInt)
       case "filtered" =>
         filteredServe(s, args(1), args(2).toInt, args(3).toLong,
           args(4).split(",").toSeq.map(_.toInt))

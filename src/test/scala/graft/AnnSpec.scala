@@ -351,6 +351,49 @@ class AnnSpec extends SparkSpec {
       "declared chunked key must equal the unchunked declared batch")
   }
 
+  test("int8 storage: dequant error within half a quantization step on " +
+      "the real corpus; a lossless-grid corpus serves ROW-IDENTICAL to " +
+      "the float rerank; rerank join never sort-merges") {
+    // Law on the real (non-grid) corpus: |x - dequant| <= scale/2 + eps.
+    val int8 = AnnOps.quantizeInt8(emb)
+    val bad = emb.join(int8, "vec_id")
+      .select(expr(
+        """aggregate(zip_with(embedding, codes,
+          |  (x, c) -> abs(cast(x as double) - (q_min + c * q_scale))),
+          |  0d, (acc, e) -> greatest(acc, e))""".stripMargin).as("maxerr"),
+        col("q_scale"))
+      .filter(col("maxerr") > col("q_scale") / 2 + lit(1e-9))
+      .count()
+    assert(bad == 0, "dequant must stay within half a quantization step")
+    // Grid corpus: every component an integer in 0..255 with both ends
+    // present, so scale = 1 exactly and dequant is LOSSLESS — the int8
+    // rerank must then match the float rerank bit-for-bit.
+    val g = spark.range(0, 300).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63), d -> cast(
+        CASE WHEN d = 0 THEN 0 WHEN d = 1 THEN 255
+        ELSE (id * 7919 + d * 104729) % 256 END AS float))""")
+        .as("embedding"))
+    val gInt8 = AnnOps.quantizeInt8(g)
+    val model = AnnOps.fitAnnModel(spark, g)
+    val index = AnnOps.annIndex(spark, g, model)
+    val queries = g.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val float = AnnOps.ivfPqKnnBatch(spark, g, index, model, queries,
+      k = 10, nProbe = 3).collect().map(_.toSeq).toSeq
+    val viaInt8 = AnnOps.ivfPqKnnBatch(spark, g, index, model, queries,
+      k = 10, nProbe = 3, rerankInt8 = Some(gInt8))
+    assert(viaInt8.collect().map(_.toSeq).toSeq == float,
+      "lossless-grid int8 rerank must equal the float rerank exactly")
+    assert(!viaInt8.queryExecution.executedPlan.toString
+        .contains("SortMergeJoin"),
+      "the gated int8 rerank at this tier must broadcast, not sort-merge")
+    // Chunked passthrough: same result through the chunk slicer.
+    val chunked = AnnOps.ivfPqKnnBatchChunked(spark, g, index, model,
+      queries, k = 10, nProbe = 3, chunkBudgetBytes = 1L,
+      rerankInt8 = Some(gInt8)).collect().map(_.toSeq).toSeq
+    assert(chunked == float)
+  }
+
   // --- delete/tombstone/compaction lifecycle (round-13, VERDICT r12 #1) ---
 
   private def flatIdx(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, String)] =
