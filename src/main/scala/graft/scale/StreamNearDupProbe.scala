@@ -1,10 +1,11 @@
 package graft.scale
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Streaming near-dedup ingest rung (round 15, VERDICT r14 next-item 6):
-  * the full replica corpus streamed through
+/** Streaming near-dedup ingest rung (round 15, VERDICT r14 next-item 6;
+  * round 16 adds the post-fix CONTENDED arm and the backpressure-knob
+  * sweep — VERDICT r15 item 6): the full replica corpus streamed through
   * [[graft.streaming.Streams.nearDupIngestSink]] in micro-batches —
   * incremental MinHash vs the stored survivor index, exactly-once
   * survivor MERGE + index APPEND, poison dead-lettering. Reports ingest
@@ -12,13 +13,65 @@ import org.apache.spark.sql.functions._
   * adversarial clone shape (~1000 copies per distinct text), so the
   * cross-set rep-collapse discipline carries the whole run.
   *
-  * Usage: StreamNearDupProbe [sfDir] [outRoot] [nBatches]
+  * Modes (arg 4):
+  *   solo        — one ingest at the given maxFilesPerTrigger (arg 5)
+  *   contend     — same, with a concurrent full-corpus hash-aggregate
+  *                 loop on a second thread of the same session (the
+  *                 shared-cluster shape: the stream never has the box to
+  *                 itself)
+  *   knob        — maxFilesPerTrigger sweep (2,4,8,16 over the same
+  *                 feed): the rows/s-vs-micro-batch-size curve. Bigger
+  *                 triggers amortize the per-batch fixed cost (index
+  *                 snapshot read + band probe + two commits) over more
+  *                 rows; the ceiling is the batch the box can hold.
+  *
+  * Usage: StreamNearDupProbe [sfDir] [outRoot] [nBatches] [mode] [mft]
   */
 object StreamNearDupProbe {
+
+  /** One ingest run into a fresh root; returns (wall s, survivors,
+    * index rows, dead letters). */
+  private def runOnce(spark: SparkSession, docs: DataFrame, feed: String,
+      root: String, mft: Int, contend: Boolean): (Double, Long, Long, Long) = {
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", mft)
+      .parquet(s"$feed/*")
+    @volatile var stop = false
+    val contender =
+      if (!contend) None
+      else Some(new Thread(() => {
+        // The contention load: a shuffle-bearing full-corpus aggregate,
+        // looped until the stream drains — the declared exact_dedup
+        // key's cost class, sharing the session's 32 cores.
+        while (!stop) {
+          docs.groupBy(xxhash64(col("text"))).count().count()
+          ()
+        }
+      }, "ndi-contender"))
+    contender.foreach(_.start())
+    val t1 = System.nanoTime()
+    graft.streaming.Streams.nearDupIngestSink(spark, stream,
+      s"$root/survivors", s"$root/index", s"$root/dead",
+      s"$root/ckpt", s"ndi-probe-${root.hashCode}").awaitTermination()
+    val wall = (System.nanoTime() - t1) / 1e9
+    stop = true
+    contender.foreach(_.join())
+    val surv = graft.sources.TxLog.snapshot(spark, s"$root/survivors").count()
+    val idx = graft.sources.TxLog.snapshot(spark, s"$root/index").count()
+    val dead =
+      try spark.read.parquet(s"$root/dead").count()
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    require(surv == idx, "survivors and index row counts diverged")
+    (wall, surv, idx, dead)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sfx1000")
     val root = args.drop(1).headOption.getOrElse("/tmp/ndistream")
     val nBatches = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    val mode = args.drop(3).headOption.getOrElse("solo")
+    val mft = args.drop(4).headOption.map(_.toInt).getOrElse(4)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .withExtensions(graft.plans.GraftExtensions)
@@ -32,36 +85,39 @@ object StreamNearDupProbe {
       .select("doc_id", "text")
     val n = docs.count()
 
-    // Feed: nBatches parquet files, hash-partitioned so clones of one
-    // text land across MANY batches (the worst case for incremental
-    // dedup — every batch probes history AND self-pairs).
+    // Feed: nBatches parquet dirs of 4 files each, hash-partitioned so
+    // clones of one text land across MANY batches (the worst case for
+    // incremental dedup — every batch probes history AND self-pairs).
+    // Written once; every arm streams the same files.
     val feed = s"$root/feed"
-    val t0 = System.nanoTime()
-    (0 until nBatches).foreach { i =>
-      docs.filter(pmod(xxhash64(col("doc_id")), lit(nBatches)) === i)
-        .coalesce(4)
-        .write.mode("overwrite").parquet(s"$feed/b$i")
+    if (!new java.io.File(feed).isDirectory) {
+      val t0 = System.nanoTime()
+      (0 until nBatches).foreach { i =>
+        docs.filter(pmod(xxhash64(col("doc_id")), lit(nBatches)) === i)
+          .coalesce(4)
+          .write.mode("overwrite").parquet(s"$feed/b$i")
+      }
+      println(f"[ndistream] feed layout ($nBatches batches, $n rows): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
-    println(f"[ndistream] feed layout ($nBatches batches, $n rows): " +
-      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
 
-    val stream = spark.readStream
-      .schema("doc_id BIGINT, text STRING")
-      .option("maxFilesPerTrigger", 4)
-      .parquet(s"$feed/*")
-    val t1 = System.nanoTime()
-    graft.streaming.Streams.nearDupIngestSink(spark, stream,
-      s"$root/survivors", s"$root/index", s"$root/dead",
-      s"$root/ckpt", "ndi-probe").awaitTermination()
-    val wall = (System.nanoTime() - t1) / 1e9
-    val surv = graft.sources.TxLog.snapshot(spark, s"$root/survivors").count()
-    val idx = graft.sources.TxLog.snapshot(spark, s"$root/index").count()
-    val dead =
-      try spark.read.parquet(s"$root/dead").count()
-      catch { case scala.util.control.NonFatal(_) => 0L }
-    println(f"[ndistream] ingest $n rows in $wall%.1f s = " +
-      f"${n / wall}%.0f rows/s; survivors=$surv index=$idx dead=$dead")
-    require(surv == idx, "survivors and index row counts diverged")
+    mode match {
+      case "knob" =>
+        Seq(2, 4, 8, 16).foreach { m =>
+          val (wall, surv, idx, dead) =
+            runOnce(spark, docs, feed, s"$root/knob$m", m, contend = false)
+          println(f"[ndistream-knob] mft=$m%2d ingest $n rows in " +
+            f"$wall%.1f s = ${n / wall}%.0f rows/s; " +
+            f"survivors=$surv index=$idx dead=$dead")
+        }
+      case m =>
+        val contend = m == "contend"
+        val (wall, surv, idx, dead) =
+          runOnce(spark, docs, feed, s"$root/$m", mft, contend)
+        println(f"[ndistream] mode=$m mft=$mft ingest $n rows in " +
+          f"$wall%.1f s = ${n / wall}%.0f rows/s; " +
+          f"survivors=$surv index=$idx dead=$dead")
+    }
     spark.stop()
   }
 }

@@ -49,6 +49,12 @@ class ConstructionSpec extends SparkSpec {
     "ann_recall_report", "ann_upsert_ivf",
     // Round-13 lifecycle keys: same learned-model contract.
     "ann_delete_ivf", "ann_batch_knn",
+    // Round-16: the chunked serve MATERIALIZES each chunk eagerly at
+    // construction (localCheckpoint — the footprint bound IS sequential
+    // chunk execution) on top of the learned-model fit; the int8 key
+    // fits/builds over the dequantized view (same learned-model
+    // contract as ann_batch_knn).
+    "ann_batch_knn_chunked", "ann_int8_knn",
     // Round-14: the filtered serve's selectivity admission is ONE exact
     // column-pruned survivor count per batch (the fitAnnModel lesson —
     // footer stats are filter-blind); the rebalance key materializes the
