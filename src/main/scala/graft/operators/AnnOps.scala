@@ -394,8 +394,27 @@ object AnnOps {
   private def rerankJoin(cands: DataFrame, emb: DataFrame,
       pool: Long): DataFrame = {
     val arm =
-      if (pool * 24L <= (256L << 20)) broadcast(cands) else cands
+      if (pool * 24L <= RerankBroadcastBudget) broadcast(cands) else cands
     arm.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+  }
+
+  /** The one rerank/sidecast broadcast budget (round-16 review): the
+    * single-query gate, the batch gate, and the chunk sizer must agree —
+    * two drifted copies would size chunks against a bound the gate no
+    * longer honors and silently reintroduce the per-chunk SMJ corpus
+    * re-shuffle. */
+  val RerankBroadcastBudget: Long = 256L << 20
+
+  /** Worst-case per-query rerank pool (shared by the batch gate and the
+    * chunk sizer — round-16 review deduplication): adaptive pools widen
+    * at most to half the nProbe LARGEST lists' volume. */
+  private def worstCasePool(pool: Int, nProbe: Int,
+      sizes: Option[Map[Int, Long]]): Long = sizes match {
+    case Some(sz) =>
+      val top = sz.values.toSeq.sorted(Ordering[Long].reverse)
+        .take(nProbe).sum
+      math.max(pool.toLong, top / 2 + top % 2)
+    case None => pool.toLong
   }
 
   /** Query-side ADC lookup table: lut(mm)(j) = q_mm · codebook(mm)(j). */
@@ -864,7 +883,8 @@ object AnnOps {
       model: AnnModel, queries: DataFrame, k: Int, nProbe: Int = 3,
       nCandidates: Int = -1, knownQueryRows: Long = -1L,
       sizesHint: Option[Map[Int, Long]] = None,
-      rerankInt8: Option[DataFrame] = None): DataFrame = {
+      rerankInt8: Option[DataFrame] = None,
+      rerankBudgetBytes: Long = RerankBroadcastBudget): DataFrame = {
     VectorOps.registerFns(s)
     import org.apache.spark.sql.expressions.Window
     val dims = model.centroids.head._2.length
@@ -896,7 +916,7 @@ object AnnOps {
     // fall back to the very corpus shuffle chunking exists to avoid).
     val qRows = if (knownQueryRows >= 0L) BigInt(knownQueryRows)
       else graft.plans.PlanStats.estRows(queries, 8L + dims * 4L)
-    val gate = BigInt(256L << 20)
+    val gate = BigInt(RerankBroadcastBudget)
     val maySidecast = qRows * nProbe * lutRowBytes <= gate &&
       qRows * (8L + dims * 4L) <= gate
     def sided(df: DataFrame): DataFrame =
@@ -953,15 +973,11 @@ object AnnOps {
     // volume). Broadcast under the budget; above it the SMJ fallback is
     // the honest corpus-scale shape — and [[ivfPqKnnBatchChunked]]
     // slices the query frame so each chunk stays UNDER the budget.
-    val worstPool: BigInt = sizesOpt match {
-      case Some(sizes) =>
-        val top = sizes.values.toSeq.sorted(Ordering[Long].reverse)
-          .take(nProbe).sum
-        BigInt(pool).max(BigInt(top / 2 + top % 2))
-      case None => BigInt(pool)
-    }
+    val worstPool = BigInt(worstCasePool(pool, nProbe, sizesOpt))
     val pooledSided =
-      if (qRows * worstPool * 24L <= gate) broadcast(pooled) else pooled
+      if (qRows * worstPool * 24L <= BigInt(rerankBudgetBytes))
+        broadcast(pooled)
+      else pooled
     val qe = queries.select(col("query_id"), col("qe"))
     // Rerank arm: float corpus, or an int8-quantized one (round-16,
     // VERDICT r15 item 2 — the width axis at the decade tier). With
@@ -1044,13 +1060,11 @@ object AnnOps {
         index, 20L + model.m * 4L, decompressionFactor = 1))
     val adaptive = nCandidates <= 0 && nProbe < model.centroids.size
     val sizes = if (adaptive) Some(listSizes(index)) else None
-    val worstPool: Long = sizes match {
-      case Some(sz) =>
-        val top = sz.values.toSeq.sorted(Ordering[Long].reverse)
-          .take(nProbe).sum
-        math.max(pool.toLong, top / 2 + top % 2)
-      case None => pool.toLong
-    }
+    // The chunk sizer and the in-serve broadcast gate share ONE budget
+    // and ONE worst-pool formula (round-16 review): sizing chunks
+    // against a looser bound than the gate checks would skip the very
+    // broadcast each chunk was sized to earn.
+    val worstPool = worstCasePool(pool, nProbe, sizes)
     val qPerChunk = math.max(1L,
       chunkBudgetBytes / math.max(1L, worstPool * 24L))
     val qids = queries.select(col("query_id")).orderBy("query_id")
@@ -1058,7 +1072,7 @@ object AnnOps {
     if (qids.length <= qPerChunk)
       ivfPqKnnBatch(s, emb, index, model, queries, k, nProbe, nCandidates,
         knownQueryRows = qids.length.toLong, sizesHint = sizes,
-        rerankInt8 = rerankInt8)
+        rerankInt8 = rerankInt8, rerankBudgetBytes = chunkBudgetBytes)
     else {
       // Sorted unique ids → contiguous ranges; a range filter is a tiny
       // pushed predicate (vs an isin over thousands of ids). The map over
@@ -1069,7 +1083,7 @@ object AnnOps {
           col("query_id") >= g.head && col("query_id") <= g.last)
         ivfPqKnnBatch(s, emb, index, model, chunkQ, k, nProbe, nCandidates,
           knownQueryRows = g.length.toLong, sizesHint = sizes,
-          rerankInt8 = rerankInt8)
+          rerankInt8 = rerankInt8, rerankBudgetBytes = chunkBudgetBytes)
           .localCheckpoint(true)
       }.toSeq
       chunks.reduce(_ unionAll _).orderBy("query_id", "rank")

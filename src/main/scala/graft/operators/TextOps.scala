@@ -29,10 +29,18 @@ object TextOps {
     * tier that is ~5 k digests instead of 5 M. The shuffle still carries
     * the 32-char fp + two longs per partial group — never the text — so
     * the 100 TB mostly-unique corpus shape keeps its small-key exchange.
-    * Grouping by a 128-bit hash pair is the same guarantee class as
-    * grouping by md5 itself (a collision merges two texts at ~2⁻¹²⁸
-    * either way); within a group all texts are identical, so `first` is
-    * value-deterministic. The two-phase hash aggregate is the PROVEN
+    * Collision honesty (round-16 review): on NON-CRAFTED data the
+    * 128-bit pair merges two distinct texts at ~2⁻¹²⁸, like md5 — but
+    * neither is cryptographic here: XXH64 admits published collision
+    * constructions that cancel for every seed (so crafted inputs beat
+    * the pair far below 2⁻¹²⁸), while md5 itself falls to
+    * chosen-prefix attacks (where the DuckDB oracle merges the crafted
+    * pair too, since it groups by the same md5). A pipeline deduping
+    * ADVERSARIAL uploads should group by the text itself (the measured
+    * 1.14 s text-first twin below) — this declared key's contract is
+    * the oracle's md5 grouping on benign corpora. Within a group all
+    * texts are identical, so `first` is value-deterministic.
+    * The two-phase hash aggregate is the PROVEN
     * shape for this corpus: the round-15 probe refuted every single-phase
     * candidate (repartition+groupBy 1.13–1.30 s, repartition+
     * mapPartitions 1.25–1.41 s, text-first groupBy 1.14 s vs 0.68–0.97 s

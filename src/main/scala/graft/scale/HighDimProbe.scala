@@ -419,8 +419,15 @@ object HighDimProbe {
   private def int8Knn(s: SparkSession, dir: String, dims: Int, n: Long,
       nQueries: Int): Unit = {
     VectorOps.registerFns(s)
-    val int8 = s.read.parquet(s"$dir/embeddings_int8.parquet")
-      .filter(col("vec_id") < n)
+    val stored8 = s.read.parquet(s"$dir/embeddings_int8.parquet")
+    // The generator's planted-clone tail is a function of the GENERATED
+    // corpus size (ids ≥ genN − genN/100 clone the head), so the float
+    // ground-truth view must regenerate at genN, not at the serve's n —
+    // a sub-tier run otherwise scores recall against vectors the stored
+    // corpus never contained (round-16 code review).
+    val genN = stored8.agg(max(col("vec_id"))).head.getLong(0) + 1
+    require(n <= genN, s"serve n=$n exceeds the generated corpus $genN")
+    val int8 = stored8.filter(col("vec_id") < n)
     val deq = AnnOps.dequantInt8(int8)
     val nLists = math.max(8, math.sqrt(n / 1000.0).toInt)
     val (model, tFit) = time {
@@ -437,7 +444,7 @@ object HighDimProbe {
     } else 0.0
     val stored = s.read.parquet(idxPath).select("vec_id", "list_id", "codes")
     val nProbe = math.max(3, nLists / 8)
-    val fv = floatView(s, n, dims)
+    val fv = floatView(s, genN, dims).filter(col("vec_id") < n)
     val queries = fv.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val (got, tServe) = time {

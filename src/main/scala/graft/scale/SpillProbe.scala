@@ -56,7 +56,16 @@ object SpillProbe {
     keys.foreach { key =>
       memSpill.set(0); diskSpill.set(0); peakExec.set(0)
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(key)(spark, sfDir).count()
+      // noop-format write, not count(): EliminateSorts prunes a terminal
+      // ORDER BY under count, and the final global sort is precisely one
+      // of the spill paths this probe certifies (round-16 code review).
+      // Row count rides the write as an Observation metric.
+      val obs = org.apache.spark.sql.Observation()
+      graft.SparkEntry.queries(key)(spark, sfDir)
+        .observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      val n = obs.get("n").asInstanceOf[Long]
       val wall = (System.nanoTime() - t0) / 1e9
       // Listener events are posted async (the bus drain API is
       // private[spark]); a short settle keeps the counters honest — the

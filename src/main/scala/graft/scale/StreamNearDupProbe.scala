@@ -51,12 +51,17 @@ object StreamNearDupProbe {
       }, "ndi-contender"))
     contender.foreach(_.start())
     val t1 = System.nanoTime()
-    graft.streaming.Streams.nearDupIngestSink(spark, stream,
+    // try/finally: a stream failure must still stop the contender — a
+    // leaked non-daemon loop thread would keep the JVM alive burning 32
+    // cores after the probe's own error (round-16 code review).
+    try graft.streaming.Streams.nearDupIngestSink(spark, stream,
       s"$root/survivors", s"$root/index", s"$root/dead",
       s"$root/ckpt", s"ndi-probe-${root.hashCode}").awaitTermination()
+    finally {
+      stop = true
+      contender.foreach(_.join())
+    }
     val wall = (System.nanoTime() - t1) / 1e9
-    stop = true
-    contender.foreach(_.join())
     val surv = graft.sources.TxLog.snapshot(spark, s"$root/survivors").count()
     val idx = graft.sources.TxLog.snapshot(spark, s"$root/index").count()
     val dead =
@@ -90,13 +95,28 @@ object StreamNearDupProbe {
     // incremental dedup — every batch probes history AND self-pairs).
     // Written once; every arm streams the same files.
     val feed = s"$root/feed"
-    if (!new java.io.File(feed).isDirectory) {
+    // Completion marker ties the feed to (sfDir, nBatches, n): a crash
+    // mid-write or a re-run with different parameters must regenerate,
+    // not silently stream a stale/partial feed (round-16 code review).
+    val marker = java.nio.file.Paths.get(s"$feed/_graft_feed_done")
+    val stamp = s"$sfDir|$nBatches|$n"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == stamp
+    if (!fresh) {
       val t0 = System.nanoTime()
+      val fdir = new java.io.File(feed)
+      if (fdir.isDirectory) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(fdir)
+      }
       (0 until nBatches).foreach { i =>
         docs.filter(pmod(xxhash64(col("doc_id")), lit(nBatches)) === i)
           .coalesce(4)
           .write.mode("overwrite").parquet(s"$feed/b$i")
       }
+      java.nio.file.Files.writeString(marker, stamp)
       println(f"[ndistream] feed layout ($nBatches batches, $n rows): " +
         f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
