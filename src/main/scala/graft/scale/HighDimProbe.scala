@@ -111,6 +111,13 @@ object HighDimProbe {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Shared list_id-partitioned index cache path, keyed on the FULL
+    * geometry (ADVICE r16): a path keyed on n alone silently served
+    * pq_adc from a stale run's codes with mismatched widths after a
+    * dims/nLists/m change, because the model always refits fresh. */
+  private def partIdxPath(n: Long, dims: Int, nLists: Int, m: Int): String =
+    s"/tmp/graft_annscale_idx_part_${n}_d${dims}_l${nLists}_m$m"
+
   private def pairSet(df: DataFrame): Set[(Long, Long)] =
     df.select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -305,7 +312,7 @@ object HighDimProbe {
       AnnOps.fitAnnModel(s, e, nLists = nLists, m = dims / 8,
         dsub = 8, ksub = 16)
     }
-    val idxPath = s"/tmp/graft_annscale_idx_part_$n"
+    val idxPath = partIdxPath(n, dims, nLists, model.m)
     val (_, tBuild) = time {
       AnnOps.annIndex(s, e, model)
         .write.mode("overwrite").partitionBy("list_id").parquet(idxPath)
@@ -365,7 +372,7 @@ object HighDimProbe {
       AnnOps.fitAnnModel(s, e, nLists = nLists, m = dims / 8,
         dsub = 8, ksub = 16)
     }
-    val idxPath = s"/tmp/graft_annscale_idx_part_$n"
+    val idxPath = partIdxPath(n, dims, nLists, model.m)
     val tBuild = if (!new java.io.File(idxPath).isDirectory) {
       val (_, t) = time {
         AnnOps.annIndex(s, e, model)
@@ -434,7 +441,9 @@ object HighDimProbe {
       AnnOps.fitAnnModel(s, deq, nLists = nLists, m = dims / 8,
         dsub = 8, ksub = 16)
     }
-    val idxPath = s"/tmp/graft_annscale_idx_int8_$n"
+    // Geometry-keyed like partIdxPath (ADVICE r16).
+    val idxPath = s"/tmp/graft_annscale_idx_int8_${n}_d${dims}_" +
+      s"l${nLists}_m${model.m}"
     val tBuild = if (!new java.io.File(idxPath).isDirectory) {
       val (_, t) = time {
         AnnOps.annIndex(s, deq, model)
@@ -497,7 +506,7 @@ object HighDimProbe {
     val nLists = math.max(8, math.sqrt(n / 1000.0).toInt)
     val model = AnnOps.fitAnnModel(s, e, nLists = nLists, m = dims / 8,
       dsub = 8, ksub = 16)
-    val idxPath = s"/tmp/graft_annscale_idx_part_$n"
+    val idxPath = partIdxPath(n, dims, nLists, model.m)
     if (!new java.io.File(idxPath).isDirectory)
       AnnOps.annIndex(s, e, model)
         .write.mode("overwrite").partitionBy("list_id").parquet(idxPath)
@@ -773,7 +782,7 @@ object HighDimProbe {
     val nLists = math.max(8, math.sqrt(n / 1000.0).toInt)
     val model = AnnOps.fitAnnModel(s, e, nLists = nLists, m = dims / 8,
       dsub = 8, ksub = 16)
-    val idxPath = s"/tmp/graft_annscale_idx_part_$n"
+    val idxPath = partIdxPath(n, dims, nLists, model.m)
     val stored = s.read.parquet(idxPath).select("vec_id", "list_id", "codes")
     val attrs = e.select(col("vec_id"),
       pmod(col("vec_id"), lit(100)).cast("int").as("label"))

@@ -68,9 +68,21 @@ object SpillProbe {
       val n = obs.get("n").asInstanceOf[Long]
       val wall = (System.nanoTime() - t0) / 1e9
       // Listener events are posted async (the bus drain API is
-      // private[spark]); a short settle keeps the counters honest — the
-      // queue is per-event microseconds behind the last task end.
-      Thread.sleep(500)
+      // private[spark]). A fixed settle mis-attributes on a loaded bus —
+      // stragglers past the sleep bleed into the NEXT key's counters, in
+      // exactly the constrained-memory runs this probe certifies (ADVICE
+      // r16) — so poll until the counters hold still for two consecutive
+      // intervals (bounded at 10 s; the read below then sees a drained
+      // bus, and the next key's reset can't swallow stragglers).
+      var stable = 0
+      var prev = (-1L, -1L, -1L)
+      var waited = 0
+      while (stable < 2 && waited < 40) {
+        Thread.sleep(250); waited += 1
+        val cur = (memSpill.get, diskSpill.get, peakExec.get)
+        stable = if (cur == prev) stable + 1 else 0
+        prev = cur
+      }
       println(f"[spill] $key%-26s wall=$wall%8.2f s rows=$n%12d " +
         f"spillMem=${memSpill.get >> 20}%6d MiB " +
         f"spillDisk=${diskSpill.get >> 20}%6d MiB " +

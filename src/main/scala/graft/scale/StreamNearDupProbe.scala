@@ -33,20 +33,33 @@ object StreamNearDupProbe {
     * index rows, dead letters). */
   private def runOnce(spark: SparkSession, docs: DataFrame, feed: String,
       root: String, mft: Int, contend: Boolean): (Double, Long, Long, Long) = {
+    // A pre-existing checkpoint makes the stream drain ZERO new files and
+    // the arm report wildly inflated rows/s with no error (ADVICE r16) —
+    // a measurement root must be fresh, so fail loudly, don't wipe.
+    require(!new java.io.File(s"$root/ckpt").exists(),
+      s"stale run root: $root/ckpt exists — a resumed checkpoint would " +
+        "re-ingest nothing and inflate rows/s; remove the root and re-run")
     val stream = spark.readStream
       .schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", mft)
       .parquet(s"$feed/*")
     @volatile var stop = false
+    // Captured, not swallowed (ADVICE r16): a dead contender silently
+    // turns the contended arm into a solo measurement.
+    @volatile var contenderErr: Option[Throwable] = None
     val contender =
       if (!contend) None
       else Some(new Thread(() => {
         // The contention load: a shuffle-bearing full-corpus aggregate,
         // looped until the stream drains — the declared exact_dedup
         // key's cost class, sharing the session's 32 cores.
-        while (!stop) {
-          docs.groupBy(xxhash64(col("text"))).count().count()
-          ()
+        try {
+          while (!stop) {
+            docs.groupBy(xxhash64(col("text"))).count().count()
+            ()
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) => contenderErr = Some(e)
         }
       }, "ndi-contender"))
     contender.foreach(_.start())
@@ -60,6 +73,11 @@ object StreamNearDupProbe {
     finally {
       stop = true
       contender.foreach(_.join())
+    }
+    contenderErr.foreach { e =>
+      throw new IllegalStateException(
+        "contender thread died mid-run — the contended arm degenerated " +
+          "to a solo measurement; fix and re-run", e)
     }
     val wall = (System.nanoTime() - t1) / 1e9
     val surv = graft.sources.TxLog.snapshot(spark, s"$root/survivors").count()

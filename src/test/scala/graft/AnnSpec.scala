@@ -349,6 +349,14 @@ class AnnSpec extends SparkSpec {
     val b = AnnOps.annBatchKnn.fn(spark, sfDir).collect().toSeq
     assert(a == b && a.nonEmpty,
       "declared chunked key must equal the unchunked declared batch")
+    // ADVICE r16: duplicate query_ids must not duplicate output rows —
+    // a dup id straddling a chunk boundary was captured by BOTH chunks.
+    val dupQ = queries.unionAll(queries.filter($"query_id" === 3))
+    val dedup = AnnOps.ivfPqKnnBatchChunked(spark, emb, index, model,
+      dupQ, k = 10, nProbe = 3, chunkBudgetBytes = 1L)
+      .collect().map(_.toSeq).toSeq
+    assert(dedup == unchunked,
+      "dup query_ids must dedup to one serve per id, chunked or not")
   }
 
   test("int8 storage: dequant error within half a quantization step on " +
