@@ -63,6 +63,10 @@ object VectorOps {
       graft.functions.TopKAgg.info,
       graft.functions.TopKAgg.builder)
     s.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("topk_row_agg"),
+      graft.functions.TopKRowAgg.info,
+      graft.functions.TopKRowAgg.builder)
+    s.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
       graft.functions.MinHashSig.info,
       graft.functions.MinHashSig.builder)

@@ -42,6 +42,44 @@ object Windows {
       .orderBy("c_custkey", "rn")
   }
 
+  /** E1-scale — the SAME per-partition top-N as [[rankTopN]], spelled as
+    * the memory-bounded native aggregate
+    * ([[graft.functions.TopKRowAgg]], `topk_row_agg(ord, id, k)`)
+    * instead of a window. This is the pre-aggregation ESCAPE for the one
+    * known memory-shape boundary (round-17, VERDICT r16 missing #2):
+    * Spark's WindowGroupLimit still buffers each group inside the window
+    * exec — the sf100 run OOMs at a 128 MB/core heap (SCALE.md §r16) —
+    * where this plan's per-group state is ≤ k (ord, id) pairs BY
+    * CONSTRUCTION at every stage: the map-side partial ships at most k
+    * pairs per (group × partition) into the shuffle, and the sort-based
+    * aggregate fallback streams groups. Output is identical to the
+    * window spelling whenever the id is unique per group (o_orderkey is
+    * globally unique): array position + 1 IS the row number, so both
+    * keys share one oracle. */
+  val rankTopNAgg = Q(
+    "win_topn_agg",
+    """SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT c_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY c_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM customer JOIN orders ON c_custkey = o_custkey) x
+      |WHERE rn <= 3 ORDER BY c_custkey, rn""".stripMargin) { (s, dir) =>
+    VectorOps.registerFns(s)
+    val custKeys = t(s, dir, "customer").select("c_custkey")
+    val custArm = graft.Dims.localizeSmall(custKeys, s"$dir#topnagg.cust", 8)
+      .getOrElse(custKeys)
+    t(s, dir, "orders")
+      .join(broadcast(custArm), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey")
+      .agg(call_function("topk_row_agg", col("o_totalprice"),
+        col("o_orderkey"), lit(3)).as("top"))
+      .select(col("c_custkey"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("c_custkey"), col("e.id").as("o_orderkey"),
+        col("e.ord").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .orderBy("c_custkey", "rn")
+  }
+
   /** E2 — running (cumulative) sum per user over event time.
     * Decimal accumulation keeps the running values bit-identical to the
     * oracle regardless of evaluation strategy. */
@@ -348,6 +386,7 @@ object Windows {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(rankTopN, runningSum, lagLead, slidingFrame, ntilePct,
-    rangeFrame, firstLast, denseRank, countDistinctRunning)
+  val all: Seq[Q] = Seq(rankTopN, rankTopNAgg, runningSum, lagLead,
+    slidingFrame, ntilePct, rangeFrame, firstLast, denseRank,
+    countDistinctRunning)
 }

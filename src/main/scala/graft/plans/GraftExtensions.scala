@@ -49,6 +49,10 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.TopKAgg.info,
       graft.functions.TopKAgg.builder))
     ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("topk_row_agg"),
+      graft.functions.TopKRowAgg.info,
+      graft.functions.TopKRowAgg.builder))
+    ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("pq_codes"),
       graft.functions.PqCodes.info,
       graft.functions.PqCodes.builder))
