@@ -200,6 +200,30 @@ object Bench {
         name -> (1 to 3).map(_ => timeOnce()).min
       } catch { case _: Throwable => name -> -1.0 }
     }
+    // Same-boot floor sample (round-17, VERDICT r16 item 5): two
+    // fixed-work probes timed AFTER the suite (JIT warm), printed just
+    // above the JSON line so every archived BENCH_r{N}.json tail carries
+    // its own boot-class control — r16's +7.7% total was attributed to
+    // boot variance on circumstantial evidence (unchanged-code keys moved
+    // most); this makes the code-vs-boot split a one-lookup check. The
+    // job probe prices the scheduler round-trip, the sql probe a minimal
+    // plan+execute; both are query-code-independent by construction.
+    def floorSample(f: => Unit): (Double, Double) = {
+      f
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+      }.sorted
+      (runs.head, runs(1))
+    }
+    val (jb, jm) = floorSample {
+      spark.sparkContext.parallelize(1 to 8, 8).count(): Unit
+    }
+    val (sb, sm) = floorSample {
+      spark.range(600000).agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("id"))).collect(): Unit
+    }
+    println(f"[floor] job_best_ms=$jb%.1f job_med_ms=$jm%.1f " +
+      f"sql_best_ms=$sb%.1f sql_med_ms=$sm%.1f")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -28,7 +28,10 @@ object BenchProbe {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_LOCALDIR", "/tmp"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.schemas.keys.foreach(t => Tables.load(spark, sfDir, t).cache().count())
+    // The kernels mode never touches the bench tables — skip the pin.
+    if (!args.contains("kernels"))
+      Tables.schemas.keys.foreach(t =>
+        Tables.load(spark, sfDir, t).cache().count())
 
     def best3(label: String)(f: => Unit): Unit = {
       f
@@ -90,6 +93,60 @@ object BenchProbe {
           f"${jobCount.get()}%5d ${stageCount.get()}%6d ${taskCount.get()}%6d")
       }
       println(f"${"TOTAL"}%-28s $tb%9.1f $te%9.1f ${tb - te}%9.1f")
+      spark.stop()
+      return
+    }
+
+    // Vector-kernel throughput guard (round-17, VERDICT r16 item 8): the
+    // codegen'd dot_product/cosine_sim/pq_adc expressions carry the whole
+    // ANN family, and nothing pinned their throughput — a silent fallback
+    // to interpreted eval (e.g. after a Spark upgrade changes doGenCode
+    // contracts) would tax every serve without failing any test. Fixed
+    // deterministic corpus (id-derived, no RNG), best-of-3 rows/s per
+    // kernel, recorded per round in BENCH_AB — a >2× drop vs the prior
+    // round's sample is the regression signal.
+    if (args.contains("kernels")) {
+      graft.operators.VectorOps.registerFns(spark)
+      def bestOf3(f: => Unit): Double = {
+        f
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      Seq((64, 2000000L), (768, 200000L)).foreach { case (dims, n) =>
+        val corpus = spark.range(n).select(col("id").as("vec_id"),
+          expr(s"transform(sequence(1, $dims), " +
+            "j -> cast(sin(id * j + j) as float))").as("embedding"))
+          .cache()
+        corpus.count()
+        val qv = (1 to dims).map(j => math.cos(j * 0.7).toFloat)
+        def t(label: String, e: org.apache.spark.sql.Column): Unit = {
+          val sec = bestOf3 {
+            corpus.agg(sum(e)).collect(): Unit
+          }
+          println(f"[kernels] $label%-12s dims=$dims%4d n=$n%8d " +
+            f"best=$sec%6.3fs = ${n / sec / 1e6}%6.1f Mrows/s")
+        }
+        t("dot_product", call_function("dot_product", col("embedding"),
+          typedLit(qv)))
+        t("cosine_sim", call_function("cosine_sim", col("embedding"),
+          typedLit(qv)))
+        // ADC geometry matches the serve default (m = dims/8, ksub = 16).
+        val m = dims / 8
+        val codes = corpus.select(col("vec_id"),
+          expr(s"transform(sequence(1, $m), " +
+            "j -> cast(pmod(vec_id * j, 16) as smallint))").as("codes"))
+          .cache()
+        codes.count()
+        val lut = (0 until m * 16).map(i => math.sin(i * 0.3))
+        val adcSec = bestOf3 {
+          codes.agg(sum(call_function("pq_adc", col("codes"),
+            typedLit(lut), lit(m), lit(16)))).collect(): Unit
+        }
+        println(f"[kernels] pq_adc       dims=$dims%4d n=$n%8d " +
+          f"best=$adcSec%6.3fs = ${n / adcSec / 1e6}%6.1f Mrows/s")
+        corpus.unpersist(); codes.unpersist()
+      }
       spark.stop()
       return
     }

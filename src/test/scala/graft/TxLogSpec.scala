@@ -3,6 +3,8 @@ package graft
 import graft.sources.TxLog
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** GraftLog protocol behaviors no SQL oracle can see: snapshot isolation,
   * optimistic-concurrency conflicts, stats-pruned copy-on-write, checkpoint
   * replay, compaction invariance, orphan vacuum. The two declared
@@ -1078,5 +1080,113 @@ class TxLogSpec extends SparkSpec {
       TxLog.append(spark, tb, orders.limit(1)
         .withColumn("o_totalprice", lit(-5.0)))
     }
+  }
+
+  test("same-version commit race: barrier-synced writer pairs each claim " +
+      "a distinct contiguous version, every record lands whole, no stage " +
+      "temps survive") {
+    // Round-17 (VERDICT r16 item 7): the claim loop's EEXIST-retry path
+    // is the optimistic-concurrency core — two writers that both read
+    // latestVersion = v must resolve to ONE owner of v+1 and one clean
+    // retry, never a clobbered or half-written record. Direct commit()
+    // calls (no Spark write inside the window) keep the race window
+    // tight enough that the link race actually fires across 24 rounds.
+    val tb = fresh("claimrace")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    val rounds = 24
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def writer(tag: String) = {
+      val t = new Thread(() => {
+        (0 until rounds).foreach { r =>
+          barrier.await()
+          TxLog.commit(tb, "append",
+            Seq(TxLog.AddFile(s"$tb/synth_${tag}_$r.parquet", 1L,
+              None, None)),
+            Nil)
+        }
+      })
+      t.setDaemon(true) // a dead partner must not hang the suite's JVM
+      t
+    }
+    val (a, b) = (writer("a"), writer("b"))
+    a.start(); b.start(); a.join(120000); b.join(120000)
+    assert(!a.isAlive && !b.isAlive, "writers must finish (no starvation)")
+    // One version per commit, contiguous — a lost race that silently
+    // dropped or double-claimed a version would break the sequence.
+    val vs = TxLog.versions(tb)
+    assert(vs == (0L to 2L * rounds).toSeq,
+      s"expected versions 0..${2 * rounds}, got $vs")
+    // Every writer's every file is in the replayed state exactly once:
+    // the loser's retry re-committed its OWN record, the winner's was
+    // never clobbered (link, not rename), and no record tore.
+    val paths = TxLog.state(tb)._1.map(_.path)
+    assert(paths.distinct.size == paths.size, "duplicate AddFile paths")
+    val expected = for (t <- Seq("a", "b"); r <- 0 until rounds)
+      yield s"$tb/synth_${t}_$r.parquet"
+    assert(paths.toSet == expected.toSet,
+      s"state must replay both writers' ${expected.size} files, " +
+        s"got ${paths.size}")
+    // The staged dot-temp is always linked-then-deleted, even on a lost
+    // race — leftovers would accumulate forever in a real log dir.
+    val stray = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$tb/_graft_log"))
+    val tmps = try stray.iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith(".stage-")).toSeq
+      finally stray.close()
+    assert(tmps.isEmpty, s"staged temp files survived the race: $tmps")
+  }
+
+  test("overwrite vs overwrite on one base version: exactly one winner, " +
+      "loser aborts cleanly, readers never see partial state") {
+    // The rewrite arm of the same race: both writers snapshot the SAME
+    // active file set, so whichever claims its version second must fail
+    // expectActive re-validation (its remove set is already gone) — one
+    // winner, one ConcurrentModificationException, and a concurrent
+    // reader polling snapshots sees only {base, winner} row counts.
+    val tb = fresh("owrace")
+    TxLog.create(spark, tb, Tables.orders, Some("o_orderkey"))
+    TxLog.append(spark, tb, orders.limit(50))
+    val batchA = orders.limit(7).cache();  batchA.count()
+    val batchB = orders.limit(11).cache(); batchB.count()
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val readerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try seen.add(TxLog.snapshot(spark, tb).count())
+        catch { case t: Throwable => readerErr.set(t); stop.set(true) }
+      }
+    })
+    reader.setDaemon(true)
+    reader.start()
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    import ExecutionContext.Implicits.global
+    val attempts = Seq(batchA, batchB).map(df =>
+      Future(scala.util.Try(TxLog.overwrite(spark, tb, df))))
+    val results = Await.result(Future.sequence(attempts), 120.seconds)
+    stop.set(true); reader.join(30000)
+    assert(readerErr.get() == null,
+      s"reader must never see torn state: ${readerErr.get()}")
+    val (wins, losses) = results.partition(_.isSuccess)
+    assert(wins.size == 1 && losses.size == 1,
+      s"exactly one overwrite must win, got $results")
+    losses.head.failed.foreach(e =>
+      assert(e.isInstanceOf[java.util.ConcurrentModificationException],
+        s"loser must abort with the conflict exception, got $e"))
+    val finalCount = TxLog.snapshot(spark, tb).count()
+    assert(finalCount == 7 || finalCount == 11,
+      s"final state must be exactly one writer's batch, got $finalCount")
+    // Reader observations are drawn from {base, winner} only — never a
+    // mix of both overwrites, never a half-applied remove.
+    val legal = Set(50L, finalCount)
+    assert(seen.iterator().asScala.forall(legal),
+      s"reader saw illegal snapshot counts: $seen (legal: $legal)")
+    // The loser's data files (written before its failed commit) must be
+    // orphans, not state: vacuum reclaims them without touching history.
+    TxLog.vacuum(tb, retainMs = 0L)
+    assert(TxLog.snapshot(spark, tb).count() == finalCount)
+    assert(TxLog.snapshot(spark, tb, asOf = Some(1L)).count() == 50,
+      "pre-race version must survive the post-race vacuum")
   }
 }
