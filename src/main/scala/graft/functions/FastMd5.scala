@@ -78,4 +78,65 @@ object FastMd5 {
     require(args.length == 1, "fast_md5 expects exactly 1 argument")
     FastMd5(args.head)
   }
+
+  /** One 64-bit half of the md5 digest as a BIG-ENDIAN long; called from
+    * both eval and generated code. `hi` = bytes 0–7, else bytes 8–15.
+    * `lpad(lower(hex(v)), 16, '0')` of the two halves concatenated is
+    * byte-identical to [[hash]]'s 32-char lowercase hex. */
+  def hashHalf(s: UTF8String, hi: Boolean): Long = {
+    val md = digest.get()
+    md.reset()
+    val raw = md.digest(s.getBytes)
+    val off = if (hi) 0 else 8
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (raw(off + i) & 0xffL); i += 1 }
+    v
+  }
+}
+
+/** One 64-bit half of `fast_md5(child)` as LONG (see [[FastMd5.hashHalf]]).
+  *
+  * Why it exists (round-17 optimization): the exact-dedup contract carries
+  * the group's md5 through an aggregate. A STRING-valued aggregate buffer
+  * (`first(fast_md5(text))`) disqualifies HashAggregateExec — UnsafeRow
+  * aggregation buffers must be all fixed-width mutable types — so Spark
+  * falls back to SortAggregate, paying a full per-partition sort of the
+  * corpus on BOTH sides of the exchange. Two long-valued `first()`s keep
+  * the identical output (hex-rendered in the final projection) with a
+  * fixed-width buffer, restoring the hash aggregate and deleting both
+  * sorts from the 100 TB dedup scan shape. */
+case class FastMd5Half(child: Expression, hi: Boolean) extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects string, got ${other.simpleString}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = if (hi) "fast_md5_hi" else "fast_md5_lo"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FastMd5.hashHalf(input.asInstanceOf[UTF8String], hi)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.FastMd5.hashHalf($c, $hi)")
+
+  override protected def withNewChildInternal(newChild: Expression): FastMd5Half =
+    copy(child = newChild)
+}
+
+object FastMd5Half {
+  val infoHi: ExpressionInfo = new ExpressionInfo(
+    classOf[FastMd5Half].getName, "fast_md5_hi")
+  val infoLo: ExpressionInfo = new ExpressionInfo(
+    classOf[FastMd5Half].getName, "fast_md5_lo")
+  def builder(hi: Boolean): Seq[Expression] => Expression = { args =>
+    require(args.length == 1, "fast_md5_hi/lo expects exactly 1 argument")
+    FastMd5Half(args.head, hi)
+  }
 }

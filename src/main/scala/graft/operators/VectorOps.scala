@@ -87,6 +87,14 @@ object VectorOps {
       graft.functions.FastMd5.info,
       graft.functions.FastMd5.builder)
     s.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("fast_md5_hi"),
+      graft.functions.FastMd5Half.infoHi,
+      graft.functions.FastMd5Half.builder(hi = true))
+    s.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("fast_md5_lo"),
+      graft.functions.FastMd5Half.infoLo,
+      graft.functions.FastMd5Half.builder(hi = false))
+    s.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier("nearest_centroid"),
       graft.functions.NearestCentroid.info,
       graft.functions.NearestCentroid.builder)

@@ -108,6 +108,24 @@ object DedupFloorProbe {
         .orderBy("survivor_id").count())
     best3("declared exact_dedup")(
       graft.SparkEntry.queries("exact_dedup")(spark, sfDir).count())
+    // Round-17 lever: the declared shape's first(fast_md5(text)) carries a
+    // STRING aggregate buffer, which disqualifies HashAggregateExec
+    // (UnsafeRow buffers must be fixed-width) — the executed plan is a
+    // SortAggregate with a full per-partition sort on BOTH sides of the
+    // exchange. This arm keeps the identical output (md5 carried as two
+    // long halves, hex-rendered after the aggregate) with an all-long
+    // buffer, restoring the two-phase hash aggregate.
+    best3("hashagg first(md5-longs)")(
+      docs.groupBy(xxhash64(col("text")).as("xh1"),
+          hash(col("text")).as("mh2"), crc32(col("text")).as("ch3"))
+        .agg(first(call_function("fast_md5_hi", col("text"))).as("hi"),
+          first(call_function("fast_md5_lo", col("text"))).as("lo"),
+          min(col("doc_id")).as("survivor_id"),
+          count(lit(1)).as("n_copies"))
+        .select(concat(lpad(lower(hex(col("hi"))), 16, "0"),
+            lpad(lower(hex(col("lo"))), 16, "0")).as("fp"),
+          col("survivor_id"), col("n_copies"))
+        .orderBy("survivor_id").count())
     spark.stop()
   }
 }

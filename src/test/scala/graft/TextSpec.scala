@@ -183,6 +183,37 @@ class TextSpec extends SparkSpec {
     assert(out.filter(col("dist") === 1).count() == 2000L)
   }
 
+  test("exact_dedup: md5-half rendering is bit-identical to md5, plan is a hash aggregate") {
+    import org.apache.spark.sql.functions._
+    graft.operators.VectorOps.registerFns(spark)
+    // (a) lpad(lower(hex(hi)),16) || lpad(lower(hex(lo)),16) ≡ md5(text)
+    // on the corpus + edge shapes (empty string, non-ascii, long text).
+    val edge = Seq("", "a", "ünïcødé ☃ text", "x" * 10000).toDF("text")
+    val texts = Tables.load(spark, sfDir, "documents").select("text")
+      .unionAll(edge)
+    val mismatch = texts.select(
+        md5(col("text")).as("ref"),
+        concat(lpad(lower(hex(call_function("fast_md5_hi", col("text")))), 16, "0"),
+          lpad(lower(hex(call_function("fast_md5_lo", col("text")))), 16, "0"))
+          .as("halves"))
+      .filter(col("ref") =!= col("halves")).count()
+    assert(mismatch == 0, "md5-half rendering must equal md5(text) on every row")
+    // (b) the declared key's output is unchanged vs a direct md5 grouping.
+    val declared = TextOps.dedupExact.fn(spark, sfDir).collect().toSeq
+    val ref = Tables.load(spark, sfDir, "documents")
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+      .orderBy("survivor_id").collect().toSeq
+    assert(declared == ref, "dedup_exact output must match the md5-group reference")
+    // (c) the long-valued first() buffers keep the HASH aggregate — the
+    // round-17 point of the change: a string buffer fell back to
+    // SortAggregate with a full per-partition sort on both exchange sides.
+    val plan = TextOps.dedupExact.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"expected HashAggregate in:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"unexpected SortAggregate in:\n$plan")
+  }
+
   test("stratified sample predicate is reproducible across partitionings") {
     val docs = Tables.load(spark, sfDir, "documents")
     val pred = org.apache.spark.sql.functions.substring(
