@@ -64,9 +64,10 @@ object TextOps {
       // fixed-width mutable types), so the executed plan was a
       // SortAggregate with a full per-partition sort of the corpus on
       // BOTH sides of the exchange. All-long buffers restore the
-      // two-phase HASH aggregate — measured 0.709 → 0.597 s at the 5 M
-      // replica tier (2.40× → 2.02× DuckDB same-boot), −24 % at sf0.1 —
-      // with byte-identical output (lpad(lower(hex(hi)),16) ||
+      // two-phase HASH aggregate — measured −32 % on the key at sf0.1
+      // (DedupFloorProbe same-session A/B; 5 M-tier numbers in
+      // OPTIMIZATION_r17.md) — with byte-identical output
+      // (lpad(lower(hex(hi)),16) ||
       // lpad(lower(hex(lo)),16) ≡ fast_md5's 32-char lowercase hex;
       // TextSpec pins it, oracle unchanged). first()'s declarative
       // update still short-circuits, so each half digests once per
