@@ -77,6 +77,15 @@ object ClusterOps {
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
         .select("src", "dst").distinct()
+        // Round-17: materialize the loop-invariant edge table ONCE (the
+        // Stage seam, the pcaProject precedent). Unstaged, the 4-join
+        // lineitem pipeline is embedded in all 10 iteration plans — exec
+        // dedup then hangs on ReuseExchange firing, and the analyzer/
+        // optimizer walk a 10×-nested plan every action (Profile at
+        // sf0.1: build+plan 2.0–26 s, swinging with plan size; staged it
+        // is a ≤625-row checkpointed source). At 100 TB the staged form
+        // GUARANTEES one fact-table pass, reuse-rule or not.
+        .staged
       val deg = edges.groupBy("src")
         .agg(count(lit(1)).cast("double").as("d"))
       val nodes = t(s, dir, "nation").select(col("n_name").as("node"))

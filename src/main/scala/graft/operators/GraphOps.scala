@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.Stage.StagedOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -83,7 +84,10 @@ object GraphOps {
        |  GROUP BY u.token)
        |SELECT token, n_tri FROM pernode
        |ORDER BY n_tri DESC, token LIMIT 20""".stripMargin) { (s, dir) =>
-    val e = edges(t(s, dir, "documents"))
+    // Round-17: the triangle enumeration references the edge table THREE
+    // times; staged, the document pipeline beneath it runs once instead
+    // of three times (Profile at sf0.1: exec 1.7–4.1 s → ~1 s).
+    val e = edges(t(s, dir, "documents")).staged
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.t2") === col("e2.t1"))
       .join(e.as("e3"),
@@ -156,19 +160,33 @@ object GraphOps {
          |SELECT node, label FROM l5 ORDER BY node""".stripMargin) {
       (s, dir) =>
         val docs = t(s, dir, "documents")
+        // Round-17: stage the loop invariants (the pagerank/pcaProject
+        // Stage-seam precedent). Unstaged, every one of the 5 iteration
+        // joins re-embeds the edge pipeline (document explode → distinct
+        // → top-50 restrict → self-join) and the seed its own doc scan —
+        // Profile at sf0.1 measured 6.3–27.6 s of pure EXECUTION from
+        // those re-runs; staged, the corpus is scanned once per invariant
+        // (≤ 2450 edge rows / 50 label rows thereafter).
         val e = edges(docs)
         val und = e.select(col("t1").as("src"), col("t2").as("dst"))
           .unionAll(e.select(col("t2").as("src"), col("t1").as("dst")))
+          .staged
         val dt = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
           .distinct()
         val nodes = dt.groupBy("token").agg(count(lit(1)).as("df"))
           .orderBy(col("df").desc, col("token")).limit(50).select("token")
         var labels = nodes.select(col("token").as("node"),
-          col("token").as("label"))
+          col("token").as("label")).staged
         for (_ <- 1 to 5) {
+          // The label state is DOMAIN-BOUNDED at ≤ 50 rows (the top-50
+          // node cap) at ANY corpus size — broadcast both sides of each
+          // iteration's joins so the only per-iteration exchange is the
+          // tiny (node, label) count aggregate (round-17; same bound the
+          // oracle's LIMIT 50 pins).
           val cand = und
-            .join(labels.select(col("node").as("dst"), col("label")), "dst")
+            .join(broadcast(labels.select(col("node").as("dst"),
+              col("label"))), "dst")
             .groupBy(col("src").as("cnode"), col("label"))
             .agg(count(lit(1)).as("cnt"))
           val w = org.apache.spark.sql.expressions.Window
@@ -176,7 +194,8 @@ object GraphOps {
           val pick = cand.withColumn("rk", row_number().over(w))
             .filter(col("rk") === 1)
             .select(col("cnode"), col("label").as("nlabel"))
-          labels = labels.join(pick, col("node") === col("cnode"), "left")
+          labels = labels.join(broadcast(pick),
+              col("node") === col("cnode"), "left")
             .select(col("node"),
               coalesce(col("nlabel"), col("label")).as("label"))
         }
