@@ -78,13 +78,20 @@ object ClusterOps {
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
         .select("src", "dst").distinct()
         // Round-17: materialize the loop-invariant edge table ONCE (the
-        // Stage seam, the pcaProject precedent). Unstaged, the 4-join
-        // lineitem pipeline is embedded in all 10 iteration plans — exec
-        // dedup then hangs on ReuseExchange firing, and the analyzer/
-        // optimizer walk a 10×-nested plan every action (Profile at
-        // sf0.1: build+plan 2.0–26 s, swinging with plan size; staged it
-        // is a ≤625-row checkpointed source). At 100 TB the staged form
-        // GUARANTEES one fact-table pass, reuse-rule or not.
+        // Stage seam, the pcaProject precedent), PRE-PARTITIONED on the
+        // iteration's aggregation key. Unstaged, the 4-join lineitem
+        // pipeline was embedded in all 10 iteration plans — exec dedup
+        // then hung on ReuseExchange firing, and the analyzer/optimizer
+        // walked a 10×-nested plan every action (Profile at sf0.1:
+        // build+plan 2.0–26 s, swinging with plan size). Staged behind
+        // repartition(dst), the checkpointed blocks CARRY
+        // HashPartitioning(dst), so each iteration's groupBy(dst) is
+        // exchange-free; with the nation-bounded rank/degree state
+        // broadcast, an iteration schedules ZERO exchanges. At 100 TB
+        // the staged form guarantees one fact-table pass, reuse-rule or
+        // not, and the per-iteration network cost is the dim-scale rank
+        // broadcast only.
+        .repartition(col("dst"))
         .staged
       val deg = edges.groupBy("src")
         .agg(count(lit(1)).cast("double").as("d"))
@@ -93,15 +100,21 @@ object ClusterOps {
       var ranks = nodes.withColumn("pr", lit(1.0) / lit(n))
       for (_ <- 1 to PrIters) {
         val inc = edges
-          .join(ranks, edges("src") === ranks("node"))
-          .join(deg, "src")
+          .join(broadcast(ranks), edges("src") === ranks("node"))
+          .join(broadcast(deg), "src")
           .groupBy(col("dst"))
           .agg(sum(col("pr") / col("d")).as("s"))
+        // Stage the nation-bounded rank state each step (the label-
+        // propagation lesson): un-truncated, iteration i's rank
+        // broadcast re-executes iterations 1..i-1 inside its build;
+        // staged, every iteration reads a flat checkpointed dim-scale
+        // source and the 10-step plan stays one join deep.
         ranks = nodes
-          .join(inc, nodes("node") === inc("dst"), "left")
+          .join(broadcast(inc), nodes("node") === inc("dst"), "left")
           .select(col("node"),
             (lit(0.15) / lit(n) + lit(Damping) * coalesce(col("s"), lit(0.0)))
               .as("pr"))
+          .staged
       }
       ranks.select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
     }

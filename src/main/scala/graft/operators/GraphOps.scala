@@ -168,8 +168,14 @@ object GraphOps {
         // those re-runs; staged, the corpus is scanned once per invariant
         // (≤ 2450 edge rows / 50 label rows thereafter).
         val e = edges(docs)
+        // Staged behind repartition(src): the checkpointed blocks carry
+        // HashPartitioning(src), so each iteration's groupBy(src) and the
+        // row_number window over it are exchange-free — with the
+        // broadcast label state below, an iteration schedules no
+        // exchange at all, only the window's partition-local sort.
         val und = e.select(col("t1").as("src"), col("t2").as("dst"))
           .unionAll(e.select(col("t2").as("src"), col("t1").as("dst")))
+          .repartition(col("src"))
           .staged
         val dt = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
@@ -194,10 +200,18 @@ object GraphOps {
           val pick = cand.withColumn("rk", row_number().over(w))
             .filter(col("rk") === 1)
             .select(col("cnode"), col("label").as("nlabel"))
+          // Stage the ≤50-row state each step: un-truncated, iteration
+          // i's broadcast build re-executes the chains of iterations
+          // 1..i-1 (the plan nests every prior window pipeline inside
+          // every broadcast — measured 250 Exchange nodes and 4–15 s of
+          // execution at sf0.1); staged, every iteration reads a flat
+          // checkpointed 50-row source and the plan stays one window
+          // deep.
           labels = labels.join(broadcast(pick),
               col("node") === col("cnode"), "left")
             .select(col("node"),
               coalesce(col("nlabel"), col("label")).as("label"))
+            .staged
         }
         labels.orderBy("node")
     }

@@ -20,7 +20,21 @@ object DedupFloorProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = graft.Tables.load(spark, sfDir, "documents")
+    // `unique` arg (round-17): the sfx replicas are CLONE-HEAVY by
+    // construction (~1000 copies/text), where the partial aggregate
+    // collapses 1000× and both agg-exec classes are digest-bound. The
+    // 100 TB dedup contract is the MOSTLY-UNIQUE corpus (TextOps
+    // scaladoc) — synthesize one (5 M distinct ~120-char texts) so the
+    // SortAggregate-vs-HashAggregate A/B measures the near-unique shape
+    // where per-partition sorts of the full corpus actually bite.
+    val docs =
+      if (args.contains("unique"))
+        spark.range(5000000L).select(col("id").as("doc_id"),
+          concat(lit("synthetic document body with a distinct suffix "),
+            md5(col("id").cast("string")),
+            lit(" padding padding padding padding padding padding "),
+            md5((col("id") + 7L).cast("string"))).as("text"))
+      else graft.Tables.load(spark, sfDir, "documents")
 
     def best3(label: String)(f: => Long): Unit = {
       f
@@ -115,6 +129,16 @@ object DedupFloorProbe {
     // exchange. This arm keeps the identical output (md5 carried as two
     // long halves, hex-rendered after the aggregate) with an all-long
     // buffer, restoring the two-phase hash aggregate.
+    // The r16 declared shape (string-buffer first() → SortAggregate),
+    // kept as the control arm for the round-17 A/B.
+    best3("sortagg first(md5-string) r16")(
+      docs.groupBy(xxhash64(col("text")).as("xh1"),
+          hash(col("text")).as("mh2"), crc32(col("text")).as("ch3"))
+        .agg(first(call_function("fast_md5", col("text"))).as("fp"),
+          min(col("doc_id")).as("survivor_id"),
+          count(lit(1)).as("n_copies"))
+        .select("fp", "survivor_id", "n_copies")
+        .orderBy("survivor_id").count())
     best3("hashagg first(md5-longs)")(
       docs.groupBy(xxhash64(col("text")).as("xh1"),
           hash(col("text")).as("mh2"), crc32(col("text")).as("ch3"))
