@@ -944,8 +944,7 @@ object AnnOps {
       sizesHint: Option[Map[Int, Long]] = None,
       rerankInt8: Option[DataFrame] = None,
       rerankBudgetBytes: Long = RerankBroadcastBudget,
-      poolHint: Int = -1, knownPoolRows: Long = -1L,
-      rerankSrc: Option[DataFrame] = None): DataFrame = {
+      poolHint: Int = -1, knownPoolRows: Long = -1L): DataFrame = {
     VectorOps.registerFns(s)
     import org.apache.spark.sql.expressions.Window
     val dims = model.centroids.head._2.length
@@ -1067,23 +1066,18 @@ object AnnOps {
     // "int8") serves its own rerank — the decisive property at chunk
     // scale: the chunked wrapper prunes `index` to each chunk's probed
     // lists, so an index-carried rerank scans ONLY those list partitions
-    // where the corpus join re-scanned the whole vector table per chunk
-    // (and may hand all chunks ONE persisted copy via `rerankSrc`).
+    // where the corpus join re-scanned the whole vector table per chunk.
     // Float payload is the corpus values verbatim (row-identical results,
     // the selfcheck/AnnSpec pin); int8 payload ≡ the rerankInt8 mode.
-    val src = rerankSrc.getOrElse(rerankSource(emb, index, rerankInt8))
-    // With a SHARED (persisted, vec_id-co-partitioned) source the rerank
-    // is a shuffled-hash join BUILT ON THE BOUNDED CANDIDATE SIDE: the
-    // cached source streams its partitions with no exchange, no sort and
-    // no broadcast — the per-chunk 256 MB broadcast build (collect +
-    // hash + torrent) was the measured dominant chunk cost at the 2 M
-    // tier, ~equal to the rerank scan it fed. Build footprint stays ≤
-    // the chunk budget by construction (knownPoolRows), spread across
-    // the shuffle partitions.
-    val joined =
-      if (rerankSrc.isDefined)
-        src.join(pooled.hint("shuffle_hash"), Seq("vec_id"))
-      else pooledSided.join(src, Seq("vec_id"))
+    // (A persisted vec_id-co-partitioned shared copy fed through a
+    // shuffled-hash join was measured WORSE at the 2 M × 384-d tier —
+    // warm same-boot: 193.1 s shared vs 163.5 s pruned-scan vs 93.1 s
+    // unchunked — every chunk streamed the whole cached corpus through
+    // the SHJ probe plus paid the corpus repartition up front, where the
+    // pruned scan reads only the chunk's probed list partitions; and at
+    // the 20 M tier the memory gate disabled the copy anyway. Removed.)
+    val src = rerankSource(emb, index, rerankInt8)
+    val joined = pooledSided.join(src, Seq("vec_id"))
     val withVec = if (src.columns.contains("q_codes"))
       joined.withColumn("embedding",
         transform(col("q_codes"), c =>
@@ -1237,69 +1231,38 @@ object AnnOps {
       // must not re-run the query source scan + dedup 334 times.
       val qc = q.localCheckpoint(true)
       val nLists = model.centroids.size
-      // SHARED RERANK SOURCE (round-17, VERDICT r16 missing #1, second
-      // half): list-pruning bounds each chunk's rerank scan, but at a
-      // hot geometry (few lists, many queries per chunk) the per-chunk
-      // unions cover most of the index and the serve still pays
-      // ~nChunks corpus-scale scans (measured 2.1–2.3× the unchunked
-      // serve at the 2 M tier). The rerank source is the ONE input every
-      // chunk re-reads, so persist it ACROSS chunks — the canonical
-      // Spark reuse shape — gated on the cluster's free storage memory
-      // (2× headroom; MEMORY_AND_DISK_SER, so an optimistic estimate
-      // degrades to spilled blocks, never OOM). Past the gate, chunks
-      // keep the per-chunk pruned-scan shape — the honest fallback when
-      // the corpus outsizes the cluster's cache.
-      val srcAll = rerankSource(emb, index, rerankInt8)
-      val srcBytes = graft.plans.PlanStats.estRawBytes(srcAll)
-      val storageFree = BigInt(s.sparkContext.getExecutorMemoryStatus
-        .values.map(_._2).sum)
-      val sharedSrc =
-        if (srcBytes * 2 <= storageFree) {
-          // vec_id-hash layout so every chunk's rerank join satisfies its
-          // distribution from the CACHE — the chunk side exchanges its
-          // bounded candidates only.
-          val p = srcAll
-            .repartition(s.sessionState.conf.numShufflePartitions,
-              col("vec_id"))
-            .persist(
-              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-          p.count() // materialize once — the single scan unchunked pays
-          Some(p)
-        } else None
+      // (Round-17 note: a persisted shared rerank source handed to every
+      // chunk was tried here and REMOVED — see the measurement note in
+      // ivfPqKnnBatch's rerank-source resolution. Each chunk's
+      // list-pruned, payload-carrying index scan is the faster AND
+      // footprint-bounded shape at every geometry measured.)
       if (sys.env.contains("GRAFT_ANN_DEBUG"))
-        System.err.println(s"[ann-chunk] chunks=${chunks.size} " +
-          s"srcBytes=$srcBytes storageFree=$storageFree " +
-          s"shared=${sharedSrc.isDefined}")
-      try {
-        val served = chunks.map { c =>
-          val ids = c.map(_._1)
-          // In-set predicate pushes to the source for driver-friendly
-          // chunk sizes; very large cold chunks use a broadcast semi-join
-          // of the (driver-resident) id list, not a 100 k-term predicate.
-          val chunkQ =
-            if (ids.size <= 8192) qc.filter(col("query_id").isin(ids: _*))
-            else qc.join(broadcast(ids.toDF("query_id")),
-              Seq("query_id"), "left_semi")
-          val chunkLists = c.flatMap(_._2).distinct
-          val chunkIdx =
-            if (chunkLists.size < nLists)
-              index.filter(col("list_id").isin(chunkLists: _*))
-            else index
-          // The eager localCheckpoint materializes chunk i fully (k rows
-          // per query) before chunk i+1 constructs — in-flight state is
-          // one chunk's, never the batch's.
-          ivfPqKnnBatch(s, emb, chunkIdx, model, chunkQ, k, nProbe,
-            nCandidates, knownQueryRows = ids.size.toLong,
-            sizesHint = sizes, rerankInt8 = rerankInt8,
-            rerankBudgetBytes = chunkBudgetBytes, poolHint = pool,
-            knownPoolRows = c.map(_._3).sum, rerankSrc = sharedSrc)
-            .localCheckpoint(true)
-        }
-        served.reduce(_ unionAll _).orderBy("query_id", "rank")
-      } finally
-        // Safe immediately: every chunk is eagerly checkpointed above, so
-        // nothing downstream re-reads the cached source.
-        sharedSrc.foreach(_.unpersist(false))
+        System.err.println(s"[ann-chunk] chunks=${chunks.size}")
+      val served = chunks.map { c =>
+        val ids = c.map(_._1)
+        // In-set predicate pushes to the source for driver-friendly
+        // chunk sizes; very large cold chunks use a broadcast semi-join
+        // of the (driver-resident) id list, not a 100 k-term predicate.
+        val chunkQ =
+          if (ids.size <= 8192) qc.filter(col("query_id").isin(ids: _*))
+          else qc.join(broadcast(ids.toDF("query_id")),
+            Seq("query_id"), "left_semi")
+        val chunkLists = c.flatMap(_._2).distinct
+        val chunkIdx =
+          if (chunkLists.size < nLists)
+            index.filter(col("list_id").isin(chunkLists: _*))
+          else index
+        // The eager localCheckpoint materializes chunk i fully (k rows
+        // per query) before chunk i+1 constructs — in-flight state is
+        // one chunk's, never the batch's.
+        ivfPqKnnBatch(s, emb, chunkIdx, model, chunkQ, k, nProbe,
+          nCandidates, knownQueryRows = ids.size.toLong,
+          sizesHint = sizes, rerankInt8 = rerankInt8,
+          rerankBudgetBytes = chunkBudgetBytes, poolHint = pool,
+          knownPoolRows = c.map(_._3).sum)
+          .localCheckpoint(true)
+      }
+      served.reduce(_ unionAll _).orderBy("query_id", "rank")
     }
   }
 
