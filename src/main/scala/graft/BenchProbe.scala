@@ -135,7 +135,7 @@ object BenchProbe {
         val m = dims / 8
         val codes = corpus.select(col("vec_id"),
           expr(s"transform(sequence(1, $m), " +
-            "j -> cast(pmod(vec_id * j, 16) as smallint))").as("codes"))
+            "j -> cast(pmod(vec_id * j, 16) as int))").as("codes"))
           .cache()
         codes.count()
         val lut = (0 until m * 16).map(i => math.sin(i * 0.3))
