@@ -336,6 +336,15 @@ object Tables {
         .repartition(buckets, org.apache.spark.sql.functions.col(key))
         .write.mode("overwrite")
         .bucketBy(buckets, key).sortBy(key)
+        // Row groups capped at 16 MB (round-17, guide §6): a bucket is
+        // ONE file read by ONE task, and the parquet reader buffers a
+        // whole row group's column chunks on heap — default 128 MB
+        // groups made every capped-memory scan of a replica-tier bucket
+        // OOM in readNextRowGroup before any operator ran (the sf100
+        // 128 MB/core rung). 16 MB bounds per-task scan memory while
+        // keeping the one-file-per-bucket sorted layout; per-group
+        // min/max on the sorted key only get finer.
+        .option("parquet.block.size", (16 * 1024 * 1024).toString)
         .option("path", target)
         .saveAsTable(tmpTable)
       spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // files stay (external)
@@ -423,6 +432,9 @@ object Tables {
         .repartition(buckets, org.apache.spark.sql.functions.col(key))
         .write.mode("overwrite")
         .bucketBy(buckets, key).sortBy(key)
+        // 16 MB row groups — same capped-memory-scan rationale as
+        // materializeBuckets above.
+        .option("parquet.block.size", (16 * 1024 * 1024).toString)
         .option("path", target)
         .saveAsTable(tmpTable)
       spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // files stay (external)

@@ -29,13 +29,18 @@ object Windows {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     // The join only validates customer existence and re-labels the key —
     // project the dim to c_custkey and plan-time materialize it under the
-    // byte gate (8 B/row), dropping the per-action broadcast-build job;
-    // over the gate the distributed broadcast stands.
+    // byte gate (8 B/row), dropping the per-action broadcast-build job.
+    // Over the gate the hint is DROPPED, not forced (round-17): a forced
+    // broadcast of a corpus-scale key set is exactly what OOMs a
+    // memory-capped executor (the 128 MB/core sf100 rung died building
+    // the 15 M-key hash relation before any window ran) — let the
+    // planner/AQE pick broadcast vs shuffle from stats, which still
+    // broadcasts every bench-scale dim.
     val custKeys = t(s, dir, "customer").select("c_custkey")
     val custArm = graft.Dims.localizeSmall(custKeys, s"$dir#ranktopn.cust", 8)
-      .getOrElse(custKeys)
     t(s, dir, "orders")
-      .join(broadcast(custArm), col("o_custkey") === col("c_custkey"))
+      .join(custArm.map(broadcast).getOrElse(custKeys),
+        col("o_custkey") === col("c_custkey"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("c_custkey", "o_orderkey", "o_totalprice", "rn")
@@ -65,14 +70,24 @@ object Windows {
       |  FROM customer JOIN orders ON c_custkey = o_custkey) x
       |WHERE rn <= 3 ORDER BY c_custkey, rn""".stripMargin) { (s, dir) =>
     VectorOps.registerFns(s)
+    // Same localize-or-stats join discipline as rankTopN (round-17): a
+    // FORCED 15 M-key broadcast was what OOM'd this key's own 128 MB/core
+    // rung before the bounded aggregate ever ran.
     val custKeys = t(s, dir, "customer").select("c_custkey")
     val custArm = graft.Dims.localizeSmall(custKeys, s"$dir#topnagg.cust", 8)
-      .getOrElse(custKeys)
+    // AGGREGATE BEFORE THE JOIN (round-17, guide §2.3): the aggregate
+    // groups by exactly the join key, and an inner join on the group key
+    // drops whole groups — so top-k-then-join ≡ join-then-top-k on ANY
+    // input. Aggregating first reduces the join's fact side from every
+    // order row to ≤ k rows per customer, which is what lets the
+    // 128 MB/core sf100 rung complete: the capped-memory SMJ sorts
+    // ~3·|customers| bounded rows instead of all of orders.
     t(s, dir, "orders")
-      .join(broadcast(custArm), col("o_custkey") === col("c_custkey"))
-      .groupBy("c_custkey")
+      .groupBy(col("o_custkey"))
       .agg(call_function("topk_row_agg", col("o_totalprice"),
         col("o_orderkey"), lit(3)).as("top"))
+      .join(custArm.map(broadcast).getOrElse(custKeys),
+        col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("c_custkey"), col("e.id").as("o_orderkey"),
         col("e.ord").as("o_totalprice"),
