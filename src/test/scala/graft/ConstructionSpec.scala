@@ -31,6 +31,12 @@ class ConstructionSpec extends SparkSpec {
     "quality_train_logreg", "eval_bradley_terry", "corpus_budget_waterfill",
     "bpe_train_merges", "text_token_bpe", "vocab_coverage",
     "graph_pagerank", "graph_components", "pca_power_embed",
+    // Round-17: label propagation / triangle count stage their
+    // loop-invariant edge frames (and the ≤50-row per-iteration label
+    // state) at construction — the pagerank/pcaProject Stage-seam
+    // contract; unstaged, every iteration re-executed the document
+    // edge pipeline (measured 6–28 s/action at sf0.1).
+    "graph_label_propagation", "graph_triangle_count",
     // Fixture-materializing scans/sinks: the operator's POINT is reading a
     // format the corpus doesn't ship in (csv/json/orc/bucketed/sharded),
     // so it first writes that form — a bounded, one-off data-prep job.
@@ -97,7 +103,7 @@ class ConstructionSpec extends SparkSpec {
     // aliases sharing an arm pay nothing (hence oncePerJvm).
     "q3_shipping_priority", "q5_local_supplier",
     "join_semi", "semi_join_exists", "join_anti", "anti_join",
-    "win_rank_topn", "window_rank_topn",
+    "win_rank_topn", "window_rank_topn", "win_topn_agg",
     "text_tokenize_tfidf", "text_tokenize_tf")
 
   /** Exempt keys whose construction jobs run once per JVM: a prior suite
@@ -106,7 +112,7 @@ class ConstructionSpec extends SparkSpec {
     Set("cbo_join_reorder", "join_partition_pruned", "scan_date_pruned",
       "q3_shipping_priority", "q5_local_supplier",
       "join_semi", "semi_join_exists", "join_anti", "anti_join",
-      "win_rank_topn", "window_rank_topn",
+      "win_rank_topn", "window_rank_topn", "win_topn_agg",
       "text_tokenize_tfidf", "text_tokenize_tf")
 
   test("constructing every declared query launches zero Spark jobs " +
