@@ -227,7 +227,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "floor" is ADDITIVE (round-18, VERDICT r17 item 3): the driver
+    // parses the pre-existing fields; carrying the same-boot floor
+    // sample INSIDE the archived JSON makes the code-vs-boot split of
+    // any total a one-lookup check instead of a cross-file hunt. The
+    // timed region and the suite methodology are unchanged.
+    val floorJson = f"""{"job_best_ms":$jb%.1f,"job_med_ms":$jm%.1f,""" +
+      f""""sql_best_ms":$sb%.1f,"sql_med_ms":$sm%.1f}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"floor":$floorJson,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

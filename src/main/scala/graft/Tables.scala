@@ -263,10 +263,17 @@ object Tables {
   }
 
   /** Marker content: the bucket count the copy was written with + the
-    * source fingerprint. Pre-round-12 markers (bare fingerprint) fail the
-    * compare and the copy regenerates under the sized count. */
+    * LAYOUT VERSION + the source fingerprint. Pre-round-12 markers (bare
+    * fingerprint) fail the compare and the copy regenerates under the
+    * sized count. `rg=16m` (round-18, ADVICE r17): the 16 MB row-group
+    * cap only applies when a copy is (re)materialized, so a marker that
+    * encoded only count+fingerprint kept pre-r17 128 MB-row-group copies
+    * "fresh" forever — and the capped-memory OOM the cap fixes would
+    * silently persist on any environment with pre-existing copies. A
+    * layout-version mismatch now regenerates, like the round-12 marker
+    * hardening. */
   private def bucketedMarker(dir: String, name: String, buckets: Int): String =
-    s"buckets=$buckets;${fingerprint(s"$dir/$name.parquet")}"
+    s"buckets=$buckets;rg=16m;${fingerprint(s"$dir/$name.parquet")}"
 
   /** The bucket count recorded in a copy's marker, when the copy is fresh
     * (fingerprint matches the current source files). */
@@ -377,7 +384,9 @@ object Tables {
 
   private def bucketedCustMarker(dir: String, name: String,
       buckets: Int): String =
-    s"buckets=$buckets;fam=bycust;${fingerprint(s"$dir/$name.parquet")}"
+    // rg=16m layout-version token: same stale-layout regeneration
+    // rationale as [[bucketedMarker]] (round-18, ADVICE r17).
+    s"buckets=$buckets;rg=16m;fam=bycust;${fingerprint(s"$dir/$name.parquet")}"
 
   private def bucketedCustCount(dir: String, name: String): Option[Int] = {
     val marker =

@@ -79,14 +79,50 @@ object FastMd5 {
     FastMd5(args.head)
   }
 
+  /** Last (input, raw digest) pair per thread, so the `_hi`/`_lo` pair
+    * over the same text pays ONE digest, not two (round-18, VERDICT r17
+    * missing #2: Catalyst CSE cannot merge the two distinct half
+    * expressions, so on mostly-unique corpora every row digested twice).
+    *
+    * Safety: the fast path is REFERENCE equality — under whole-stage
+    * codegen both halves read the child from the same per-row local, so
+    * the second half sees the very same UTF8String object; a fresh object
+    * (interpreted eval re-reads the row) falls back to a content compare
+    * against a PRIVATE byte copy, which is immune to the underlying row
+    * buffer being rewritten between rows. A miss only costs the digest
+    * that was always paid. */
+  private final class HalfCache {
+    var ref: UTF8String = _
+    var bytes: Array[Byte] = _
+    var dig: Array[Byte] = _
+  }
+  private val halfCache = new ThreadLocal[HalfCache] {
+    override def initialValue(): HalfCache = new HalfCache
+  }
+
+  private def sameBytes(s: UTF8String, b: Array[Byte]): Boolean =
+    s.numBytes == b.length &&
+      org.apache.spark.unsafe.array.ByteArrayMethods.arrayEquals(
+        s.getBaseObject, s.getBaseOffset, b,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length)
+
   /** One 64-bit half of the md5 digest as a BIG-ENDIAN long; called from
     * both eval and generated code. `hi` = bytes 0–7, else bytes 8–15.
     * `lpad(lower(hex(v)), 16, '0')` of the two halves concatenated is
     * byte-identical to [[hash]]'s 32-char lowercase hex. */
   def hashHalf(s: UTF8String, hi: Boolean): Long = {
-    val md = digest.get()
-    md.reset()
-    val raw = md.digest(s.getBytes)
+    val c = halfCache.get()
+    var raw = c.dig
+    if (raw == null || !((s eq c.ref) || sameBytes(s, c.bytes))) {
+      val b = s.getBytes
+      val md = digest.get()
+      md.reset()
+      raw = md.digest(b)
+      c.ref = s
+      // Private copy: `b` may alias the row buffer the scan reuses.
+      c.bytes = java.util.Arrays.copyOf(b, b.length)
+      c.dig = raw
+    }
     val off = if (hi) 0 else 8
     var v = 0L
     var i = 0

@@ -944,7 +944,8 @@ object AnnOps {
       sizesHint: Option[Map[Int, Long]] = None,
       rerankInt8: Option[DataFrame] = None,
       rerankBudgetBytes: Long = RerankBroadcastBudget,
-      poolHint: Int = -1, knownPoolRows: Long = -1L): DataFrame = {
+      poolHint: Int = -1, knownPoolRows: Long = -1L,
+      rerankShuffle: Boolean = false): DataFrame = {
     VectorOps.registerFns(s)
     import org.apache.spark.sql.expressions.Window
     val dims = model.centroids.head._2.length
@@ -1048,8 +1049,25 @@ object AnnOps {
     val pooledBytes =
       if (knownPoolRows >= 0L) BigInt(knownPoolRows) * 24L
       else qRows * BigInt(worstCasePool(pool, nProbe, sizesOpt)) * 24L
+    // SHUFFLED-HASH rerank for pruned sources (round-18, VERDICT r17
+    // item 1): building the pooled broadcast is a DRIVER-SIDE,
+    // single-threaded HashedRelation build — at the 2 M × 384 control
+    // the ten ~11 M-row builds were the dominant chunk overhead (the
+    // same-boot ladder: broadcast 126–131 s vs shuffle_hash 80.4 s for
+    // the chunked batch; unchunked 57.6–58.8 s either way). When the
+    // CALLER guarantees the rerank source is pruned to the chunk's
+    // probed lists (`rerankShuffle = true` — the chunked wrapper with a
+    // payload-carrying index), a shuffled-hash join is strictly better:
+    // the shuffle is chunk-proportional (never the corpus — the r15
+    // hazard only existed because the source was the FULL vector
+    // table), the build side is pooled ÷ shuffle partitions per task
+    // (kilobytes to MBs, vs the whole pooled frame per executor), and
+    // the sort the SMJ fallback would add is skipped. Capped-memory
+    // shapes benefit doubly: no 256 MB broadcast relation on a small
+    // heap.
     val pooledSided =
-      if (pooledBytes <= BigInt(rerankBudgetBytes)) broadcast(pooled)
+      if (rerankShuffle) pooled.hint("shuffle_hash")
+      else if (pooledBytes <= BigInt(rerankBudgetBytes)) broadcast(pooled)
       else pooled
     val qe = queries.select(col("query_id"), col("qe"))
     // Rerank arm: float corpus, or an int8-quantized one (round-16,
@@ -1118,13 +1136,19 @@ object AnnOps {
     * candidates and the r15 rung died on the resulting corpus re-shuffle
     * (NOTES_r15 §ANN). The batch size must never multiply the in-flight
     * shuffle/broadcast footprint: this wrapper slices the query frame
-    * into driver-chosen chunks sized so each chunk's WORST-CASE rerank
-    * frame (chunk rows × worst per-query adaptive pool × 24 B) fits the
-    * same 256 MB budget the rerank gate uses — every chunk broadcasts
-    * its candidates and the corpus is never shuffled — and serves the
-    * chunks SEQUENTIALLY (each materialized via eager localCheckpoint —
-    * k rows per query — before the next starts), so in-flight state is
-    * one chunk's, not the batch's.
+    * into driver-chosen chunks sized so each chunk's rerank frame
+    * (Σ its queries' adaptive pools × 24 B) fits one budget —
+    * memory-derived for payload-carrying indexes (round-18, see the
+    * budget derivation in the body), the r16 256 MB broadcast bound
+    * otherwise — and serves the chunks SEQUENTIALLY (each materialized
+    * via eager localCheckpoint — k rows per query — before the next
+    * starts), so in-flight state is one chunk's, not the batch's. With
+    * a payload-carrying index the per-chunk rerank is a SHUFFLED-HASH
+    * join against the chunk's list-pruned index (round-18: the
+    * per-chunk pooled BROADCAST build — driver-side, single-threaded —
+    * was the measured dominant chunk overhead; see the gate note in
+    * ivfPqKnnBatch); the corpus is still never shuffled, because the
+    * shuffled source is the chunk's probed lists only.
     *
     * Chunked ≡ unchunked row-for-row: queries are served independently
     * (per-query rank windows; the pool/probe constants derive from the
@@ -1172,11 +1196,35 @@ object AnnOps {
   def ivfPqKnnBatchChunked(s: SparkSession, emb: DataFrame,
       index: DataFrame, model: AnnModel, queries: DataFrame, k: Int,
       nProbe: Int = 3, nCandidates: Int = -1,
-      chunkBudgetBytes: Long = 256L << 20,
+      chunkBudgetBytes: Long = -1L,
       rerankInt8: Option[DataFrame] = None): DataFrame = {
     VectorOps.registerFns(s)
     import s.implicits._
     val dims = model.centroids.head._2.length
+    // SHUFFLED-HASH rerank (round-18): safe exactly when the rerank
+    // source is the chunk-PRUNED payload-carrying index — a shuffle
+    // join is then chunk-proportional. With no payload (source = the
+    // corpus table) or an explicit corpus-wide int8 frame, a per-chunk
+    // shuffle would re-shuffle the corpus per chunk (the r15 ENOSPC),
+    // so those keep the broadcast gate.
+    val idxCols = index.columns.toSet
+    val rerankShuffle = rerankInt8.isEmpty &&
+      (idxCols("p_vec") || idxCols("p_codes"))
+    // Chunk budget (round-18): sized to the MEMORY BUDGET, not a
+    // constant. Under the shuffle rerank the budget's role is the
+    // per-chunk in-flight window/shuffle state (disk-backed, per-task
+    // slices ≈ budget ÷ shuffle partitions), which scales with memory —
+    // clamp(4/3 × mem-per-core, 64 MB, 1 GB) reproduces the measured
+    // best point (24 g × 32 → 1 GiB: chunked 59.9 s ≈ 1.04× unchunked
+    // at the 2 M × 384 control; a 4 g × 32 capped heap derives 170 MB).
+    // The broadcast-rerank paths keep the r16 256 MB broadcast bound —
+    // there every executor holds the whole pooled relation.
+    val budgetBytes =
+      if (chunkBudgetBytes > 0) chunkBudgetBytes
+      else if (rerankShuffle)
+        math.min(1L << 30, math.max(64L << 20,
+          graft.MemBudget.perCoreBytes(s) * 4 / 3))
+      else RerankBroadcastBudget
     val pool = if (nCandidates > 0) nCandidates
       else pqPoolFor(dims, graft.plans.PlanStats.estRows(
         index, 20L + model.m * 4L, decompressionFactor = 1))
@@ -1201,10 +1249,10 @@ object AnnOps {
         math.max(pool.toLong, v / 2 + v % 2)
       case None => pool.toLong
     }
-    // The chunk sizer and the in-serve broadcast gate share ONE budget
+    // The chunk sizer and the in-serve rerank gate share ONE budget
     // (round-16 review) — and now also one per-chunk Σ-pool bound via
-    // knownPoolRows, so a packed chunk is a broadcast-admitted chunk.
-    val budgetRows = math.max(1L, chunkBudgetBytes / 24L)
+    // knownPoolRows, so a packed chunk is an admitted chunk.
+    val budgetRows = math.max(1L, budgetBytes / 24L)
     import scala.math.Ordering.Implicits._
     val ordered = qProbes.sortBy { case (id, ls) => (ls, id) }
     val packed = scala.collection.mutable.ArrayBuffer(
@@ -1223,22 +1271,35 @@ object AnnOps {
     if (chunks.size <= 1)
       ivfPqKnnBatch(s, emb, index, model, q, k, nProbe, nCandidates,
         knownQueryRows = qProbes.length.toLong, sizesHint = sizes,
-        rerankInt8 = rerankInt8, rerankBudgetBytes = chunkBudgetBytes,
+        rerankInt8 = rerankInt8, rerankBudgetBytes = budgetBytes,
         poolHint = pool,
-        knownPoolRows = chunks.headOption.map(_.map(_._3).sum).getOrElse(0L))
+        knownPoolRows = chunks.headOption.map(_.map(_._3).sum).getOrElse(0L),
+        rerankShuffle = rerankShuffle)
     else {
+      if (sys.env.contains("GRAFT_ANN_DEBUG"))
+        System.err.println(s"[ann-chunk] chunks=${chunks.size} " +
+          s"budgetBytes=$budgetBytes rerankShuffle=$rerankShuffle")
       // One eager materialization of the deduped query frame: 334 chunks
       // must not re-run the query source scan + dedup 334 times.
       val qc = q.localCheckpoint(true)
       val nLists = model.centroids.size
       // (Round-17 note: a persisted shared rerank source handed to every
       // chunk was tried here and REMOVED — see the measurement note in
-      // ivfPqKnnBatch's rerank-source resolution. Each chunk's
-      // list-pruned, payload-carrying index scan is the faster AND
-      // footprint-bounded shape at every geometry measured.)
-      if (sys.env.contains("GRAFT_ANN_DEBUG"))
-        System.err.println(s"[ann-chunk] chunks=${chunks.size}")
-      val served = chunks.map { c =>
+      // ivfPqKnnBatch's rerank-source resolution. Round-18 note: a
+      // LIST-GRANULAR cache — per-list MEMORY_AND_DISK persists with
+      // last-use eviction, so each chunk still scanned only its own
+      // probed lists but repeats were served from memory — was built,
+      // measured at the 2 M × 384 control, and ALSO removed: same-boot
+      // chunked 145.5 s with the cache vs 131.0 s without. The residual
+      // chunk overhead tracks POOLED-CANDIDATE volume, not index
+      // rescans — per-chunk serve time scales with Σ pools (a ¼-pool
+      // chunk served in ⅓ the time) and is insensitive to chunk count
+      // (3 chunks 122.2 s vs 10 chunks 126.1 s at the same Σ pools) —
+      // which is why the shuffle-hash rerank below, not scan reuse, is
+      // what closed the gap: chunked 126–131 s → 80.4 s at the 256 MB
+      // budget, → 59.9 s ≈ 1.04× unchunked at the memory-derived
+      // budget. chunked ≡ unchunked row-identity held in every run.)
+      val served = chunks.zipWithIndex.map { case (c, i) =>
         val ids = c.map(_._1)
         // In-set predicate pushes to the source for driver-friendly
         // chunk sizes; very large cold chunks use a broadcast semi-join
@@ -1255,12 +1316,18 @@ object AnnOps {
         // The eager localCheckpoint materializes chunk i fully (k rows
         // per query) before chunk i+1 constructs — in-flight state is
         // one chunk's, never the batch's.
-        ivfPqKnnBatch(s, emb, chunkIdx, model, chunkQ, k, nProbe,
+        val t0 = System.nanoTime()
+        val out = ivfPqKnnBatch(s, emb, chunkIdx, model, chunkQ, k, nProbe,
           nCandidates, knownQueryRows = ids.size.toLong,
           sizesHint = sizes, rerankInt8 = rerankInt8,
-          rerankBudgetBytes = chunkBudgetBytes, poolHint = pool,
-          knownPoolRows = c.map(_._3).sum)
+          rerankBudgetBytes = budgetBytes, poolHint = pool,
+          knownPoolRows = c.map(_._3).sum, rerankShuffle = rerankShuffle)
           .localCheckpoint(true)
+        if (sys.env.contains("GRAFT_ANN_DEBUG"))
+          System.err.println(f"[ann-chunk] chunk=$i queries=${ids.size} " +
+            f"lists=${chunkLists.size} pools=${c.map(_._3).sum} " +
+            f"serve=${(System.nanoTime() - t0) / 1e9}%.1fs")
+        out
       }
       served.reduce(_ unionAll _).orderBy("query_id", "rank")
     }

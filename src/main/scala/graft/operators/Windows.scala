@@ -36,14 +36,62 @@ object Windows {
     // the 15 M-key hash relation before any window ran) — let the
     // planner/AQE pick broadcast vs shuffle from stats, which still
     // broadcasts every bench-scale dim.
-    val custKeys = t(s, dir, "customer").select("c_custkey")
-    val custArm = graft.Dims.localizeSmall(custKeys, s"$dir#ranktopn.cust", 8)
-    t(s, dir, "orders")
-      .join(custArm.map(broadcast).getOrElse(custKeys),
+    // Capped-memory reroute (round-18, VERDICT r17 item 6): below the
+    // per-core budget floor the window spelling is the one declared plan
+    // KNOWN to die (WindowGroupLimit buffers whole groups — the
+    // 128 MB/core sf100 OOM), while the bounded-aggregate twin carries
+    // ≤ k rows per group × partition by construction. The two spellings
+    // share one oracle and are output-identical (o_orderkey is unique per
+    // group), so this is a plan choice, not a semantic fork; at normal
+    // budgets (every verify/bench tier) the gate says no and the executed
+    // plan is byte-stable.
+    if (graft.MemBudget.rerouteTopN(s)) aggPlan(s, dir)
+    else t(s, dir, "orders")
+      .join(custArm(s, dir, "ranktopn").map(broadcast)
+        .getOrElse(t(s, dir, "customer").select("c_custkey")),
         col("o_custkey") === col("c_custkey"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("c_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("c_custkey", "rn")
+  }
+
+  /** The localize-or-stats customer-key arm shared by both top-N
+    * spellings (round-17 discipline: over the gate the broadcast hint is
+    * DROPPED, never forced). */
+  private def custArm(s: SparkSession, dir: String,
+      tag: String): Option[org.apache.spark.sql.DataFrame] =
+    graft.Dims.localizeSmall(
+      t(s, dir, "customer").select("c_custkey"), s"$dir#$tag.cust", 8)
+
+  /** The bounded-aggregate top-N plan, shared by [[rankTopNAgg]] (its
+    * declared spelling) and [[rankTopN]]'s capped-memory reroute. */
+  private def aggPlan(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    VectorOps.registerFns(s)
+    // AGGREGATE BEFORE THE JOIN (round-17, guide §2.3): the aggregate
+    // groups by exactly the join key, the join is an INNER join on that
+    // key, and the customer side is UNIQUE on c_custkey (PK) — so the
+    // join is a pure existence filter on whole groups and
+    // top-k-then-join ≡ join-then-top-k. (A duplicated customer key
+    // would break this: pre-join duplication would multiply order rows
+    // BEFORE the top-k and change which rows fill the k slots, whereas
+    // post-aggregation it duplicates whole result groups — ADVICE r17.)
+    // Aggregating first reduces the join's fact side from every order
+    // row to ≤ k rows per customer, which is what lets the 128 MB/core
+    // sf100 rung complete: the capped-memory SMJ sorts ~3·|customers|
+    // bounded rows instead of all of orders.
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(call_function("topk_row_agg", col("o_totalprice"),
+        col("o_orderkey"), lit(3)).as("top"))
+      .join(custArm(s, dir, "topnagg").map(broadcast)
+        .getOrElse(t(s, dir, "customer").select("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("c_custkey"), col("e.id").as("o_orderkey"),
+        col("e.ord").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rn"))
       .orderBy("c_custkey", "rn")
   }
 
@@ -69,30 +117,10 @@ object Windows {
       |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |  FROM customer JOIN orders ON c_custkey = o_custkey) x
       |WHERE rn <= 3 ORDER BY c_custkey, rn""".stripMargin) { (s, dir) =>
-    VectorOps.registerFns(s)
-    // Same localize-or-stats join discipline as rankTopN (round-17): a
-    // FORCED 15 M-key broadcast was what OOM'd this key's own 128 MB/core
-    // rung before the bounded aggregate ever ran.
-    val custKeys = t(s, dir, "customer").select("c_custkey")
-    val custArm = graft.Dims.localizeSmall(custKeys, s"$dir#topnagg.cust", 8)
-    // AGGREGATE BEFORE THE JOIN (round-17, guide §2.3): the aggregate
-    // groups by exactly the join key, and an inner join on the group key
-    // drops whole groups — so top-k-then-join ≡ join-then-top-k on ANY
-    // input. Aggregating first reduces the join's fact side from every
-    // order row to ≤ k rows per customer, which is what lets the
-    // 128 MB/core sf100 rung complete: the capped-memory SMJ sorts
-    // ~3·|customers| bounded rows instead of all of orders.
-    t(s, dir, "orders")
-      .groupBy(col("o_custkey"))
-      .agg(call_function("topk_row_agg", col("o_totalprice"),
-        col("o_orderkey"), lit(3)).as("top"))
-      .join(custArm.map(broadcast).getOrElse(custKeys),
-        col("o_custkey") === col("c_custkey"))
-      .select(col("c_custkey"), posexplode(col("top")).as(Seq("pos", "e")))
-      .select(col("c_custkey"), col("e.id").as("o_orderkey"),
-        col("e.ord").as("o_totalprice"),
-        (col("pos") + 1).cast("int").as("rn"))
-      .orderBy("c_custkey", "rn")
+    // Body shared with rankTopN's capped-memory reroute — see [[aggPlan]]
+    // (the round-17 localize-or-stats join discipline and the §2.3
+    // aggregate-before-join argument live there).
+    aggPlan(s, dir)
   }
 
   /** E2 — running (cumulative) sum per user over event time.

@@ -7,11 +7,18 @@ import org.apache.spark.sql.functions._
   * stayed >2× vs DuckDB after the layout and cache levers, so attribute
   * its wall-clock to scan vs hash vs shuffle+agg before deciding whether
   * a floor or a fix remains. Best-of-3 per stage, same session.
-  * Usage: DedupFloorProbe [sfDir]
+  * Usage: DedupFloorProbe [unique] [declared-only] [sfDir]
+  *   unique        — synthesize a 5 M mostly-unique corpus instead of sfDir
+  *   declared-only — run just the declared key, best-of-3
+  *   sfDir         — data directory (default /tmp/sfx1000); flags are
+  *                   parsed separately so `DedupFloorProbe unique` does not
+  *                   read tables from a directory named "unique" (ADVICE
+  *                   r17).
   */
 object DedupFloorProbe {
+  private val Flags = Set("unique", "declared-only")
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/tmp/sfx1000")
+    val sfDir = args.filterNot(Flags).headOption.getOrElse("/tmp/sfx1000")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .withExtensions(graft.plans.GraftExtensions)
@@ -101,6 +108,13 @@ object DedupFloorProbe {
     best3("fast_md5 count only")(
       docs.select(call_function("fast_md5", col("text")).as("fp"))
         .filter(col("fp").isNotNull).count())
+    // Round-18 memo isolation (VERDICT r17 missing #2): the hi+lo PAIR
+    // per row. With the thread-local digest memo this arm pays ONE digest
+    // per row (≈ the single-hash arm above); without it, two.
+    best3("fast_md5 hi+lo pair count")(
+      docs.select(call_function("fast_md5_hi", col("text")).as("h"),
+          call_function("fast_md5_lo", col("text")).as("l"))
+        .filter(col("h").isNotNull && col("l").isNotNull).count())
     best3("fast_md5 group no sort")(
       docs.groupBy(call_function("fast_md5", col("text")).as("fp"))
         .agg(min(col("doc_id")).as("s"), count(lit(1)).as("n")).count())

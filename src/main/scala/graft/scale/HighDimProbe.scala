@@ -395,9 +395,13 @@ object HighDimProbe {
     val nProbe = math.max(3, nLists / 8)
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // Round-18 experiment knob: chunk budget (bytes). Probe-side only —
+    // unset (-1) = AnnOps's memory-derived default.
+    val chunkBudget = sys.env.get("GRAFT_ANN_CHUNK_BUDGET").map(_.toLong)
+      .getOrElse(-1L)
     val (chunkRows, tChunk) = time {
       AnnOps.ivfPqKnnBatchChunked(s, e, stored, model, queries, k = 20,
-        nProbe = nProbe).collect()
+        nProbe = nProbe, chunkBudgetBytes = chunkBudget).collect()
     }
     println(f"[batchchunk] n=$n dims=$dims nLists=$nLists nProbe=$nProbe " +
       f"payload=$payload fit=$tFit%.1fs build=$tBuild%.1fs " +

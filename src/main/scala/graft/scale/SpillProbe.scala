@@ -36,6 +36,13 @@ object SpillProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.memory.fraction",
         sys.env.getOrElse("SPARK_GRAFT_MEMFRAC", "0.6"))
+      // Round-18 A/B knob (VERDICT r17 item 4): ObjectHashAggregate
+      // falls back to sort-based aggregation past this many distinct
+      // groups per partition (Spark default 128) — with millions of
+      // customers the win_topn_agg partial agg sort-falls-back almost
+      // immediately, paying the hash path's setup and using none of it.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "128"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val memSpill = new AtomicLong; val diskSpill = new AtomicLong

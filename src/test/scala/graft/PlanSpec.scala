@@ -233,6 +233,34 @@ class PlanSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("window_rank_topn: a capped per-core budget reroutes to the bounded-" +
+      "aggregate plan, identical rows; normal budgets keep the window plan") {
+    // Round-18 (VERDICT r17 item 6): below the budget floor the declared
+    // window top-N must serve the win_topn_agg plan (≤ k rows per group ×
+    // partition by construction) instead of WindowGroupLimit's
+    // whole-group buffers — the documented 128 MB/core sf100 OOM.
+    assert(MemBudget.underFloor(128L << 20, 192L << 20))
+    assert(!MemBudget.underFloor(256L << 20, 192L << 20))
+    val conf = spark.conf
+    try {
+      conf.set("spark.graft.test.memPerCoreBytes", (64L << 20).toString)
+      val capped = SparkEntry.queries("window_rank_topn")(spark, sfDir)
+      val pc = capped.queryExecution.executedPlan.toString
+      assert(!pc.contains("Window"),
+        "capped budget must not plan a window:\n" + pc.take(800))
+      assert(pc.contains("topk_row_agg"),
+        "capped budget must serve the bounded aggregate:\n" + pc.take(800))
+      val cappedRows = capped.collect().toSeq
+      conf.unset("spark.graft.test.memPerCoreBytes")
+      val normal = SparkEntry.queries("window_rank_topn")(spark, sfDir)
+      val pn = normal.queryExecution.executedPlan.toString
+      assert(pn.contains("Window"),
+        "normal budget must keep the declared window plan:\n" + pn.take(800))
+      assert(normal.collect().toSeq == cappedRows,
+        "both plans must return identical rows")
+    } finally conf.unset("spark.graft.test.memPerCoreBytes")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // At cluster scale Spark injects a bloom filter built from the
     // selective (dimension) side into the fact-side scan — rows that

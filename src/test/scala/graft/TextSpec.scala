@@ -214,6 +214,41 @@ class TextSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"), s"unexpected SortAggregate in:\n$plan")
   }
 
+  test("fast_md5 half memo never serves a stale digest (round-18 single-pass halves)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.FastMd5
+    def refHex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def halvesHex(s: String): String = {
+      // Fresh objects per call — the content-compare path.
+      val hi = FastMd5.hashHalf(UTF8String.fromString(s), hi = true)
+      val lo = FastMd5.hashHalf(UTF8String.fromString(s), hi = false)
+      f"$hi%016x$lo%016x"
+    }
+    // Sequences of distinct + repeated contents through one thread's memo.
+    Seq("", "a", "b", "a", "ünïcødé ☃ text", "x" * 10000, "x" * 10000 + "y")
+      .foreach(t => assert(halvesHex(t) == refHex(t), s"text=$t"))
+    // Interleaved contents: the hi of B between A's hi and lo must not
+    // corrupt either digest.
+    val a = UTF8String.fromString("alpha")
+    val b = UTF8String.fromString("beta")
+    val hiA = FastMd5.hashHalf(a, hi = true)
+    val hiB = FastMd5.hashHalf(b, hi = true)
+    val loA = FastMd5.hashHalf(a, hi = false) // same REF → the eq fast path
+    val loB = FastMd5.hashHalf(b, hi = false)
+    assert(f"$hiA%016x$loA%016x" == refHex("alpha"))
+    assert(f"$hiB%016x$loB%016x" == refHex("beta"))
+    // A row buffer rewritten between rows: the memo keeps a PRIVATE copy,
+    // so a new object over the mutated buffer must re-digest, never
+    // content-hit against bytes that changed after the cached digest.
+    val buf = "hello world".getBytes("UTF-8")
+    FastMd5.hashHalf(UTF8String.fromBytes(buf), hi = true)
+    buf(0) = 'j'.toByte
+    val mutated = FastMd5.hashHalf(UTF8String.fromBytes(buf), hi = true)
+    assert(f"$mutated%016x" == refHex("jello world").take(16))
+  }
+
   test("stratified sample predicate is reproducible across partitionings") {
     val docs = Tables.load(spark, sfDir, "documents")
     val pred = org.apache.spark.sql.functions.substring(
